@@ -1,0 +1,127 @@
+"""Round scheduling: gates, politeness budgets, canonical ordering, salting.
+
+Re-expresses the reference's imperative queue discipline (SURVEY.md §2.6)
+as window functions:
+
+- O-SCHED1 round-robin  (crawler.py:527-555): FIFO within a site is
+  sorted-URL order (the URL file is written sorted, app.py:128-130, and
+  queues are loaded in file order, crawler.py:336-342); round-robin
+  across sites ≙ take each host's top-`budget` URLs per round and order
+  the round as (rank_in_host, site, url). That tuple IS the canonical
+  crawl order the oracle checks.
+- O-SCHED3 politeness    (crawler.py:31,894-920): ≥1s per host ≙ one
+  round per politeness quantum with `rank_in_host <= crawl_budget`
+  (budget 1 reproduces 1 req/s/host).
+- O-SCHED4 429 backoff   (crawler.py:987-996): uniform(3,7)s becomes a
+  deterministic 3..7-round backoff keyed on md5(host:round) so engine
+  and oracle agree bit-for-bit.
+- O-SCHED2 / X6 skew     (crawler.py:1265-1303): the reference shuffles
+  domains to spread load; at scale we salt the fetch-assignment shuffle
+  with pmod(xxhash64(host, round), n_salts) instead — deterministic and
+  uniform even when one host owns 30% of the frontier.
+
+Scale note: the per-host row_number window shuffles only *candidate*
+rows (pending ∩ not-seen), and the global ordering window runs on the
+post-budget set, which is bounded by n_hosts × budget rows per round —
+tiny relative to a 10^10 frontier, so the single-partition ordering
+window is not a bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_spark import schemas as S
+
+
+def backoff_rounds_expr(host_col, round_no: int):
+    """Deterministic surrogate for reference's random.uniform(3, 7):
+    3 + (md5(host:round) first-8-hex % 5) ∈ {3..7}. Python twin in
+    oracle.backoff_rounds."""
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", host_col, F.lit(str(round_no)))), 1, 8), 16, 10)
+    return (F.lit(3) + F.pmod(h.cast("long"), F.lit(5))).cast("int")
+
+
+def control_flags(control: DataFrame, round_no: int) -> DataFrame:
+    """site_control windows -> per-round (site, paused, deleted) flags."""
+    r = F.lit(round_no)
+    return control.select(
+        "site",
+        (
+            F.col("paused_from_round").isNotNull()
+            & (r >= F.col("paused_from_round"))
+            & (r <= F.col("paused_to_round"))
+        ).alias("paused"),
+        (F.col("deleted_at_round").isNotNull() & (r >= F.col("deleted_at_round"))).alias(
+            "deleted"
+        ),
+    )
+
+
+def gate_candidates(
+    frontier: DataFrame,
+    control: DataFrame,
+    host_state: DataFrame,
+    robots: DataFrame,
+    round_no: int,
+) -> DataFrame:
+    """P5 paused / P6 deleted / backoff / robots-disallow gates.
+
+    All three gate tables are small dims -> broadcast joins; the frontier
+    side never shuffles here. Paused/backoff rows simply stay `pending`
+    in the frontier (ST4: nothing is ever dropped for lateness).
+    """
+    flags = control_flags(control, round_no)
+    cand = (
+        frontier.filter(F.col("state") == S.PENDING)
+        .join(F.broadcast(flags), "site", "left")
+        .filter(~F.coalesce("paused", F.lit(False)) & ~F.coalesce("deleted", F.lit(False)))
+        .drop("paused", "deleted")
+        .join(
+            F.broadcast(host_state.select("host", "backoff_until_round")), "host", "left"
+        )
+        .filter(
+            F.coalesce(F.col("backoff_until_round"), F.lit(-1)) <= F.lit(round_no)
+        )
+        .drop("backoff_until_round")
+        .join(
+            F.broadcast(robots.select("host", "disallow_prefixes", "crawl_budget")),
+            "host",
+            "left",
+        )
+        .withColumn(
+            "disallowed",
+            F.exists(
+                F.coalesce("disallow_prefixes", F.array()),
+                lambda p: F.col("url").startswith(p),
+            ),
+        )
+        .filter(~F.col("disallowed"))
+        .drop("disallow_prefixes", "disallowed")
+        .withColumn("crawl_budget", F.coalesce("crawl_budget", F.lit(1)))
+    )
+    return cand
+
+
+def schedule(deduped: DataFrame, round_no: int, seq_base: int, n_salts: int = 8) -> DataFrame:
+    """Budget window + canonical order + skew salt.
+
+    Output: deduped candidates limited to crawl_budget per host, with
+    `seq` = seq_base + position in canonical (rank_in_host, site, url)
+    order, and `salt` for the fetch-assignment repartition.
+    """
+    w_host = Window.partitionBy("host").orderBy("url")
+    limited = (
+        deduped.withColumn("rank_in_host", F.row_number().over(w_host))
+        .filter(F.col("rank_in_host") <= F.col("crawl_budget"))
+    )
+    w_all = Window.orderBy("rank_in_host", "site", "url")
+    return (
+        limited.withColumn("seq", (F.row_number().over(w_all) + F.lit(seq_base)).cast("long"))
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64(F.col("host"), F.lit(round_no)), F.lit(n_salts)).cast("int"),
+        )
+        .withColumn("round", F.lit(round_no))
+    )

@@ -1,0 +1,217 @@
+"""Fixed StructType schemas for every engine table (SURVEY.md §1).
+
+The reference keeps all of this as JSON files + in-memory dicts
+(crawler.py:23-44, app.py:112-135); here every abstraction is a snapshot
+table with a declared schema. Dynamism is confined to `payload_json`
+string columns (parsed on demand with from_json / get_json_object).
+
+Determinism rule: no wall-clock timestamps in keyed data — rounds are the
+time quantum (SURVEY.md §7.0); timestamps appear only in metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# interleaved text+media span — the driver `input_hint` shape:
+#   spans: array<struct<kind,text,media_ref,offset>>
+# kind ∈ {text, media, jsonld, meta, title}; media spans have text='' and
+# media_ref set, text spans the reverse; offsets strictly increasing.
+SPAN = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), False),
+    ]
+)
+SPANS = T.ArrayType(SPAN)
+
+# --- fixture / world tables (FIXTURES.md) ---------------------------------
+
+# the simulated internet; only read inside the fetch step
+WEB = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),  # 200/404/429/0(timeout)
+        T.StructField("spans", SPANS, True),
+        T.StructField("out_links", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+SEEDS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("site", T.StringType(), False),
+    ]
+)
+
+SITEMAPS = T.StructType(
+    [
+        T.StructField("sitemap_url", T.StringType(), False),
+        T.StructField("site", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # index | urlset
+        T.StructField("entries", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+ROBOTS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("sitemap_urls", T.ArrayType(T.StringType()), False),
+        T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), False),
+        T.StructField("crawl_budget", T.IntegerType(), False),  # URLs/host/round
+    ]
+)
+
+# 429 burst scenario: host returns 429 within [from_round, to_round]
+BURSTS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("from_round", T.IntegerType(), False),
+        T.StructField("to_round", T.IntegerType(), False),
+    ]
+)
+
+SITE_CONTROL = T.StructType(
+    [
+        T.StructField("site", T.StringType(), False),
+        T.StructField("paused_from_round", T.IntegerType(), True),
+        T.StructField("paused_to_round", T.IntegerType(), True),
+        T.StructField("deleted_at_round", T.IntegerType(), True),
+    ]
+)
+
+# --- engine state tables ---------------------------------------------------
+
+# frontier states
+PENDING = "pending"
+FETCHED = "fetched"
+ERROR = "error"
+DELETED = "deleted"
+
+FRONTIER = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.StringType(), False),  # md5 (reference mode) of dedup key
+        T.StructField("h64", T.LongType(), False),  # xxhash64 of dedup key (bloom/bucketing)
+        T.StructField("site", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("discovered_round", T.IntegerType(), False),
+        T.StructField("state", T.StringType(), False),
+    ]
+)
+
+SEEN = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.StringType(), False),
+        T.StructField("h64", T.LongType(), False),
+        T.StructField("site", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("fetched_round", T.IntegerType(), False),
+    ]
+)
+
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),  # = url_hash of the page
+        T.StructField("url", T.StringType(), False),
+        T.StructField("site", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("fetched_round", T.IntegerType(), False),
+        T.StructField("spans", SPANS, True),
+    ]
+)
+
+RECORDS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("site", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),  # canonical crawl seq of source page
+        T.StructField("shape", T.StringType(), False),  # single|list-item|graph-item|synth
+        T.StructField("entity_key", T.StringType(), True),
+        T.StructField("types", T.ArrayType(T.StringType()), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("payload_json", T.StringType(), True),
+    ]
+)
+
+ENTITY_SEEN = T.StructType(
+    [
+        T.StructField("site", T.StringType(), False),
+        T.StructField("entity_key", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
+EMBEDDINGS = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("site", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("schema_json", T.StringType(), True),
+    ]
+)
+
+UPLOADED = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("site", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
+HOST_STATE = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("backoff_until_round", T.IntegerType(), False),
+        T.StructField("last_round", T.IntegerType(), False),
+    ]
+)
+
+# canonical crawl order — the equality target vs the oracle
+CRAWL_ORDER = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),  # global, monotonically increasing
+        T.StructField("site", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+    ]
+)
+
+METRICS = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("site", T.StringType(), False),
+        T.StructField("scheduled", T.LongType(), False),
+        T.StructField("fetched", T.LongType(), False),
+        T.StructField("errors", T.MapType(T.StringType(), T.LongType()), True),
+        T.StructField("new_links", T.LongType(), False),
+    ]
+)
+
+FETCH_LOG = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("bytes", T.LongType(), False),
+    ]
+)
+
+# per-partition lineage of each snapshot commit (north rule)
+LINEAGE = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("rows", T.LongType(), False),
+    ]
+)

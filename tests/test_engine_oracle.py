@@ -1,0 +1,166 @@
+"""End-to-end equality: Spark engine vs the pure-Python reference oracle.
+
+The north-rule gate: crawl ordering, final URL-seen set, per-row span
+sequences, extracted record multiset, type counts and entity keys must
+ALL match the oracle exactly (SURVEY.md §5.2), with 429-burst,
+pause and delete scenarios active, in both dedup modes, and with the
+Bloom prefilter on.
+
+Expensive crawls run once per module (fixtures); assertions are split
+per dimension.
+"""
+
+from collections import Counter
+
+import pytest
+
+from crawler_spark.engine import CrawlEngine
+from crawler_spark.operators.discovery import discover_frontier
+from crawler_spark.operators.extract import type_counts
+from crawler_spark.oracle import Oracle
+from crawler_spark.world import make_world
+
+
+def crawl_both(spark, tmpdir, world, mode, max_rounds, use_bloom=False, url_filter=None):
+    tables = world.to_spark(spark)
+    eng = CrawlEngine(spark, str(tmpdir), mode=mode, use_bloom=use_bloom)
+    eng.seed(
+        discover_frontier(
+            tables["seeds"], tables["robots"], tables["sitemaps"], url_filter=url_filter
+        )
+    )
+    eng.run(tables, max_rounds=max_rounds)
+    ora = Oracle(world, mode=mode).run(url_filter=url_filter, max_rounds=max_rounds)
+    return eng, ora
+
+
+def read_all(spark, eng):
+    io = eng.io
+    out = {}
+    out["order"] = [
+        (r.round, r.seq, r.site, r.url, r.status)
+        for r in io.read(spark, "crawl_order").orderBy("seq").collect()
+    ]
+    out["seen"] = {(r.url_hash, r.url) for r in io.read(spark, "seen").collect()}
+    out["docs"] = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in io.read(spark, "documents").collect()
+    }
+    out["records"] = Counter(
+        (
+            r.url, r.site, r.round, r.seq, r.shape, r.entity_key,
+            tuple(r.types) if r.types is not None else None, r.name, r.payload_json,
+        )
+        for r in io.read(spark, "records").collect()
+    )
+    out["types"] = Counter(
+        {(r.site, r.type): r["count"] for r in type_counts(io.read(spark, "records")).collect()}
+    )
+    out["keys"] = {(r.site, r.entity_key) for r in io.read(spark, "entity_seen").collect()}
+    return out
+
+
+@pytest.fixture(scope="module")
+def ref_run(spark, tmp_path_factory):
+    """Reference mode, all scenarios on: burst + pause + delete."""
+    world = make_world(
+        seed=42, n_hosts=5, n_urls=40, budget=2,
+        pauses=[("h002_example_com", 2, 4)],
+        deletes=[("h003_example_com", 3)],
+    )
+    eng, ora = crawl_both(
+        spark, tmp_path_factory.mktemp("ref"), world, "reference", max_rounds=25
+    )
+    return world, read_all(spark, eng), ora
+
+
+@pytest.fixture(scope="module")
+def scaled_run(spark, tmp_path_factory):
+    world = make_world(seed=7, n_hosts=3, n_urls=24, budget=3)
+    eng, ora = crawl_both(
+        spark, tmp_path_factory.mktemp("scaled"), world, "scaled", max_rounds=15
+    )
+    return world, read_all(spark, eng), ora
+
+
+# --- reference mode ---------------------------------------------------------
+
+
+def test_ref_crawl_order(ref_run):
+    _, got, ora = ref_run
+    assert len(ora.crawl_order) > 20
+    assert any(s == 429 for *_x, s in ora.crawl_order)  # burst fired
+    assert got["order"] == ora.crawl_order
+
+
+def test_ref_seen_set(ref_run):
+    _, got, ora = ref_run
+    assert got["seen"] == set(ora.seen.items())
+
+
+def test_ref_span_sequences(ref_run):
+    """Per-row span-sequence equality (kind, text, media_ref, order) —
+    the driver input_hint invariant."""
+    _, got, ora = ref_run
+    assert set(got["docs"]) == set(ora.documents)
+    for d, spans in ora.documents.items():
+        assert got["docs"][d] == [tuple(s) for s in spans], d
+
+
+def test_ref_records_and_types(ref_run):
+    _, got, ora = ref_run
+    assert got["records"] == ora.records
+    assert got["types"] == ora.type_counts
+    assert got["keys"] == ora.entity_keys
+
+
+def test_ref_pause_and_delete_respected(ref_run):
+    _, got, ora = ref_run
+    # deleted site leaves no trace in seen/documents/records
+    assert not any("h003" in u for _h, u in got["seen"])
+    assert not any("h003" in r[0] for r in got["records"])
+    # paused site has no fetches during the pause window
+    for rnd, _seq, site, _url, _st in got["order"]:
+        if site == "h002_example_com":
+            assert not (2 <= rnd <= 4)
+
+
+# --- scaled (canonicalizing) mode -------------------------------------------
+
+
+def test_scaled_equality(scaled_run):
+    _, got, ora = scaled_run
+    assert got["order"] == ora.crawl_order
+    assert got["seen"] == set(ora.seen.items())
+    assert got["records"] == ora.records
+
+
+def test_scaled_no_canonical_duplicates(scaled_run):
+    from crawler_spark.functions.urls import canonicalize_url
+
+    _, got, _ora = scaled_run
+    canon = [canonicalize_url(u) for _h, u in got["seen"]]
+    assert len(canon) == len(set(canon))
+
+
+# --- bloom prefilter / url_filter (small worlds) ----------------------------
+
+
+def test_bloom_prefilter_equals_exact(spark, tmp_path):
+    """Bloom prefilter must never change results (FP-safe two-phase)."""
+    world = make_world(seed=11, n_hosts=3, n_urls=18, budget=3, burst=False)
+    eng, ora = crawl_both(spark, tmp_path, world, "reference", max_rounds=10, use_bloom=True)
+    got = read_all(spark, eng)
+    assert got["order"] == ora.crawl_order
+    assert got["seen"] == set(ora.seen.items())
+
+
+def test_url_filter(spark, tmp_path):
+    """P1 substring filter limits sitemap discovery in both paths."""
+    world = make_world(seed=13, n_hosts=3, n_urls=18, budget=3, burst=False)
+    eng, ora = crawl_both(
+        spark, tmp_path, world, "reference", max_rounds=10, url_filter="/p/0000"
+    )
+    got = read_all(spark, eng)
+    assert got["order"] == ora.crawl_order
+    assert got["seen"] == set(ora.seen.items())

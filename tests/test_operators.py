@@ -1,0 +1,141 @@
+"""Operator unit tests (SURVEY.md §5.3): DataFrame-in/DataFrame-out."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark import schemas as S
+from crawler_spark.functions.urls import with_url_keys
+from crawler_spark.operators import dedup as D
+from crawler_spark.operators.discovery import discover_frontier, reconcile_tombstones
+from crawler_spark.operators.extract import entity_rows_for_page
+from crawler_spark.operators.scheduler import control_flags, schedule
+from crawler_spark.world import make_world
+
+
+def frontier_df(spark, urls, budget=2):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return with_url_keys(df).withColumn("crawl_budget", F.lit(budget))
+
+
+# --- scheduler --------------------------------------------------------------
+
+
+def test_budget_window_limits_per_host(spark):
+    urls = [f"https://h{i}.com/p/{j}" for i in range(3) for j in range(5)]
+    out = schedule(frontier_df(spark, urls, budget=2), round_no=1, seq_base=0).collect()
+    per_host = {}
+    for r in out:
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+    assert all(v == 2 for v in per_host.values())
+    # FIFO within host = sorted URL order
+    h0 = sorted([r.url for r in out if r.host == "h0.com"])
+    assert h0 == ["https://h0.com/p/0", "https://h0.com/p/1"]
+
+
+def test_canonical_order_is_rank_site_url(spark):
+    urls = [f"https://h{i}.com/p/{j}" for i in range(3) for j in range(3)]
+    out = sorted(
+        ((r.seq, r.rank_in_host, r.site, r.url) for r in
+         schedule(frontier_df(spark, urls, budget=2), 1, 0).collect())
+    )
+    keys = [(r[1], r[2], r[3]) for r in out]
+    assert keys == sorted(keys)  # seq order == (rank, site, url) order
+    assert [r[0] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_control_flags_windows(spark):
+    ctl = spark.createDataFrame(
+        [("s1", 2, 4, None), ("s2", None, None, 3)], S.SITE_CONTROL
+    )
+    f2 = {r.site: (r.paused, r.deleted) for r in control_flags(ctl, 2).collect()}
+    assert f2["s1"] == (True, False)
+    assert f2["s2"] == (False, False)
+    f5 = {r.site: (r.paused, r.deleted) for r in control_flags(ctl, 5).collect()}
+    assert f5["s1"] == (False, False)
+    assert f5["s2"] == (False, True)
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def test_anti_join_matches_duckdb_except(spark):
+    cand = [f"https://h.com/p/{i}" for i in range(20)]
+    seen = [f"https://h.com/p/{i}" for i in range(0, 20, 3)]
+    c = with_url_keys(spark.createDataFrame([(u,) for u in cand], ["url"]))
+    s = with_url_keys(spark.createDataFrame([(u,) for u in seen], ["url"]))
+    got = sorted(r.url for r in D.exact_anti_join(c, s).collect())
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT * FROM (SELECT unnest($c) u) EXCEPT SELECT * FROM (SELECT unnest($s) u) ORDER BY 1",
+            params={"c": cand, "s": seen},
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_bloom_never_drops(spark):
+    """Bloom prefilter output == exact anti-join output (FP-safe)."""
+    cand = [f"https://h.com/p/{i}" for i in range(200)]
+    seen = [f"https://h.com/p/{i}" for i in range(0, 200, 2)]
+    c = with_url_keys(spark.createDataFrame([(u,) for u in cand], ["url"]))
+    s = with_url_keys(spark.createDataFrame([(u,) for u in seen], ["url"])).withColumn(
+        "fetched_round", F.lit(1)
+    )
+    blooms = D.build_bloom(s, n_buckets=4, expected_per_bucket=1000)
+    got = sorted(r.url for r in D.bloom_prefilter(c, blooms, s, 4).collect())
+    want = sorted(r.url for r in D.exact_anti_join(c, s).collect())
+    assert got == want
+
+
+# --- discovery / reconcile --------------------------------------------------
+
+
+def test_discover_frontier_covers_sitemap_tree(spark):
+    world = make_world(seed=3, n_hosts=3, n_urls=20)
+    t = world.to_spark(spark)
+    got = {r.url for r in discover_frontier(t["seeds"], t["robots"], t["sitemaps"]).collect()}
+    want = set(world.seeds["url"])
+    for r in world.sitemaps.itertuples(index=False):
+        if r.kind == "urlset":
+            want |= set(r.entries)
+    assert got == want
+
+
+def test_reconcile_tombstones_is_except(spark):
+    stored = spark.createDataFrame([(f"u{i}", "s") for i in range(10)], ["url", "site"])
+    current = spark.createDataFrame([(f"u{i}",) for i in range(0, 10, 2)], ["url"])
+    got = sorted(r.url for r in reconcile_tombstones(stored, current).collect())
+    assert got == [f"u{i}" for i in range(1, 10, 2)]
+
+
+# --- extraction (pure-python kernel; the Spark path is covered e2e) ---------
+
+
+def test_entity_rows_shapes():
+    spans = [
+        ("title", "T", "", 0),
+        ("meta", '{"p": "description", "c": "D"}', "", 1),
+        ("jsonld", '{"@id": "k1", "@type": "Product", "name": "N"}', "", 2),
+        ("jsonld", '[{"@id": "k2", "@type": ["A", "B"]}, {"name": "nokey"}]', "", 3),
+        ("jsonld", '{"@graph": [{"@id": "k3", "@type": "C"}]}', "", 4),
+        ("jsonld", "not-json{", "", 5),
+    ]
+    rows = entity_rows_for_page("u", "s", 1, 1, spans)
+    shapes = [r[6] for r in rows]
+    assert shapes == ["single", "list-item", "list-item", "graph-item", "synth"]
+    keys = [r[7] for r in rows]
+    assert keys == ["k1", "k2", None, "k3", "u"]
+    # list-valued @type normalized to array
+    assert rows[1][8] == ["A", "B"]
+
+
+def test_entity_rows_synth_blogposting():
+    spans = [
+        ("title", "T", "", 0),
+        ("meta", '{"p": "article:published_time", "c": "2024-01-01"}', "", 1),
+    ]
+    rows = entity_rows_for_page("u", "s", 1, 1, spans)
+    assert len(rows) == 1 and rows[0][6] == "synth"
+    assert rows[0][8] == ["BlogPosting"]  # schema-type heuristic (crawler.py:793-796)

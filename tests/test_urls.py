@@ -1,0 +1,68 @@
+"""Unit tests for the URL kernel (SURVEY.md F1-F4)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.urls import (
+    canonicalize_url,
+    md5_hex,
+    with_url_keys,
+)
+
+
+def test_canonicalize_cases():
+    # lowercase host+scheme
+    assert canonicalize_url("HTTPS://WWW.Ex.COM/Path") == "https://www.ex.com/Path"
+    # strip fragment
+    assert canonicalize_url("https://a.com/p#frag") == "https://a.com/p"
+    # strip default port (http 80 / https 443), keep others
+    assert canonicalize_url("https://a.com:443/p") == "https://a.com/p"
+    assert canonicalize_url("http://a.com:80/p") == "http://a.com/p"
+    assert canonicalize_url("https://a.com:8443/p") == "https://a.com:8443/p"
+    # sort query params
+    assert canonicalize_url("https://a.com/p?b=2&a=1") == "https://a.com/p?a=1&b=2"
+    # empty path -> /
+    assert canonicalize_url("https://a.com") == "https://a.com/"
+    # idempotent
+    u = "https://A.com:443/x?z=1&y=2#f"
+    assert canonicalize_url(canonicalize_url(u)) == canonicalize_url(u)
+
+
+def test_md5_matches_reference_rule():
+    # reference: hashlib.md5(url.encode()).hexdigest() (crawler.py:92-94)
+    u = "https://h000.example.com/p/00001"
+    assert md5_hex(u) == hashlib.md5(u.encode()).hexdigest()
+
+
+def test_with_url_keys_reference_mode(spark):
+    df = spark.createDataFrame(
+        [("https://H0.Example.com/p#f",), ("https://h0.example.com/p",)], ["url"]
+    )
+    out = with_url_keys(df, mode="reference").collect()
+    # reference mode hashes the RAW url -> the two spellings differ
+    assert out[0].url_hash != out[1].url_hash
+    by_url = {r.url: r for r in out}
+    r = by_url["https://h0.example.com/p"]
+    assert r.url_hash == md5_hex("https://h0.example.com/p")
+    assert r.host == "h0.example.com"
+    assert r.site == "h0_example_com"
+
+
+def test_with_url_keys_scaled_mode(spark):
+    df = spark.createDataFrame(
+        [("https://H0.example.com/p#f",), ("https://h0.example.com:443/p",)], ["url"]
+    )
+    out = with_url_keys(df, mode="scaled").collect()
+    # canonical twins collide in scaled mode
+    assert out[0].url_hash == out[1].url_hash
+    assert out[0].url_hash == md5_hex("https://h0.example.com/p")
+
+
+def test_spark_md5_equals_python(spark):
+    urls = [f"https://h{i}.example.com/p/{i}" for i in range(20)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"]).select(
+        "url", F.md5("url").alias("h")
+    )
+    for r in df.collect():
+        assert r.h == md5_hex(r.url)
