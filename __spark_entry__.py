@@ -1,38 +1,651 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every SQL-expressible operator family from
+SURVEY.md §2 (scheduling windows, seen anti-joins, broadcast dim joins,
+aggregations, top-k, CASE dispatch, JSON access, set ops) plus the
+training-data pipeline ops (exact/minhash-LSH/simhash/jaccard dedup,
+ANN cosine search, LSH bucketing, text quality/lang-id/fingerprint)
+over the driver testdata tables. `oracle_sql()` carries the DuckDB twin
+of each.
+
+Engine/oracle parity rules used throughout:
+- double aggregates route through DECIMAL (exact) and cast back to
+  double, so parallel FP summation order can't flip a rounded digit;
+- timestamps compare as epoch seconds (UTC session pinned);
+- every ordering has an explicit unique tie-break;
+- md5 hex (lowercase in both engines) is the shared hash primitive —
+  fixed-width hex compares like the integer it encodes, so minhash
+  needs no int conversion.
+
+Non-SQL-expressible entries (full crawl round on the synthetic world,
+multimodal decode) return rows-only checks per the driver contract.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, scale: int = 6):
+    """Exact-sum trick: aggregate in DECIMAL, emit double."""
+    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
+
+
+# --------------------------------------------------------------------------
+# crawl-engine operator queries (SURVEY.md §2) over the events/orders tables
+# --------------------------------------------------------------------------
+
+
+def _frontier_view(spark, sf_dir):
+    """events -> a synthetic frontier: url/host derived from ids.
+    Mirrors the engine's frontier shape so the scheduling operators run
+    on driver data with a SQL oracle."""
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(
+        F.lit("h"), F.lpad(F.pmod(F.col("user_id"), F.lit(50)).cast("string"), 3, "0"),
+        F.lit(".example.com"),
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/e/"),
+        F.lpad(F.col("event_id").cast("string"), 8, "0"),
+    )
+    return e.select("event_id", "user_id", host.alias("host"), url.alias("url"))
+
+
+_FRONTIER_SQL = """
+    SELECT event_id, user_id,
+           'h' || lpad((user_id % 50)::VARCHAR, 3, '0') || '.example.com' AS host,
+           'https://' || 'h' || lpad((user_id % 50)::VARCHAR, 3, '0') || '.example.com'
+               || '/e/' || lpad(event_id::VARCHAR, 8, '0') AS url
+    FROM events
+"""
+
+
+def q_frontier_schedule_round(spark, sf_dir):
+    """Flagship: one scheduling round — J1 seen anti-join + O-SCHED3
+    host-budget window + O-SCHED1 canonical (rank, host, url) order."""
+    fr = _frontier_view(spark, sf_dir)
+    seen = _t(spark, sf_dir, "orders").filter(F.pmod("o_custkey", F.lit(3)) == 0).select(
+        F.col("o_custkey").alias("user_id")
+    ).distinct()
+    cand = fr.join(seen, "user_id", "left_anti")
+    w_host = Window.partitionBy("host").orderBy("url")
+    lim = cand.withColumn("rank_in_host", F.row_number().over(w_host)).filter(
+        F.col("rank_in_host") <= 2
+    )
+    w_all = Window.orderBy("rank_in_host", "host", "url")
+    return lim.withColumn("seq", F.row_number().over(w_all).cast("long")).select(
+        "seq", F.col("rank_in_host").cast("long").alias("rank_in_host"), "host", "url"
+    )
+
+
+_Q_FRONTIER_SCHEDULE_SQL = f"""
+    WITH frontier AS ({_FRONTIER_SQL}),
+    cand AS (
+        SELECT * FROM frontier f
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey % 3 = 0 AND o.o_custkey = f.user_id)
+    ),
+    lim AS (
+        SELECT *, row_number() OVER (PARTITION BY host ORDER BY url) AS rank_in_host
+        FROM cand QUALIFY rank_in_host <= 2
+    )
+    SELECT row_number() OVER (ORDER BY rank_in_host, host, url) AS seq,
+           rank_in_host, host, url
+    FROM lim
+"""
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """J1: candidates minus seen set (left_anti ≡ NOT EXISTS)."""
+    e = _t(spark, sf_dir, "events")
+    seen = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    return e.join(
+        seen.select(F.col("o_custkey").alias("user_id")).distinct(), "user_id", "left_anti"
+    ).select("event_id", "user_id")
+
+
+_Q_SEEN_ANTIJOIN_SQL = """
+    SELECT event_id, user_id FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey < 100 AND o.o_custkey = e.user_id)
+"""
+
+
+def q_host_budget_window(spark, sf_dir):
+    """O-SCHED3: per-key budget via row_number window (first 3 events
+    per user by time)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "rk", "event_id")
+    )
+
+
+_Q_HOST_BUDGET_SQL = """
+    SELECT user_id, rk, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        FROM events) WHERE rk <= 3
+"""
+
+
+def q_tombstone_except(spark, sf_dir):
+    """J5/U2: stored − current (customers with no orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")).distinct(), "c_custkey", "left_anti"
+    ).select("c_custkey")
+
+
+_Q_TOMBSTONE_SQL = """
+    SELECT c_custkey FROM customer
+    EXCEPT SELECT o_custkey AS c_custkey FROM orders
+"""
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """J7: fact × broadcast dims (orders → customer → nation rollup)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(_dec(F.col("o_totalprice"), 2), 2).alias("revenue"),
+        )
+    )
+
+
+_Q_BROADCAST_DIM_SQL = """
+    SELECT n_name, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+def q_type_counts(spark, sf_dir):
+    """A1 analog: per-(lang, source) document counts."""
+    return _t(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.count("*").alias("n")
+    )
+
+
+_Q_TYPE_COUNTS_SQL = "SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source"
+
+
+def q_error_counts(spark, sf_dir):
+    """A2 analog: per-code counts."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+_Q_ERROR_COUNTS_SQL = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+def q_global_summary(spark, sf_dir):
+    """A6/A7: global rollup with derived percentages."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars") / F.count("*"), 4).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+_Q_GLOBAL_SUMMARY_SQL = """
+    SELECT count(*) AS n_docs, sum(n_chars) AS total_chars,
+           round(sum(n_chars) / count(*), 4) AS avg_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+"""
+
+
+def q_top_k_recent(spark, sf_dir):
+    """T2/T3: newest-first top-k with explicit tie-break."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+        .select(
+            "event_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+_Q_TOP_K_SQL = """
+    SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, value
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+def q_error_categorize(spark, sf_dir):
+    """P8: CASE WHEN dispatch chain."""
+    e = _t(spark, sf_dir, "events")
+    cat = (
+        F.when(F.col("event_type") == "error", "failure")
+        .when(F.col("event_type").isin("click", "view"), "engagement")
+        .when(F.col("event_type") == "purchase", "conversion")
+        .otherwise("lifecycle")
+    )
+    return e.groupBy(cat.alias("category")).agg(F.count("*").alias("n"))
+
+
+_Q_ERROR_CATEGORIZE_SQL = """
+    SELECT CASE WHEN event_type = 'error' THEN 'failure'
+                WHEN event_type IN ('click', 'view') THEN 'engagement'
+                WHEN event_type = 'purchase' THEN 'conversion'
+                ELSE 'lifecycle' END AS category,
+           count(*) AS n
+    FROM events GROUP BY 1
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """F6: schema-on-read JSON access (props payload column)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_Q_JSON_EXTRACT_SQL = """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
+    FROM events GROUP BY 1
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: lag-gap window (>1h starts a new session)."""
+    e = _t(spark, sf_dir, "events").withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    return (
+        e.withColumn("new_sess", F.when(gap > 3600000, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.col("new_sess")) + 1).cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_Q_SESSIONIZE_SQL = """
+    SELECT user_id, sum(new_sess) + 1 AS n_sessions, count(*) AS n_events
+    FROM (
+        SELECT user_id,
+               CASE WHEN epoch_ms(ts)
+                         - lag(epoch_ms(ts)) OVER
+                           (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                         > 3600000 THEN 1 ELSE 0 END AS new_sess
+        FROM events)
+    GROUP BY user_id
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape: the classic pricing summary (decimal-exact)."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(_dec(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.round(_dec(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(_dec(disc), 2).alias("sum_disc_price"),
+            F.round(_dec(charge), 2).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q_TPCH_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE), 2)
+           AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6)))
+           AS DOUBLE), 2) AS sum_charge,
+       count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rollup_summary(spark, sf_dir):
+    """Grouping-set rollup over lineitem flags."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(_dec(F.col("l_quantity")), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+_Q_ROLLUP_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline queries (documents/embeddings tables)
+# --------------------------------------------------------------------------
+
+_TOKENS_SQL = """
+    tokens AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    )
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    from crawler_spark.operators.textdedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+_Q_DEDUP_EXACT_SQL = """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from crawler_spark.operators.textdedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+_MH_COLS = ",\n".join(
+    f"           min(substr(md5('{i}' || ':' || tok), 1, 15)) AS mh{i}" for i in range(8)
+)
+_Q_MINHASH_SQL = f"""
+    WITH {_TOKENS_SQL}
+    SELECT doc_id,
+{_MH_COLS}
+    FROM tokens GROUP BY doc_id
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from crawler_spark.operators.textdedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+_Q_LSH_PAIRS_SQL = f"""
+    WITH {_TOKENS_SQL},
+    sig AS (
+        SELECT doc_id,
+{_MH_COLS}
+        FROM tokens GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM bands a JOIN bands c
+      ON a.band_idx = c.band_idx AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    from crawler_spark.operators.textdedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_BITS_SQL = " || ".join(
+    f"(CASE WHEN sum(CASE WHEN substr(md5(tok), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) >= 0"
+    f" THEN '1' ELSE '0' END)"
+    for j in range(16)
+)
+_Q_SIMHASH_SQL = f"""
+    WITH {_TOKENS_SQL}
+    SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash
+    FROM tokens GROUP BY doc_id
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from crawler_spark.operators.textdedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return jaccard_pairs(docs, threshold=0.7, max_df=10**9)
+
+
+_Q_JACCARD_SQL = """
+    WITH tokens AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+        FROM documents WHERE length(trim(text)) > 0 AND doc_id < 300
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tokens GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tokens a JOIN tokens b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.7
+"""
+
+
+def q_lsh_buckets(spark, sf_dir):
+    from crawler_spark.operators.ann import lsh_buckets
+
+    return lsh_buckets(_t(spark, sf_dir, "embeddings"), nbits=8)
+
+
+_Q_LSH_BUCKETS_SQL = (
+    "SELECT vec_id, "
+    + " || ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8)
+    )
+    + " AS bucket FROM embeddings"
+)
+
+
+def q_ann_topk(spark, sf_dir):
+    from crawler_spark.operators.ann import brute_force_topk
+
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+_Q_ANN_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.qv, e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, rank, neighbor_id, round(cos, 4) AS score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5
+"""
+
+
+def q_text_profile(spark, sf_dir):
+    from crawler_spark.functions.text import text_profile
+
+    return text_profile(_t(spark, sf_dir, "documents"))
+
+
+_LANG_SCORE_SQL = {
+    "de": r"len(regexp_extract_all(lower(text), '\b(der|und|nicht)\b'))",
+    "en": r"len(regexp_extract_all(lower(text), '\b(the|and|of)\b'))",
+    "es": r"len(regexp_extract_all(lower(text), '\b(el|de|que)\b'))",
+    "fr": r"len(regexp_extract_all(lower(text), '\b(le|la|et)\b'))",
+}
+_Q_TEXT_PROFILE_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, text,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+            len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+            round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                  / greatest(length(text), 1), 6) AS punct_ratio,
+            {_LANG_SCORE_SQL['de']} AS s_de, {_LANG_SCORE_SQL['en']} AS s_en,
+            {_LANG_SCORE_SQL['es']} AS s_es, {_LANG_SCORE_SQL['fr']} AS s_fr,
+            len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in)\\b')) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, n_bpe_tokens, punct_ratio,
+        round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
+        round(0.5 * least(length(text) / 200.0, 1.0)
+              + 0.3 * (1.0 - punct_ratio)
+              + 0.2 * least(round(n_stop / greatest(n_tokens, 1), 6) * 5.0, 1.0), 6) AS quality,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END AS pred_lang,
+        md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+    FROM base
+"""
+
+
+# --------------------------------------------------------------------------
+# non-SQL-expressible: full engine round + multimodal decode (rows-only)
+# --------------------------------------------------------------------------
+
+
+def q_crawl_round(spark, sf_dir):
+    """One real engine scheduling round on the deterministic synthetic
+    world (gates -> dedup -> budget window -> fetch -> commit). Not
+    SQL-expressible (multi-table snapshot state); covered exactly by the
+    pure-Python oracle in tests/test_engine_oracle.py."""
+    from crawler_spark.engine import CrawlEngine
+    from crawler_spark.operators.discovery import discover_frontier
+    from crawler_spark.world import make_world
+
+    world = make_world(seed=42, n_hosts=3, n_urls=18, budget=2, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="entry-crawl-"))
+    eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+    eng._control_rows = []
+    eng.run_round(1, t)
+    return eng.io.read(spark, "crawl_order").orderBy("seq")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media decode plumbing (stubbed decoder): documents ->
+    fake media payloads -> mapInPandas feature extraction. Rows-only
+    (digest-derived features aren't SQL-expressible)."""
+    from crawler_spark.operators.multimodal import decode_media
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("img://doc/"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+    return decode_media(media).select(
+        "media_ref", "doc_id", "n_bytes", "width", "height", "duration_ms"
+    )
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_frontier_schedule_round(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "frontier_schedule_round": q_frontier_schedule_round,
+        "seen_antijoin": q_seen_antijoin,
+        "host_budget_window": q_host_budget_window,
+        "tombstone_except": q_tombstone_except,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "type_counts": q_type_counts,
+        "error_counts": q_error_counts,
+        "global_summary": q_global_summary,
+        "top_k_recent": q_top_k_recent,
+        "error_categorize": q_error_categorize,
+        "json_extract": q_json_extract,
+        "sessionize": q_sessionize,
+        "tpch_q1": q_tpch_q1,
+        "rollup_summary": q_rollup_summary,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "lsh_buckets": q_lsh_buckets,
+        "ann_topk": q_ann_topk,
+        "text_profile": q_text_profile,
+        "crawl_round": q_crawl_round,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "frontier_schedule_round": _Q_FRONTIER_SCHEDULE_SQL,
+        "seen_antijoin": _Q_SEEN_ANTIJOIN_SQL,
+        "host_budget_window": _Q_HOST_BUDGET_SQL,
+        "tombstone_except": _Q_TOMBSTONE_SQL,
+        "broadcast_dim_join": _Q_BROADCAST_DIM_SQL,
+        "type_counts": _Q_TYPE_COUNTS_SQL,
+        "error_counts": _Q_ERROR_COUNTS_SQL,
+        "global_summary": _Q_GLOBAL_SUMMARY_SQL,
+        "top_k_recent": _Q_TOP_K_SQL,
+        "error_categorize": _Q_ERROR_CATEGORIZE_SQL,
+        "json_extract": _Q_JSON_EXTRACT_SQL,
+        "sessionize": _Q_SESSIONIZE_SQL,
+        "tpch_q1": _Q_TPCH_Q1_SQL,
+        "rollup_summary": _Q_ROLLUP_SQL,
+        "dedup_exact": _Q_DEDUP_EXACT_SQL,
+        "minhash_signatures": _Q_MINHASH_SQL,
+        "minhash_lsh_pairs": _Q_LSH_PAIRS_SQL,
+        "simhash": _Q_SIMHASH_SQL,
+        "jaccard_pairs": _Q_JACCARD_SQL,
+        "lsh_buckets": _Q_LSH_BUCKETS_SQL,
+        "ann_topk": _Q_ANN_TOPK_SQL,
+        "text_profile": _Q_TEXT_PROFILE_SQL,
+        # crawl_round / multimodal_features: rows-only by design
+    }

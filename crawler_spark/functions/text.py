@@ -1,0 +1,113 @@
+"""Text-analysis kernels for training-data pipelines (all JVM-side).
+
+Everything here is built-in pyspark.sql.functions only — no UDFs — so
+the expressions stay inside whole-stage codegen and push down cleanly.
+Each has a matching ANSI-SQL twin in __spark_entry__.oracle_sql().
+
+Ops: token counting (whitespace + BPE-ish regex), quality scoring
+(length/punct/stopword ratios), language-ID (stopword-hit heuristic),
+document fingerprinting (normalized-text hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# shared regexes (valid in both Java regex and RE2, for DuckDB parity)
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+WS_RE = r"\s+"
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+# tiny per-language stopword signal for the lang-id heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "nicht"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "de", "que"),
+}
+
+
+def ws_token_count(c: Column) -> Column:
+    """Whitespace token count; 0 for blank text."""
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, WS_RE))
+    ).cast("long")
+
+
+def bpe_token_count(c: Column) -> Column:
+    """BPE-ish token count: alnum runs + individual punctuation marks."""
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
+def punct_ratio(c: Column) -> Column:
+    return F.round(
+        F.regexp_count(c, F.lit(PUNCT_RE)).cast("double")
+        / F.greatest(F.length(c), F.lit(1)).cast("double"),
+        6,
+    )
+
+
+def stopword_ratio(c: Column) -> Column:
+    pat = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+    return F.round(
+        F.regexp_count(F.lower(c), F.lit(pat)).cast("double")
+        / F.greatest(ws_token_count(c), F.lit(1)).cast("double"),
+        6,
+    )
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not punct-heavy,
+    reasonable stopword density (the usual crawl-corpus filters)."""
+    len_ok = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
+    return F.round(
+        0.5 * len_ok + 0.3 * (1.0 - punct_ratio(c)) + 0.2 * F.least(
+            stopword_ratio(c) * 5.0, F.lit(1.0)
+        ),
+        6,
+    )
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    low = F.lower(c)
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.regexp_count(low, F.lit(pat)).cast("long")
+    return out
+
+
+def predict_lang(c: Column) -> Column:
+    """argmax over marker-hit counts, 'und' (undetermined) when all 0.
+
+    Ties break by language code order (deterministic; mirrored in SQL).
+    """
+    scores = lang_scores(c)
+    best = None
+    for lang in sorted(scores):
+        s = F.struct(scores[lang].alias("n"), F.lit(lang).alias("l"))
+        best = s if best is None else F.when(scores[lang] > best["n"], s).otherwise(best)
+    return F.when(best["n"] == 0, F.lit("und")).otherwise(best["l"])
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: md5 of lowercased, whitespace-collapsed text."""
+    return F.md5(F.regexp_replace(F.lower(c), WS_RE, " "))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per doc with all text-analysis columns."""
+    c = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        ws_token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        predict_lang(c).alias("pred_lang"),
+        fingerprint(c).alias("fingerprint"),
+    )

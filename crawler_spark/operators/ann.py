@@ -1,0 +1,128 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two tiers (SURVEY/driver "similarity search" requirement):
+
+- brute_force_topk: exact cosine top-k. The query side is tiny and
+  broadcast; the corpus never shuffles. Dot products run JVM-side via
+  zip_with + aggregate in double precision (no UDF, no Python).
+- lsh_bucketed_topk: the scale path — coordinate-sign LSH buckets
+  (sign bits of the first `nbits` dimensions). Neighbors are only
+  searched inside the query's bucket, so the join is |bucket|-sized.
+  Recall is traded for a ~2^nbits fan-in reduction; exact re-ranking
+  happens within the bucket.
+
+At 10^10-vector scale the same shape holds: bucket by LSH key
+(partition pruning on the bucket column), broadcast the query batch,
+re-rank per bucket. For higher recall, multi-probe = union over
+neighboring bucket keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query id (queries drawn from the
+    corpus itself; self-matches excluded).
+
+    Output: (query_id, rank, neighbor_id, score) — score rounded to 4
+    decimals AFTER ranking so near-tie ordering stays float-exact.
+    """
+    q = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    d = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("dv"))
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_col(F.col("qv"), F.col("dv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cos", 4).alias("score"),
+        )
+    )
+
+
+def sign_lsh_bucket(vec_col, nbits: int = 8):
+    """Coordinate-sign LSH key: '1'/'0' per sign of dims 0..nbits-1."""
+    bits = [
+        F.when(F.element_at(vec_col, i + 1) >= 0, "1").otherwise("0")
+        for i in range(nbits)
+    ]
+    return F.concat(*bits)
+
+
+def lsh_buckets(
+    embeddings: DataFrame, nbits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), sign_lsh_bucket(F.col(vec_col), nbits).alias("bucket")
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nbits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: exact re-rank restricted to the query's LSH bucket."""
+    withb = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    q = withb.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    scored = (
+        withb.join(F.broadcast(q), "bucket")
+        .filter(F.col("vid") != F.col("query_id"))
+        .withColumn("cos", cosine_col(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vid").alias("neighbor_id"), F.round("cos", 4).alias("score"))
+    )

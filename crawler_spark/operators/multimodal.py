@@ -1,0 +1,123 @@
+"""Multimodal columns: binary media handling for training pipelines.
+
+Media (image/audio/video) are opaque `binary` columns with typed
+metadata, exactly as they would land from a crawl (the engine's span
+arrays carry `media_ref`s; a fetch-media stage resolves them to bytes).
+
+The Spark-side plumbing — schema, partitioning, Arrow batch shape,
+mapInPandas signatures — is real and tested; the actual decode step is
+STUBBED (this container has no image/audio libraries): by default a
+deterministic fake "decoder" derives features from the bytes' digest,
+and `decode_stub(strict=True)` raises NotImplementedError to mark where
+a real decoder (PIL/torchaudio/ffmpeg) plugs in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURES = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Engine documents (span arrays) -> media rows with fake payloads.
+
+    Real pipeline: a fetch-media stage GETs media_ref; here payload =
+    utf8 bytes of the ref (deterministic stand-in with realistic
+    plumbing: binary column, one row per media span).
+    """
+    return (
+        docs.select(
+            "doc_id", F.explode("spans").alias("s")
+        )
+        .filter(F.col("s.kind") == "media")
+        .select(
+            F.col("s.media_ref").alias("media_ref"),
+            "doc_id",
+            F.lit("image").alias("kind"),
+            F.encode(F.col("s.media_ref"), "utf-8").alias("payload"),
+            F.create_map(F.lit("source"), F.lit("span")).alias("meta"),
+        )
+    )
+
+
+def _fake_decode(payload: bytes, dim: int) -> tuple[int, int, int, list[float]]:
+    """Deterministic stand-in for a real decoder: digest-derived dims
+    and a unit-norm-ish feature vector."""
+    d = hashlib.blake2b(payload or b"", digest_size=32).digest()
+    width = 64 + d[0]
+    height = 64 + d[1]
+    duration = 1000 + d[2] * 16
+    feat = [((d[i % 32] / 255.0) - 0.5) for i in range(dim)]
+    return width, height, duration, feat
+
+
+def decode_media(media: DataFrame, dim: int = 16, strict: bool = False) -> DataFrame:
+    """mapInPandas decode/feature-extract over Arrow batches.
+
+    strict=True raises NotImplementedError where a real decoder would
+    run — the marked integration point for PIL/ffmpeg on a cluster.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real media decode requires PIL/torchaudio/ffmpeg; "
+                    "not available in this environment"
+                )
+            rows = []
+            for ref, doc, kind, payload in zip(
+                pdf["media_ref"], pdf["doc_id"], pdf["kind"], pdf["payload"]
+            ):
+                w, h, dur, feat = _fake_decode(bytes(payload or b""), dim)
+                rows.append(
+                    (ref, doc, kind, len(payload or b""), w, h, dur, feat)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in FEATURES.fields],
+            )
+
+    return media.mapInPandas(run, FEATURES)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Video frame-sampling *plan*: one row per planned frame grab,
+    derived from (stub) duration metadata — demonstrates the explode
+    shape a real sampler would feed to the decoder."""
+    decoded = decode_media(media)
+    return decoded.select(
+        "media_ref",
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+        ).alias("frame_at_ms"),
+    )

@@ -1,0 +1,169 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all expressed as shuffle-conscious DataFrame jobs (no
+UDFs — every hash is Spark's md5/xxhash64 so the DuckDB oracles can
+reproduce them bit-for-bit):
+
+- exact        hash-groupBy on the raw text (one shuffle on the hash)
+- minhash+LSH  shingle -> K minhashes -> band keys -> bucket self-join;
+               only same-band docs ever meet, so the candidate join is
+               |bucket|² not |corpus|²
+- simhash      16-bit sign-sum signature; equal signatures ≈ near-dups
+- jaccard      token inverted-index join (posting-list intersection),
+               with a document-frequency cap that drops stop-tokens
+               before the pair join — the classic guard against the
+               hot-token pair explosion at scale
+
+Minhash trick for engine/oracle parity: a minhash is min over tokens of
+md5(seed:token) — and because fixed-width lowercase hex compares
+lexicographically exactly like the number it encodes, `min` over the
+hex *string* needs no integer conversion in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+BAND_SIZE = 2  # 4 bands of 2 -> candidates need 1 identical band
+HEX_W = 15  # md5 prefix width used for minhash values
+
+
+def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, tok) distinct token pairs; blank-safe."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5(text) groups, keep the smallest doc_id."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = N_MINHASH) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) minhash signature over whitespace tokens."""
+    t = tokens(docs, text_col)
+    aggs = [
+        F.min(F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("tok"))), 1, HEX_W)).alias(
+            f"mh{i}"
+        )
+        for i in range(k)
+    ]
+    return t.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", k: int = N_MINHASH, band: int = BAND_SIZE
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band.
+
+    The self-join is on (band_idx, band_key) — co-partitioned by band
+    key, so only docs hashing into the same bucket shuffle together.
+    """
+    sig = minhash_signatures(docs, text_col, k)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "|", *[F.col(f"mh{b * band + j}") for j in range(band)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(k // band)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_key")
+    a, c = bands.alias("a"), bands.alias("c")
+    return (
+        a.join(c, ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("c.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — bit j is the sign of sum over distinct tokens
+    of ±1 according to bit j of md5(token). Hex digit >= '8' <=> high
+    bit set (single lowercase hex chars compare like their value)."""
+    t = tokens(docs, text_col).withColumn("h", F.md5(F.col("tok")))
+    sums = t.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(F.col("h"), j + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    bits_cols = [F.when(F.col(f"s{j}") >= 0, "1").otherwise("0") for j in range(bits)]
+    return sums.select("doc_id", F.concat(*bits_cols).alias("simhash"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int = 500,
+) -> DataFrame:
+    """Exact token-Jaccard near-dup pairs via inverted-index join.
+
+    (doc,tok) postings self-join on tok gives per-pair intersection
+    sizes in one shuffle; tokens with document frequency > max_df are
+    dropped first (stop-token guard — they contribute little to Jaccard
+    but quadratic join volume).
+    """
+    t = tokens(docs, text_col)
+    df_cap = t.groupBy("tok").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+    t = t.join(df_cap.select("tok"), "tok")
+    sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = t.alias("a"), t.alias("b")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def char_ngrams(docs: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
+    """(doc_id, gram) distinct character n-gram shingles (JVM-side:
+    sequence + transform + substring, no UDF)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),
+            lambda i: norm.substr(i, F.lit(n)),
+        )
+    )
+    return docs.select("doc_id", F.explode(grams).alias("gram")).filter(
+        F.length("gram") == n
+    )

@@ -1,0 +1,63 @@
+"""Mirror of the driver's correctness gate: run every __spark_entry__
+query AND its DuckDB oracle at sf0.01, compare row-multisets exactly
+(columns sorted by name, rows sorted by all columns) — same shape as
+CORRECTNESS_r{N}.json."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    return pdf
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLE_KEYS))
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    got = q(spark, SF_DIR).toPandas()
+    want = ddb.sql(entrymod.oracle_sql()[name]).df()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"column mismatch: {sorted(got.columns)} vs {sorted(want.columns)}"
+    )
+    g, w = normalize(got), normalize(want)
+    assert len(g) == len(w), f"row count {len(g)} vs {len(w)}"
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
