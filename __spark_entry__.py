@@ -365,6 +365,21 @@ _TOKENS_SQL = """
     )
 """
 
+# 3-word shingles (minhash/LSH/jaccard unit; mirrors textdedup.shingles)
+_SHINGLES_SQL = """
+    words AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+        WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3
+    ),
+    tokens AS (
+        SELECT doc_id,
+               unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     for i in generate_series(1, len(w) - 2)])) AS tok
+        FROM words
+    )
+"""
+
 
 def q_dedup_exact(spark, sf_dir):
     from crawler_spark.operators.textdedup import dedup_exact
@@ -388,7 +403,7 @@ _MH_COLS = ",\n".join(
     f"           min(substr(md5('{i}' || ':' || tok), 1, 15)) AS mh{i}" for i in range(8)
 )
 _Q_MINHASH_SQL = f"""
-    WITH {_TOKENS_SQL}
+    WITH {_SHINGLES_SQL}
     SELECT doc_id,
 {_MH_COLS}
     FROM tokens GROUP BY doc_id
@@ -402,7 +417,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 _Q_LSH_PAIRS_SQL = f"""
-    WITH {_TOKENS_SQL},
+    WITH {_SHINGLES_SQL},
     sig AS (
         SELECT doc_id,
 {_MH_COLS}
@@ -442,13 +457,20 @@ def q_jaccard_pairs(spark, sf_dir):
     from crawler_spark.operators.textdedup import jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return jaccard_pairs(docs, threshold=0.7, max_df=10**9)
+    return jaccard_pairs(docs, threshold=0.01, max_df=10**9)
 
 
 _Q_JACCARD_SQL = """
-    WITH tokens AS (
-        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
-        FROM documents WHERE length(trim(text)) > 0 AND doc_id < 300
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+        WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3 AND doc_id < 300
+    ),
+    tokens AS (
+        SELECT doc_id,
+               unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     for i in generate_series(1, len(w) - 2)])) AS tok
+        FROM words
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM tokens GROUP BY doc_id),
     inter AS (
@@ -461,7 +483,7 @@ _Q_JACCARD_SQL = """
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.7
+    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.01
 """
 
 

@@ -44,6 +44,7 @@ from crawler_spark.operators.scheduler import (
 ENGINE_SCHEMAS = {
     "frontier": S.FRONTIER,
     "seen": S.SEEN,
+    "seen_bloom": D.BLOOM_SCHEMA,
     "documents": S.DOCUMENTS,
     "records": S.RECORDS,
     "entity_seen": S.ENTITY_SEEN,
@@ -137,13 +138,21 @@ class CrawlEngine:
 
         cand = gate_candidates(frontier, world["control"], host_state, world["robots"], rnd)
         if self.use_bloom:
-            blooms = D.build_bloom(seen, self.bloom_buckets, self.bloom_expected)
+            # persistent per-bucket filters, incrementally maintained at
+            # commit time — the seen table itself never shuffles here
+            blooms = io.read(spark, "seen_bloom")
             deduped = D.bloom_prefilter(cand, blooms, seen, self.bloom_buckets)
         else:
             deduped = D.exact_anti_join(cand, seen)
 
         seq_base = int(io.rows_meta("seq_total", 0))
-        scheduled = schedule(deduped, rnd, seq_base, self.n_salts)
+        max_budget = getattr(self, "_max_budget", None)
+        if max_budget is None:
+            max_budget = (
+                world["robots"].agg(F.max("crawl_budget")).collect()[0][0] or 1
+            )
+            self._max_budget = max_budget
+        scheduled = schedule(deduped, rnd, seq_base, self.n_salts, max_budget=max_budget)
 
         # newly-deleted sites this round -> cascade (J5/C4, crawler.py:557-589)
         control_rows = getattr(self, "_control_rows", None)
@@ -310,6 +319,24 @@ class CrawlEngine:
             "lineage": lineage,
         }
         overwrites = {"frontier": frontier2, "host_state": host_state2}
+        if self.use_bloom:
+            # OR the new seen keys into the bucket filters (no rebuild);
+            # on a deletion round the filters are rebuilt from the exact
+            # set instead (delete support = rebuild-from-truth)
+            if newly_deleted:
+                seen_after = self._cascade_delete(newly_deleted, frontier2)["seen"].unionByName(
+                    new_seen.filter(~F.col("site").isin(newly_deleted))
+                )
+                overwrites["seen_bloom"] = D.build_bloom(
+                    seen_after, self.bloom_buckets, self.bloom_expected
+                )
+            else:
+                overwrites["seen_bloom"] = D.update_blooms(
+                    io.read(spark, "seen_bloom"),
+                    new_seen,
+                    self.bloom_buckets,
+                    self.bloom_expected,
+                )
         if newly_deleted:
             # cascade: for each site-keyed table, fold this round's append
             # into the filtered overwrite (an overwrite replaces the whole

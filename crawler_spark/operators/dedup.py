@@ -111,19 +111,23 @@ def build_bloom(
     )
 
 
-def bloom_prefilter(
-    candidates: DataFrame, blooms: DataFrame, seen: DataFrame, n_buckets: int
-) -> DataFrame:
-    """Two-phase dedup: bloom prune (cogrouped per bucket), exact confirm
-    on the maybe-seen slice only."""
-    cand_b = candidates.withColumn("bucket", bucket_col("h64", n_buckets))
-    out_schema = T.StructType(list(cand_b.schema.fields) + [T.StructField("maybe", T.BooleanType())])
+PROBE_SCHEMA = T.StructType(
+    [T.StructField("h64", T.LongType()), T.StructField("maybe", T.BooleanType())]
+)
+
+
+def bloom_probe(keys: DataFrame, blooms: DataFrame, n_buckets: int) -> DataFrame:
+    """(h64) keys -> (h64, maybe). Cogrouped per bucket so each bit
+    array meets only its own key slice; the Arrow payload is 16 B/row
+    (h64 + bucket), never the full candidate row."""
 
     def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
-            return left.assign(maybe=pd.Series(dtype=bool))
+            return pd.DataFrame({"h64": [], "maybe": []}).astype(
+                {"h64": "int64", "maybe": "bool"}
+            )
         if right.empty:
-            return left.assign(maybe=False)
+            return pd.DataFrame({"h64": left["h64"], "maybe": False})
         n_bits = int(right["n_bits"].iloc[0])
         n_hashes = int(right["n_hashes"].iloc[0])
         bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
@@ -134,20 +138,148 @@ def bloom_prefilter(
             pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
             byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
             maybe &= (byte & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))) != 0
-        return left.assign(maybe=maybe)
+        return pd.DataFrame({"h64": left["h64"], "maybe": maybe})
 
-    probed = (
-        cand_b.groupby("bucket")
+    keyed = keys.select("h64").withColumn("bucket", bucket_col("h64", n_buckets))
+    return (
+        keyed.groupby("bucket")
         .cogroup(blooms.groupby("bucket"))
-        .applyInPandas(probe, out_schema)
+        .applyInPandas(probe, PROBE_SCHEMA)
     )
-    fresh = probed.filter(~F.col("maybe")).drop("maybe", "bucket")
-    confirmed = (
-        probed.filter(F.col("maybe"))
-        .drop("maybe", "bucket")
-        .join(seen.select("url_hash"), "url_hash", "left_anti")
-    )
+
+
+def broadcast_probe_col(spark, blooms: DataFrame, n_buckets: int):
+    """Collect the bucket filters once, broadcast them, and return a
+    pandas_udf column maybe(h64) that probes INLINE — no shuffle, no
+    join-back. Right whenever the filters fit in executor memory
+    (~1 GB ≈ 10^9 seen keys at 3% fpp); beyond that use the cogrouped
+    `bloom_probe`, which keeps each filter on its bucket partition."""
+    rows = blooms.collect()
+    table = {
+        int(r["bucket"]): (int(r["n_bits"]), int(r["n_hashes"]), np.frombuffer(r["bits"], dtype=np.uint8))
+        for r in rows
+    }
+    bc = spark.sparkContext.broadcast(table)
+
+    @F.pandas_udf(T.BooleanType())
+    def maybe_seen(h64: pd.Series) -> pd.Series:
+        tbl = bc.value
+        u = _u64(h64)
+        bucket = (u % np.uint64(n_buckets)).astype(np.int64)
+        out = np.zeros(len(h64), dtype=bool)
+        for b in np.unique(bucket):
+            ent = tbl.get(int(b))
+            if ent is None:
+                continue
+            n_bits, n_hashes, bits = ent
+            mask = bucket == b
+            h1, h2 = _hashes(u[mask])
+            m = np.ones(mask.sum(), dtype=bool)
+            for i in range(n_hashes):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+                byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+                m &= (byte & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))) != 0
+            out[mask] = m
+        return pd.Series(out)
+
+    return maybe_seen
+
+
+def bloom_prefilter(
+    candidates: DataFrame,
+    blooms: DataFrame,
+    seen: DataFrame,
+    n_buckets: int,
+    broadcast_confirm: bool = True,
+    probe_mode: str = "broadcast",
+) -> DataFrame:
+    """Two-phase dedup: bloom prune, exact confirm on the maybe-seen
+    slice only. FP-safe: a false positive only costs an extra probe of
+    the exact set, never a dropped URL.
+
+    broadcast_confirm is the scale trick: in a crawl, most candidates
+    are FRESH, so the maybe-set (true dups + ~fpp false positives) is
+    small enough to broadcast. The confirm then runs as
+        seen ⋉ broadcast(maybe_keys)   (stream seen, no shuffle)
+        maybe ▷ broadcast(seen_hits)   (broadcast anti-join)
+    — the 10^10-row seen table is scanned but NEVER shuffled. With
+    broadcast_confirm=False it falls back to a shuffled anti-join
+    (right when the maybe-set is genuinely huge).
+
+    probe_mode 'broadcast' evaluates the filter inline (zero probe
+    shuffle); 'cogroup' co-partitions filters and keys (for filter sets
+    too big to broadcast)."""
+    if probe_mode == "broadcast":
+        maybe_col = broadcast_probe_col(candidates.sparkSession, blooms, n_buckets)
+        cand2 = candidates.withColumn("maybe", maybe_col(F.col("h64")))
+    else:
+        probed = bloom_probe(candidates, blooms, n_buckets)
+        cand2 = candidates.join(probed, "h64")
+    fresh = cand2.filter(~F.col("maybe")).drop("maybe")
+    maybe = cand2.filter(F.col("maybe")).drop("maybe")
+    if broadcast_confirm:
+        seen_hits = seen.join(
+            F.broadcast(maybe.select("url_hash").distinct()), "url_hash", "left_semi"
+        ).select("url_hash")
+        confirmed = maybe.join(F.broadcast(seen_hits), "url_hash", "left_anti")
+    else:
+        confirmed = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
     return fresh.unionByName(confirmed)
+
+
+def update_blooms(
+    blooms: DataFrame,
+    new_keys: DataFrame,
+    n_buckets: int,
+    expected_per_bucket: int = 100_000,
+    fpp: float = 0.03,
+) -> DataFrame:
+    """Incremental maintenance: OR the new keys' bits into the existing
+    per-bucket filters (bloom insertion is a bitwise union — no rebuild).
+    Buckets with no new keys pass through untouched; brand-new buckets
+    get default sizing. This is what makes the filter table cheap to
+    keep per round: only touched buckets rewrite."""
+    d_bits, d_hashes = sizing(expected_per_bucket, fpp)
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left: existing filter rows (0 or 1); right: new (bucket, h64) keys
+        if right.empty:
+            return left[[f.name for f in BLOOM_SCHEMA.fields]]
+        if left.empty:
+            n_bits, n_hashes, n_old = d_bits, d_hashes, 0
+            bits = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+            bucket = int(right["bucket"].iloc[0])
+        else:
+            n_bits = int(left["n_bits"].iloc[0])
+            n_hashes = int(left["n_hashes"].iloc[0])
+            n_old = int(left["n_keys"].iloc[0])
+            bits = np.frombuffer(left["bits"].iloc[0], dtype=np.uint8).copy()
+            bucket = int(left["bucket"].iloc[0])
+        u = _u64(right["h64"])
+        h1, h2 = _hashes(u)
+        for i in range(n_hashes):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).astype(np.int64),
+                (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+            )
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "n_bits": [n_bits],
+                "n_hashes": [n_hashes],
+                "n_keys": [n_old + len(right)],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    keys_b = new_keys.select("h64").withColumn("bucket", bucket_col("h64", n_buckets))
+    return (
+        blooms.groupby("bucket")
+        .cogroup(keys_b.groupby("bucket"))
+        .applyInPandas(merge, BLOOM_SCHEMA)
+    )
 
 
 def saturated_buckets(blooms: DataFrame, max_fill: float = 0.5) -> DataFrame:

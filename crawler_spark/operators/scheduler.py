@@ -104,16 +104,31 @@ def gate_candidates(
     return cand
 
 
-def schedule(deduped: DataFrame, round_no: int, seq_base: int, n_salts: int = 8) -> DataFrame:
+def schedule(
+    deduped: DataFrame,
+    round_no: int,
+    seq_base: int,
+    n_salts: int = 8,
+    max_budget: int = 64,
+) -> DataFrame:
     """Budget window + canonical order + skew salt.
 
     Output: deduped candidates limited to crawl_budget per host, with
     `seq` = seq_base + position in canonical (rank_in_host, site, url)
     order, and `salt` for the fetch-assignment repartition.
+
+    max_budget is a LITERAL upper bound on every host's crawl_budget
+    (callers pass max(robots.crawl_budget)). It matters enormously:
+    `rank <= literal` triggers Spark's WindowGroupLimit pushdown — each
+    input partition keeps only its per-host top-k BEFORE the window
+    exchange, so a skewed host (30% of the frontier) contributes k rows
+    per partition instead of forcing one task to sort its whole slice.
+    The exact per-host (column) budget filter runs after.
     """
     w_host = Window.partitionBy("host").orderBy("url")
     limited = (
         deduped.withColumn("rank_in_host", F.row_number().over(w_host))
+        .filter(F.col("rank_in_host") <= F.lit(max_budget))  # WindowGroupLimit
         .filter(F.col("rank_in_host") <= F.col("crawl_budget"))
     )
     w_all = Window.orderBy("rank_in_host", "site", "url")

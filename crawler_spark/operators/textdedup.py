@@ -43,6 +43,27 @@ def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, tok) distinct n-word shingles — the standard minhash
+    unit: far more distinctive than single words, so LSH buckets stay
+    small even over a narrow vocabulary. Built JVM-side with
+    sequence+transform+element_at (no UDF). Docs shorter than n words
+    are dropped (mirrored in the SQL oracle)."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        )
+    )
+    return (
+        docs.filter(F.size(w) >= n)
+        .select("doc_id", F.explode(sh).alias("tok"))
+    )
+
+
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: md5(text) groups, keep the smallest doc_id."""
     return (
@@ -52,8 +73,8 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = N_MINHASH) -> DataFrame:
-    """(doc_id, mh0..mh{k-1}) minhash signature over whitespace tokens."""
-    t = tokens(docs, text_col)
+    """(doc_id, mh0..mh{k-1}) minhash signature over 3-word shingles."""
+    t = shingles(docs, text_col)
     aggs = [
         F.min(F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("tok"))), 1, HEX_W)).alias(
             f"mh{i}"
@@ -120,14 +141,14 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_df: int = 500,
 ) -> DataFrame:
-    """Exact token-Jaccard near-dup pairs via inverted-index join.
+    """Exact shingle-Jaccard near-dup pairs via inverted-index join.
 
-    (doc,tok) postings self-join on tok gives per-pair intersection
-    sizes in one shuffle; tokens with document frequency > max_df are
-    dropped first (stop-token guard — they contribute little to Jaccard
-    but quadratic join volume).
+    (doc,shingle) postings self-join gives per-pair intersection sizes
+    in one shuffle; shingles with document frequency > max_df are
+    dropped first (stop-shingle guard — they contribute little to
+    Jaccard but quadratic join volume).
     """
-    t = tokens(docs, text_col)
+    t = shingles(docs, text_col)
     df_cap = t.groupBy("tok").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
     t = t.join(df_cap.select("tok"), "tok")
     sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
