@@ -524,6 +524,29 @@ _Q_ANN_TOPK_SQL = """
 """
 
 
+def q_stub_embedding(spark, sf_dir):
+    """Deterministic hash-stub embedding components (downstream M7
+    model stand-in), exploded to rows for engine-exact comparison."""
+    from crawler_spark.operators.downstream import hash_embedding
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(hash_embedding(F.col("text"), 4))
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("dim_i"),
+        F.round(F.col("col").cast("double"), 6).alias("val"),
+    )
+
+
+_Q_STUB_EMBEDDING_SQL = """
+    SELECT doc_id, i AS dim_i,
+           round(round((('0x' || substr(md5(text || ':' || i), 1, 8))::BIGINT % 100000)
+                 / 100000.0 - 0.5, 6)::FLOAT::DOUBLE, 6) AS val
+    FROM documents, (SELECT unnest(generate_series(0, 3)) AS i)
+"""
+
+
 def q_text_profile(spark, sf_dir):
     from crawler_spark.functions.text import text_profile
 
@@ -640,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": q_lsh_buckets,
         "ann_topk": q_ann_topk,
         "text_profile": q_text_profile,
+        "stub_embedding": q_stub_embedding,
         "crawl_round": q_crawl_round,
         "multimodal_features": q_multimodal_features,
     }
@@ -669,5 +693,6 @@ def oracle_sql() -> dict[str, str]:
         "lsh_buckets": _Q_LSH_BUCKETS_SQL,
         "ann_topk": _Q_ANN_TOPK_SQL,
         "text_profile": _Q_TEXT_PROFILE_SQL,
+        "stub_embedding": _Q_STUB_EMBEDDING_SQL,
         # crawl_round / multimodal_features: rows-only by design
     }

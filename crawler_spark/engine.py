@@ -53,9 +53,13 @@ ENGINE_SCHEMAS = {
     "metrics": S.METRICS,
     "fetch_log": S.FETCH_LOG,
     "lineage": S.LINEAGE,
+    "embeddings": S.EMBEDDINGS,
+    "uploaded": S.UPLOADED,
 }
 
-SITE_TABLES = ["seen", "documents", "records", "entity_seen"]  # cascade-delete targets
+# cascade-delete targets (crawler.py:557-589 removes docs/json/keys/
+# embeddings files per site)
+SITE_TABLES = ["seen", "documents", "records", "entity_seen", "embeddings", "uploaded"]
 
 
 class CrawlEngine:
@@ -71,6 +75,7 @@ class CrawlEngine:
         follow_links: bool = True,
         n_lineage_buckets: int = 8,
         coalesce_writes: int | None = 1,
+        embed_dim: int = 16,  # 0 disables the downstream pipeline
     ):
         self.spark = spark
         self.io = ParquetSnapshotIO(root, schemas=ENGINE_SCHEMAS)
@@ -85,6 +90,7 @@ class CrawlEngine:
         # 1 file so snapshot reads don't drown in small files. Set None
         # for large-scale runs where appends are wide.
         self.coalesce_writes = coalesce_writes
+        self.embed_dim = embed_dim
 
     def _w(self, df: DataFrame) -> DataFrame:
         return df.coalesce(self.coalesce_writes) if self.coalesce_writes else df
@@ -210,6 +216,18 @@ class CrawlEngine:
         )
         new_entity_rows = new_keys.select("site", "entity_key", F.lit(rnd).alias("round"))
 
+        # --- downstream pipeline (M7): records -> embeddings -> uploads ----
+        if self.embed_dim:
+            from crawler_spark.operators.downstream import (
+                embed_new_records,
+                select_for_upload,
+            )
+
+            new_emb = embed_new_records(
+                records, io.read(spark, "embeddings"), rnd, self.embed_dim
+            )
+            new_upl = select_for_upload(new_emb, io.read(spark, "uploaded"), rnd)
+
         # --- link discovery (engine extension; scoped to known hosts) ------
         if self.follow_links:
             hosts = world["robots"].select("host").distinct()
@@ -318,6 +336,9 @@ class CrawlEngine:
             "fetch_log": fetch_log,
             "lineage": lineage,
         }
+        if self.embed_dim:
+            appends["embeddings"] = new_emb
+            appends["uploaded"] = new_upl
         overwrites = {"frontier": frontier2, "host_state": host_state2}
         if self.use_bloom:
             # OR the new seen keys into the bucket filters (no rebuild);
@@ -343,9 +364,12 @@ class CrawlEngine:
             # path list, so the append must ride along or it would be lost)
             cascade = self._cascade_delete(newly_deleted, frontier2)
             for name in SITE_TABLES:
-                overwrites[name] = cascade[name].unionByName(
-                    appends.pop(name).filter(~F.col("site").isin(newly_deleted))
-                )
+                overwrites[name] = cascade[name]
+                this_round = appends.pop(name, None)
+                if this_round is not None:
+                    overwrites[name] = cascade[name].unionByName(
+                        this_round.filter(~F.col("site").isin(newly_deleted))
+                    )
             overwrites["frontier"] = cascade["frontier"]
         appends = {k: self._w(v) for k, v in appends.items()}
         overwrites = {k: self._w(v) for k, v in overwrites.items()}

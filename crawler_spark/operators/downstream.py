@@ -1,0 +1,122 @@
+"""Downstream pipeline: records -> embed text -> vectors -> upload set.
+
+The reference chains three polling monitors over JSON files
+(crawler.py:365-512) feeding per-text embedding RPCs
+(crawler.py:1072-1118) and a vector-DB upload worker
+(crawler.py:1120-1211). Here the whole chain is three DataFrame steps
+executed inside the round commit:
+
+    records ▷ embeddings          (J3 anti-join on key)
+      |> prepare_embed_text        (F12 — pure concat_ws/when builtins)
+      |> hash embedding            (deterministic stub: md5-derived
+                                    components; sandbox has no model
+                                    endpoint — the real embedder drops
+                                    in as an Arrow pandas_udf batch RPC)
+    embeddings ▷ uploaded          (J4 anti-join -> uploads)
+
+Everything is JVM-side (no UDF): the stub embedding components are
+conv(md5(...)) arithmetic, so the DuckDB oracle can reproduce them
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prepare_embed_text(records: DataFrame) -> DataFrame:
+    """F12 (crawler.py:1027-1070): labeled parts joined by newlines.
+
+    Type: t1, t2 / Name: (name, else payload headline) / Description:
+    payload description / Ingredients: first 10 / Content: first 500
+    chars of articleBody. Missing parts are skipped (concat_ws drops
+    nulls).
+    """
+    p = F.col("payload_json")
+    name = F.coalesce(F.col("name"), F.get_json_object(p, "$.headline"))
+    desc = F.get_json_object(p, "$.description")
+    ingredients = F.expr(
+        "array_join(slice(from_json(get_json_object(payload_json,"
+        " '$.recipeIngredient'), 'array<string>'), 1, 10), ', ')"
+    )
+    body = F.substring(F.get_json_object(p, "$.articleBody"), 1, 500)
+    text = F.concat_ws(
+        "\n",
+        F.when(F.col("types").isNotNull(), F.concat(F.lit("Type: "), F.array_join("types", ", "))),
+        F.when(name.isNotNull(), F.concat(F.lit("Name: "), name)),
+        F.when(desc.isNotNull(), F.concat(F.lit("Description: "), desc)),
+        F.when(ingredients.isNotNull() & (ingredients != ""), F.concat(F.lit("Ingredients: "), ingredients)),
+        F.when(body.isNotNull(), F.concat(F.lit("Content: "), body)),
+    )
+    return records.withColumn("embed_text", text)
+
+
+def hash_embedding(text_col, dim: int = 16):
+    """Deterministic stub embedding: component i =
+    (md5(text:i)[0:8] as int) % 100000 / 100000 - 0.5. One integer mod
+    and one division — bit-stable across engines. The real-model path
+    replaces this with an Arrow pandas_udf doing batched RPC calls."""
+    comps = []
+    for i in range(dim):
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws(":", text_col, F.lit(str(i)))), 1, 8), 16, 10
+        ).cast("long")
+        comps.append(
+            F.round((F.pmod(h, F.lit(100000)) / F.lit(100000.0)) - 0.5, 6).cast("float")
+        )
+    return F.array(*comps)
+
+
+def embed_new_records(
+    records: DataFrame, embeddings: DataFrame, round_no: int, dim: int = 16
+) -> DataFrame:
+    """J3 + F12 + stub model -> new embeddings rows (EMBEDDINGS schema).
+
+    key = entity_key if present else page url (reference keys embedding
+    entries by the record's url field, crawler.py:396-399)."""
+    cand = (
+        records.withColumn("key", F.coalesce("entity_key", "url"))
+        .dropDuplicates(["site", "key"])
+        .join(embeddings.select("site", "key"), ["site", "key"], "left_anti")
+    )
+    prepared = prepare_embed_text(cand)
+    return prepared.select(
+        "key",
+        "site",
+        hash_embedding(F.col("embed_text"), dim).alias("embedding"),
+        F.lit(round_no).alias("round"),
+        F.create_map(
+            F.lit("type"), F.coalesce(F.element_at("types", 1), F.lit("")),
+            F.lit("url"), F.col("url"),
+        ).alias("metadata"),
+        F.col("payload_json").alias("schema_json"),
+    )
+
+
+def select_for_upload(embeddings: DataFrame, uploaded: DataFrame, round_no: int) -> DataFrame:
+    """J4: embeddings not yet uploaded -> uploads this round (K8/K6).
+
+    The real sink is a foreachBatch vector-DB writer; in-sandbox the
+    uploads land in the `uploaded` snapshot table (UPLOADED schema)."""
+    return (
+        embeddings.join(uploaded.select("site", "key"), ["site", "key"], "left_anti")
+        .select("key", "site")
+        .withColumn("round", F.lit(round_no))
+    )
+
+
+def transform_for_upload(embeddings: DataFrame) -> DataFrame:
+    """P9 (crawler.py:1141-1163): the upload document projection —
+    url<-key, vector, site, metadata with site injected, schema_json
+    with metadata fallback."""
+    return embeddings.select(
+        F.col("key").alias("url"),
+        F.col("embedding").alias("vector"),
+        "site",
+        F.map_concat(
+            F.coalesce("metadata", F.create_map().cast("map<string,string>")),
+            F.create_map(F.lit("site"), F.col("site")),
+        ).alias("metadata"),
+        F.coalesce("schema_json", F.to_json("metadata")).alias("schema_json"),
+    )

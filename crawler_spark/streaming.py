@@ -1,0 +1,102 @@
+"""Structured Streaming variant of the reference's monitor loops.
+
+The reference polls directories on an interval and reloads files whose
+mtime changed (url monitor crawler.py:279-348, json monitor :365-417,
+embeddings monitor :460-512). Structured Streaming's file source IS
+that pattern done right: the offset log replaces the mtime watermark,
+exactly-once per file, resumable from checkpoint.
+
+`stream_frontier_ingest` is the url-monitor equivalent: watch a
+directory of URL-list text files (the reference's data/urls/*.txt bus,
+app.py:112-135), canonicalize/hash each line, drop duplicates against
+streaming state AND against the already-committed frontier, and append
+new pending rows per micro-batch via foreachBatch (the MERGE INTO
+pattern). Trigger availableNow in tests ≙ the 5s poll tick in
+production (Trigger.ProcessingTime('5 seconds')).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark import schemas as S
+from crawler_spark.functions.urls import with_url_keys
+from crawler_spark.io.snapshot import ParquetSnapshotIO
+
+
+def parse_url_lines(raw: DataFrame, mode: str = "reference") -> DataFrame:
+    """text lines -> frontier-shaped rows (P7 blank filter + URL keys)."""
+    urls = raw.select(F.trim(F.col("value")).alias("url")).filter(F.length("url") > 0)
+    return (
+        with_url_keys(urls, mode=mode)
+        .withColumn("depth", F.lit(0))
+        .withColumn("discovered_round", F.lit(0))
+        .withColumn("state", F.lit(S.PENDING))
+    )
+
+
+def stream_frontier_ingest(
+    spark: SparkSession,
+    urls_dir: str,
+    io: ParquetSnapshotIO,
+    checkpoint_dir: str,
+    mode: str = "reference",
+    trigger_seconds: int | None = None,
+):
+    """Start the streaming url-monitor; returns the StreamingQuery.
+
+    Per micro-batch: in-batch dedup (dropDuplicates on url_hash —
+    bounded: one batch), then anti-join against the committed frontier
+    (dedup against history without unbounded stream state), then one
+    snapshot commit. Exactly-once: the file-source offset log + the
+    snapshot manifest both advance per batch; a replayed batch re-runs
+    the same anti-join and inserts nothing.
+    """
+    raw = spark.readStream.format("text").load(urls_dir)
+    parsed = parse_url_lines(raw, mode)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        new_rows = batch_df.dropDuplicates(["url_hash"])
+        frontier = io.read(batch_df.sparkSession, "frontier")
+        fresh = new_rows.join(frontier.select("url_hash"), "url_hash", "left_anti").select(
+            *[f.name for f in S.FRONTIER.fields]
+        )
+        io.commit(
+            int(io.last_round()),
+            overwrites={"frontier": frontier.unionByName(fresh).coalesce(4)},
+            meta={"stream_batch": batch_id},
+        )
+
+    writer = (
+        parsed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_fetch_metrics(
+    spark: SparkSession, fetch_log_dir: str, checkpoint_dir: str
+):
+    """Streaming per-status counts over the fetch log (the status-page
+    aggregation A2/A6 as a live view). Demonstrates the streaming
+    aggregation path; state is tiny (one row per status code)."""
+    raw = (
+        spark.readStream.schema(S.FETCH_LOG).parquet(fetch_log_dir)
+    )
+    agg = raw.groupBy("status").agg(
+        F.count("*").alias("n"), F.sum("bytes").alias("bytes")
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("fetch_metrics")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

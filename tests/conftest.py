@@ -10,6 +10,9 @@ def spark():
         app="crawler-spark-tests",
         cpus=8,
         shuffle_partitions=4,
-        extra={"spark.sql.adaptive.enabled": "false"},
+        extra={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.warehouse.dir": "/tmp/crawler-spark-test-warehouse",
+        },
     )
     yield s

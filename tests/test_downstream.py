@@ -1,0 +1,90 @@
+"""M7 downstream pipeline: text prep, stub embeddings, upload dedup."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from crawler_spark import schemas as S
+from crawler_spark.operators.downstream import (
+    embed_new_records,
+    hash_embedding,
+    prepare_embed_text,
+    select_for_upload,
+    transform_for_upload,
+)
+
+
+def records_df(spark):
+    rows = [
+        # (url, site, round, seq, shape, entity_key, types, name, payload_json)
+        ("u1", "s1", 1, 1, "single", "k1", ["Recipe"], "Cake",
+         json.dumps({"description": "sweet", "recipeIngredient": [f"i{n}" for n in range(12)]})),
+        ("u2", "s1", 1, 2, "synth", "u2", ["WebPage"], None,
+         json.dumps({"headline": "H2", "articleBody": "x" * 600})),
+        ("u3", "s2", 1, 3, "single", None, None, "NoType", json.dumps({})),
+    ]
+    return spark.createDataFrame(rows, S.RECORDS)
+
+
+def test_prepare_embed_text(spark):
+    out = {r.url: r.embed_text for r in prepare_embed_text(records_df(spark)).collect()}
+    # reference layout (crawler.py:1027-1070): labeled lines, first 10
+    # ingredients, 500-char body cap
+    assert out["u1"].startswith("Type: Recipe\nName: Cake\nDescription: sweet\nIngredients: ")
+    assert out["u1"].count("i1") >= 1 and "i10" not in out["u1"].split("Ingredients: ")[1]
+    assert out["u2"] == "Type: WebPage\nName: H2\nContent: " + "x" * 500
+    assert out["u3"] == "Name: NoType"
+
+
+def test_hash_embedding_deterministic(spark):
+    df = spark.createDataFrame([("hello",), ("hello",), ("world",)], ["t"]).select(
+        hash_embedding(F.col("t"), 4).alias("e")
+    )
+    rows = [tuple(r.e) for r in df.collect()]
+    assert rows[0] == rows[1] != rows[2]
+    assert all(-0.5 <= v <= 0.5 for v in rows[0])
+    assert len(rows[0]) == 4
+
+
+def test_embed_and_upload_dedup(spark):
+    recs = records_df(spark)
+    empty_emb = spark.createDataFrame([], S.EMBEDDINGS)
+    emb1 = embed_new_records(recs, empty_emb, 1, dim=4)
+    assert emb1.count() == 3
+    # J3: same records again -> nothing new
+    assert embed_new_records(recs, emb1, 2, dim=4).count() == 0
+    # J4: first upload takes all, second takes none
+    empty_upl = spark.createDataFrame([], S.UPLOADED)
+    upl1 = select_for_upload(emb1, empty_upl, 1)
+    assert upl1.count() == 3
+    assert select_for_upload(emb1, upl1, 2).count() == 0
+
+
+def test_transform_for_upload(spark):
+    recs = records_df(spark)
+    emb = embed_new_records(recs, spark.createDataFrame([], S.EMBEDDINGS), 1, dim=4)
+    out = {r.url: r for r in transform_for_upload(emb).collect()}
+    r = out["k1"]
+    assert r.metadata["site"] == "s1"  # P9: site injected (crawler.py:1155-1158)
+    assert r.metadata["type"] == "Recipe"
+    assert len(r.vector) == 4
+    assert json.loads(r.schema_json)["description"] == "sweet"
+
+
+def test_engine_emits_embeddings(spark, tmp_path):
+    from crawler_spark.engine import CrawlEngine
+    from crawler_spark.operators.discovery import discover_frontier
+    from crawler_spark.world import make_world
+
+    world = make_world(seed=31, n_hosts=2, n_urls=10, budget=3, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(spark, str(tmp_path), embed_dim=8)
+    eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+    eng.run(t, max_rounds=8)
+    emb = eng.io.read(spark, "embeddings")
+    upl = eng.io.read(spark, "uploaded")
+    n_emb = emb.count()
+    assert n_emb > 0
+    assert upl.count() == n_emb  # everything embedded got uploaded exactly once
+    assert emb.select("site", "key").distinct().count() == n_emb  # J3 key-dedup held
+    assert len(emb.first().embedding) == 8

@@ -1,0 +1,56 @@
+"""Structured Streaming monitor equivalents (S3/ST1-ST2)."""
+
+import os
+
+from crawler_spark import schemas as S
+from crawler_spark.engine import ENGINE_SCHEMAS
+from crawler_spark.functions.urls import md5_hex
+from crawler_spark.io.snapshot import ParquetSnapshotIO
+from crawler_spark.streaming import stream_fetch_metrics, stream_frontier_ingest
+
+
+def write_urls_file(d, name, urls):
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, name + ".tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(urls) + "\n\n")  # trailing blank line (P7)
+    os.rename(tmp, os.path.join(d, name))
+
+
+def test_stream_frontier_ingest_dedups_across_batches(spark, tmp_path):
+    urls_dir = str(tmp_path / "urls")
+    io = ParquetSnapshotIO(str(tmp_path / "snap"), schemas=ENGINE_SCHEMAS)
+    io.commit(0, overwrites={"frontier": spark.createDataFrame([], S.FRONTIER)})
+
+    write_urls_file(urls_dir, "site_a.txt", [
+        "https://a.com/p/1", "https://a.com/p/2", "https://a.com/p/1",  # in-file dup
+    ])
+    q = stream_frontier_ingest(spark, urls_dir, io, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {r.url for r in io.read(spark, "frontier").collect()}
+    assert got == {"https://a.com/p/1", "https://a.com/p/2"}
+
+    # new file arrives: one dup against history, one genuinely new
+    write_urls_file(urls_dir, "site_b.txt", ["https://a.com/p/2", "https://b.com/x"])
+    q2 = stream_frontier_ingest(spark, urls_dir, io, str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    rows = io.read(spark, "frontier").collect()
+    assert {r.url for r in rows} == {
+        "https://a.com/p/1", "https://a.com/p/2", "https://b.com/x"
+    }
+    assert len(rows) == 3  # no dup rows
+    by_url = {r.url: r for r in rows}
+    assert by_url["https://b.com/x"].url_hash == md5_hex("https://b.com/x")
+    assert all(r.state == "pending" for r in rows)
+
+
+def test_stream_fetch_metrics(spark, tmp_path):
+    log_dir = str(tmp_path / "log")
+    spark.createDataFrame(
+        [(1, "u1", 200, 10), (1, "u2", 404, 0), (2, "u3", 200, 20)], S.FETCH_LOG
+    ).write.parquet(log_dir)
+    q = stream_fetch_metrics(spark, log_dir, str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    out = {r.status: (r.n, r.bytes) for r in spark.sql("select * from fetch_metrics").collect()}
+    assert out[200] == (2, 30)
+    assert out[404] == (1, 0)
