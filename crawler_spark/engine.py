@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from crawler_spark import schemas as S
 from crawler_spark.functions.urls import with_url_keys
@@ -55,6 +56,15 @@ ENGINE_SCHEMAS = {
     "lineage": S.LINEAGE,
     "embeddings": S.EMBEDDINGS,
     "uploaded": S.UPLOADED,
+    # engine-side lifecycle flags (C3/C4 APIs), merged with the fixture
+    # control table at gate time
+    "engine_control": T.StructType(
+        [
+            T.StructField("site", T.StringType(), False),
+            T.StructField("paused", T.BooleanType(), False),
+            T.StructField("deleted", T.BooleanType(), False),
+        ]
+    ),
 }
 
 # cascade-delete targets (crawler.py:557-589 removes docs/json/keys/
@@ -142,7 +152,11 @@ class CrawlEngine:
         entity_seen = io.read(spark, "entity_seen")
         host_state = io.read(spark, "host_state")
 
-        cand = gate_candidates(frontier, world["control"], host_state, world["robots"], rnd)
+        eng_ctl = io.read(spark, "engine_control")
+        cand = gate_candidates(
+            frontier, world["control"], host_state, world["robots"], rnd,
+            extra_flags=eng_ctl,
+        )
         if self.use_bloom:
             # persistent per-bucket filters, incrementally maintained at
             # commit time — the seen table itself never shuffles here
@@ -403,6 +417,123 @@ class CrawlEngine:
             F.when(F.col("site").isin(sites), F.lit(S.DELETED)).otherwise(F.col("state")),
         )
         return out
+
+    # ---------------------------------------------------- lifecycle (C1-C5)
+    def _write_control(self, site: str, paused: bool | None = None, deleted: bool | None = None):
+        """Upsert one site's lifecycle flags (tiny table; collect+rewrite)."""
+        rows = {
+            r.site: [r.paused, r.deleted]
+            for r in self.io.read(self.spark, "engine_control").collect()
+        }
+        cur = rows.get(site, [False, False])
+        if paused is not None:
+            cur[0] = paused
+        if deleted is not None:
+            cur[1] = deleted
+        rows[site] = cur
+        df = self.spark.createDataFrame(
+            [(s, p, d) for s, (p, d) in sorted(rows.items())],
+            ENGINE_SCHEMAS["engine_control"],
+        )
+        self.io.commit(
+            self.io.last_round(), overwrites={"engine_control": self._w(df)}
+        )
+
+    def pause_site(self, site: str) -> None:
+        """C3 (app.py:497-503): scheduled-out from the next round on;
+        the site's frontier rows stay pending."""
+        self._write_control(site, paused=True)
+
+    def resume_site(self, site: str) -> None:
+        self._write_control(site, paused=False)
+
+    def delete_site(self, site: str) -> None:
+        """C4 (app.py:505-563, crawler.py:557-589): immediate cascade
+        across all site-keyed tables + a standing deleted flag."""
+        frontier = self.io.read(self.spark, "frontier")
+        cascade = self._cascade_delete([site], frontier)
+        self.io.commit(
+            self.io.last_round(), overwrites={k: self._w(v) for k, v in cascade.items()}
+        )
+        self._write_control(site, deleted=True)
+
+    def add_sites(self, frontier_urls: DataFrame) -> None:
+        """C1/C2 + U1 union-merge: page URLs (url[, site]) join the
+        frontier as pending, deduped against frontier AND seen."""
+        frontier = self.io.read(self.spark, "frontier")
+        seen = self.io.read(self.spark, "seen")
+        rnd = max(self.io.last_round(), 0)
+        new = (
+            with_url_keys(frontier_urls.select("url"), mode=self.mode)
+            .groupBy("url_hash")
+            .agg(
+                F.min("url").alias("url"),
+                F.first("h64").alias("h64"),
+                F.min("site").alias("site"),
+                F.min("host").alias("host"),
+            )
+            .select(
+                "url", "url_hash", "h64", "site", "host",
+                F.lit(0).alias("depth"),
+                F.lit(rnd).alias("discovered_round"),
+                F.lit(S.PENDING).alias("state"),
+            )
+            .join(frontier.select("url_hash"), "url_hash", "left_anti")
+            .join(seen.select("url_hash"), "url_hash", "left_anti")
+            .select(*[f.name for f in S.FRONTIER.fields])
+        )
+        self.io.commit(
+            rnd,
+            overwrites={"frontier": self._w(frontier.unionByName(new))},
+        )
+
+    def restart_site(self, site: str, frontier_urls: DataFrame) -> None:
+        """C5 (app.py:565-600): purge the site everywhere, clear flags,
+        re-seed from its original URLs."""
+        frontier = self.io.read(self.spark, "frontier").filter(F.col("site") != site)
+        cascade = self._cascade_delete([site], frontier)
+        cascade["frontier"] = frontier
+        self.io.commit(
+            self.io.last_round(), overwrites={k: self._w(v) for k, v in cascade.items()}
+        )
+        self._write_control(site, paused=False, deleted=False)
+        self.add_sites(frontier_urls)
+
+    def refresh_sitemaps(self, world: dict[str, DataFrame], url_filter: str | None = None) -> None:
+        """S7 + J5 (app.py:814-848, crawler.py:197-277): re-walk the
+        sitemap trees; new URLs join the frontier, sitemap-owned URLs
+        (depth 0) that vanished are tombstoned — their rows cascade out
+        of frontier/seen/documents/records. Link-discovered pages
+        (depth > 0) are not sitemap-owned and are never tombstoned.
+        (The reference also prunes the per-site embeddings file; our
+        embeddings keep history — keyed by entity, not page.)"""
+        from crawler_spark.operators.discovery import discover_frontier
+
+        spark, io = self.spark, self.io
+        current = discover_frontier(
+            world["seeds"], world["robots"], world["sitemaps"], url_filter
+        )
+        cur_keys = (
+            with_url_keys(current.select("url"), mode=self.mode)
+            .select("url_hash")
+            .distinct()
+        )
+        frontier = io.read(spark, "frontier")
+        removed = frontier.filter(F.col("depth") == 0).join(
+            cur_keys, "url_hash", "left_anti"
+        )
+        removed_keys = removed.select("url_hash")
+        removed_urls = removed.select("url")
+        overwrites = {
+            "frontier": frontier.join(removed_keys, "url_hash", "left_anti"),
+            "seen": io.read(spark, "seen").join(removed_keys, "url_hash", "left_anti"),
+            "documents": io.read(spark, "documents").join(
+                removed_keys.withColumnRenamed("url_hash", "doc_id"), "doc_id", "left_anti"
+            ),
+            "records": io.read(spark, "records").join(removed_urls, "url", "left_anti"),
+        }
+        io.commit(io.last_round(), overwrites={k: self._w(v) for k, v in overwrites.items()})
+        self.add_sites(current)
 
     # ------------------------------------------------------------- run loop
     def run(self, world: dict[str, DataFrame], max_rounds: int = 100, max_idle: int = 8) -> list[dict]:

@@ -65,14 +65,24 @@ def gate_candidates(
     host_state: DataFrame,
     robots: DataFrame,
     round_no: int,
+    extra_flags: DataFrame | None = None,
 ) -> DataFrame:
     """P5 paused / P6 deleted / backoff / robots-disallow gates.
 
     All three gate tables are small dims -> broadcast joins; the frontier
     side never shuffles here. Paused/backoff rows simply stay `pending`
     in the frontier (ST4: nothing is ever dropped for lateness).
+
+    extra_flags: additional (site, paused, deleted) rows from the
+    engine's lifecycle API (C3/C4), OR-merged with the fixture windows.
     """
     flags = control_flags(control, round_no)
+    if extra_flags is not None:
+        flags = (
+            flags.unionByName(extra_flags.select("site", "paused", "deleted"))
+            .groupBy("site")
+            .agg(F.max("paused").alias("paused"), F.max("deleted").alias("deleted"))
+        )
     cand = (
         frontier.filter(F.col("state") == S.PENDING)
         .join(F.broadcast(flags), "site", "left")

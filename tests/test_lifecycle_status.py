@@ -1,0 +1,160 @@
+"""Lifecycle APIs (C1-C5), sitemap refresh + tombstones (S7/J5), and
+the status read path (S8/A1-A7/T2-T4)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from crawler_spark import status as ST
+from crawler_spark.engine import CrawlEngine
+from crawler_spark.operators.discovery import discover_frontier
+from crawler_spark.sources.robots_txt import parse_robots, render_robots_txt
+from crawler_spark.world import make_world
+
+
+def boot(spark, tmp_path, seed=41, n_hosts=3, n_urls=18, rounds=3, **kw):
+    world = make_world(seed=seed, n_hosts=n_hosts, n_urls=n_urls, budget=3, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(spark, str(tmp_path), embed_dim=0, **kw)
+    eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+    eng._control_rows = t["control"].collect()
+    for r in range(1, rounds + 1):
+        eng.run_round(r, t)
+    return world, t, eng
+
+
+def test_pause_resume_via_api(spark, tmp_path):
+    world = make_world(seed=41, n_hosts=3, n_urls=40, budget=2, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(spark, str(tmp_path), embed_dim=0)
+    eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+    eng._control_rows = t["control"].collect()
+    for r in (1, 2):
+        eng.run_round(r, t)
+    site = world.hosts[0].replace(".", "_")
+    assert (
+        eng.io.read(spark, "frontier")
+        .filter((F.col("site") == site) & (F.col("state") == "pending"))
+        .count()
+        > 0
+    )
+    eng.pause_site(site)
+    s3 = eng.run_round(3, t)
+    order = eng.io.read(spark, "crawl_order").filter(
+        (F.col("round") == 3) & (F.col("site") == site)
+    )
+    assert order.count() == 0  # P5: paused site not scheduled
+    eng.resume_site(site)
+    eng.run_round(4, t)
+    resumed = eng.io.read(spark, "crawl_order").filter(
+        (F.col("round") == 4) & (F.col("site") == site)
+    )
+    assert resumed.count() > 0
+
+
+def test_delete_site_api_cascades(spark, tmp_path):
+    world, t, eng = boot(spark, tmp_path, rounds=2)
+    site = world.hosts[0].replace(".", "_")
+    assert eng.io.read(spark, "seen").filter(F.col("site") == site).count() > 0
+    eng.delete_site(site)
+    for tbl in ("seen", "documents", "records"):
+        assert eng.io.read(spark, tbl).filter(F.col("site") == site).count() == 0
+    eng.run_round(3, t)
+    assert (
+        eng.io.read(spark, "crawl_order")
+        .filter((F.col("round") == 3) & (F.col("site") == site))
+        .count()
+        == 0
+    )
+
+
+def test_restart_site_recrawls(spark, tmp_path):
+    world, t, eng = boot(spark, tmp_path, rounds=2)
+    site = world.hosts[0].replace(".", "_")
+    seeds = t["seeds"].filter(F.col("site") == site)
+    before = eng.io.read(spark, "seen").filter(F.col("site") == site).count()
+    assert before > 0
+    eng.restart_site(site, seeds)
+    assert eng.io.read(spark, "seen").filter(F.col("site") == site).count() == 0
+    pend = eng.io.read(spark, "frontier").filter(
+        (F.col("site") == site) & (F.col("state") == "pending")
+    )
+    assert pend.count() > 0  # re-seeded
+    eng.run_round(3, t)
+    assert eng.io.read(spark, "seen").filter(F.col("site") == site).count() > 0
+
+
+def test_add_sites_mid_crawl_dedups(spark, tmp_path):
+    _world, t, eng = boot(spark, tmp_path, rounds=2)
+    n_before = eng.io.read(spark, "frontier").count()
+    crawled_url = eng.io.read(spark, "seen").first().url
+    extra = spark.createDataFrame(
+        [(crawled_url,), ("https://h000.example.com/brand-new",)], ["url"]
+    )
+    eng.add_sites(extra)
+    frontier = eng.io.read(spark, "frontier")
+    assert frontier.count() == n_before + 1  # U1: seen URL not re-added
+    assert frontier.filter(F.col("url") == "https://h000.example.com/brand-new").count() == 1
+
+
+def test_refresh_sitemaps_tombstones(spark, tmp_path):
+    world, t, eng = boot(spark, tmp_path, rounds=3)
+    # shrink: drop one already-crawled sitemap URL from the world's trees
+    victim = (
+        eng.io.read(spark, "seen")
+        .join(eng.io.read(spark, "frontier").filter(F.col("depth") == 0), "url_hash")
+        .first()
+    )
+    sm = world.sitemaps.copy()
+    sm["entries"] = sm["entries"].map(lambda es: [e for e in es if e != victim.url])
+    seeds2 = world.seeds[world.seeds.url != victim.url]
+    from crawler_spark import schemas as S
+
+    t2 = dict(t)
+    t2["sitemaps"] = spark.createDataFrame(list(sm.itertuples(index=False)), S.SITEMAPS)
+    t2["seeds"] = spark.createDataFrame(list(seeds2.itertuples(index=False)), S.SEEDS)
+    eng.refresh_sitemaps(t2)
+    # J5: the vanished page is tombstoned everywhere
+    assert eng.io.read(spark, "seen").filter(F.col("url") == victim.url).count() == 0
+    assert eng.io.read(spark, "documents").filter(F.col("url") == victim.url).count() == 0
+    assert eng.io.read(spark, "frontier").filter(F.col("url") == victim.url).count() == 0
+
+
+def test_status_and_summary(spark, tmp_path):
+    world, t, eng = boot(spark, tmp_path, rounds=3)
+    st = {r.site: r for r in ST.site_status(spark, eng.io).collect()}
+    seen_counts = {
+        r.site: r["count"]
+        for r in eng.io.read(spark, "seen").groupBy("site").count().collect()
+    }
+    for site, row in st.items():
+        assert row.crawled_urls == seen_counts.get(site, 0)  # A3
+        assert row.total_urls >= row.crawled_urls  # A4
+        assert not row.paused and not row.deleted
+    s = ST.summary(spark, eng.io).first()
+    assert s.total_urls == sum(r.total_urls for r in st.values())  # A6
+    assert 0 <= s.progress_pct <= 100
+    # T2/T3/T4
+    site = next(iter(st))
+    assert ST.recent_records(spark, eng.io, site, 5).count() <= 5
+    logs = ST.recent_log(spark, eng.io, 10).collect()
+    assert len(logs) <= 10 and all(
+        logs[i].round >= logs[i + 1].round for i in range(len(logs) - 1)
+    )
+    for r in ST.error_log(spark, eng.io).collect():
+        assert r.category in ("rate_limit", "not_found", "timeout", "general")
+
+
+def test_parse_robots_txt(spark):
+    rows = [
+        ("a.com", render_robots_txt(["https://a.com/sm.xml", "https://a.com/sm2.xml"],
+                                    ["/private", "/tmp"], crawl_delay=0.5)),
+        ("b.com", render_robots_txt([])),
+        ("c.com", "User-agent: *\nsItEmAp:   https://c.com/s.xml  \n"),
+    ]
+    out = {r.host: r for r in parse_robots(spark.createDataFrame(rows, ["host", "body"])).collect()}
+    assert out["a.com"].sitemap_urls == ["https://a.com/sm.xml", "https://a.com/sm2.xml"]
+    assert out["a.com"].disallow_prefixes == ["/private", "/tmp"]
+    assert out["a.com"].crawl_budget == 2  # 1/0.5s per round quantum
+    assert out["b.com"].sitemap_urls == [] and out["b.com"].crawl_budget == 1
+    # case-insensitive + whitespace (app.py:59-62)
+    assert out["c.com"].sitemap_urls == ["https://c.com/s.xml"]
