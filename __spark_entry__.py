@@ -36,6 +36,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across cores: the sandbox SF files are single
+    parquet files (1 input partition), which would serialize the heavy
+    per-document ops (shingling, hashing). At real scale the table has
+    many files and this repartition is a no-op cost-wise."""
+    n = spark.sparkContext.defaultParallelism
+    return _t(spark, sf_dir, "documents").repartition(n, "doc_id")
+
+
 def _dec(c, scale: int = 6):
     """Exact-sum trick: aggregate in DECIMAL, emit double."""
     return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
@@ -227,7 +236,7 @@ def q_top_k_recent(spark, sf_dir):
         .limit(100)
         .select(
             "event_id",
-            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_str"),
             "event_type",
             "value",
         )
@@ -235,7 +244,7 @@ def q_top_k_recent(spark, sf_dir):
 
 
 _Q_TOP_K_SQL = """
-    SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, value
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_str, event_type, value
     FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
 """
 
@@ -280,7 +289,7 @@ _Q_JSON_EXTRACT_SQL = """
 
 def q_sessionize(spark, sf_dir):
     """Sessionization: lag-gap window (>1h starts a new session)."""
-    e = _t(spark, sf_dir, "events").withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+    e = _t(spark, sf_dir, "events").withColumn("ts_ms", F.unix_millis(F.to_utc_timestamp(F.col("ts"), "UTC")))
     w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
     return (
@@ -384,7 +393,7 @@ _SHINGLES_SQL = """
 def q_dedup_exact(spark, sf_dir):
     from crawler_spark.operators.textdedup import dedup_exact
 
-    return dedup_exact(_t(spark, sf_dir, "documents"))
+    return dedup_exact(_docs_wide(spark, sf_dir))
 
 
 _Q_DEDUP_EXACT_SQL = """
@@ -396,7 +405,7 @@ _Q_DEDUP_EXACT_SQL = """
 def q_minhash_signatures(spark, sf_dir):
     from crawler_spark.operators.textdedup import minhash_signatures
 
-    return minhash_signatures(_t(spark, sf_dir, "documents"))
+    return minhash_signatures(_docs_wide(spark, sf_dir))
 
 
 _MH_COLS = ",\n".join(
@@ -413,7 +422,7 @@ _Q_MINHASH_SQL = f"""
 def q_minhash_lsh_pairs(spark, sf_dir):
     from crawler_spark.operators.textdedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(_docs_wide(spark, sf_dir))
 
 
 _Q_LSH_PAIRS_SQL = f"""
@@ -438,7 +447,7 @@ _Q_LSH_PAIRS_SQL = f"""
 def q_simhash(spark, sf_dir):
     from crawler_spark.operators.textdedup import simhash
 
-    return simhash(_t(spark, sf_dir, "documents"))
+    return simhash(_docs_wide(spark, sf_dir))
 
 
 _SIMHASH_BITS_SQL = " || ".join(
@@ -456,7 +465,7 @@ _Q_SIMHASH_SQL = f"""
 def q_jaccard_pairs(spark, sf_dir):
     from crawler_spark.operators.textdedup import jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = _docs_wide(spark, sf_dir).filter(F.col("doc_id") < 300)
     return jaccard_pairs(docs, threshold=0.01, max_df=10**9)
 
 
@@ -529,7 +538,7 @@ def q_stub_embedding(spark, sf_dir):
     model stand-in), exploded to rows for engine-exact comparison."""
     from crawler_spark.operators.downstream import hash_embedding
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return d.select(
         "doc_id", F.posexplode(hash_embedding(F.col("text"), 4))
     ).select(
@@ -547,10 +556,35 @@ _Q_STUB_EMBEDDING_SQL = """
 """
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-blocked (the scale path:
+    pairs only form inside a sign-LSH bucket)."""
+    from crawler_spark.operators.ann import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.2, nbits=6)
+
+
+_NEARDUP_BUCKET = " || ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(6)
+)
+_Q_EMBEDDING_NEAR_DUP_SQL = f"""
+    WITH b AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+                      {_NEARDUP_BUCKET} AS bucket
+               FROM embeddings),
+    pairs AS (
+        SELECT a.vid AS vec_a, c.vid AS vec_b,
+               list_dot_product(a.v, c.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vid < c.vid
+    )
+    SELECT vec_a, vec_b, round(cos, 4) AS score FROM pairs WHERE cos >= 0.2
+"""
+
+
 def q_text_profile(spark, sf_dir):
     from crawler_spark.functions.text import text_profile
 
-    return text_profile(_t(spark, sf_dir, "documents"))
+    return text_profile(_docs_wide(spark, sf_dir))
 
 
 _LANG_SCORE_SQL = {
@@ -599,7 +633,10 @@ def q_crawl_round(spark, sf_dir):
     pure-Python oracle in tests/test_engine_oracle.py."""
     from crawler_spark.engine import CrawlEngine
     from crawler_spark.operators.discovery import discover_frontier
+    from crawler_spark.session import ship_package
     from crawler_spark.world import make_world
+
+    ship_package(spark)  # mapInPandas workers must import crawler_spark
 
     world = make_world(seed=42, n_hosts=3, n_urls=18, budget=2, burst=False)
     t = world.to_spark(spark)
@@ -615,7 +652,9 @@ def q_multimodal_features(spark, sf_dir):
     fake media payloads -> mapInPandas feature extraction. Rows-only
     (digest-derived features aren't SQL-expressible)."""
     from crawler_spark.operators.multimodal import decode_media
+    from crawler_spark.session import ship_package
 
+    ship_package(spark)
     d = _t(spark, sf_dir, "documents")
     media = d.select(
         F.concat(F.lit("img://doc/"), F.col("doc_id").cast("string")).alias("media_ref"),
@@ -664,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "text_profile": q_text_profile,
         "stub_embedding": q_stub_embedding,
+        "embedding_near_dup": q_embedding_near_dup,
         "crawl_round": q_crawl_round,
         "multimodal_features": q_multimodal_features,
     }
@@ -694,5 +734,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _Q_ANN_TOPK_SQL,
         "text_profile": _Q_TEXT_PROFILE_SQL,
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,
+        "embedding_near_dup": _Q_EMBEDDING_NEAR_DUP_SQL,
         # crawl_round / multimodal_features: rows-only by design
     }

@@ -225,17 +225,24 @@ def main():
         spark = get_session(CPUS, wh)
         head = bench_headline(spark, root)
         fpath, spath = os.path.join(root, "frontier"), os.path.join(root, "seen")
+
+        def best_of(fn, n=2):
+            fn()  # warm
+            return round(min(_timed(fn) for _ in range(n)), 3)
+
+        def _timed(fn):
+            t0 = time.time()
+            fn()
+            return time.time() - t0
+
+        head["elapsed_sec"] = best_of(lambda: run_schedule_job(spark, fpath, spath))
+        head["urls_per_sec"] = round(N_URLS / head["elapsed_sec"], 1)
         # bloom steady state: pre-built persistent filters
         bpath = write_blooms(spark, root, spath)
-        t0 = time.time()
-        run_schedule_job(spark, fpath, spath, bpath)
-        bloom_sec = round(time.time() - t0, 3)
+        bloom_sec = best_of(lambda: run_schedule_job(spark, fpath, spath, bpath))
         # bucketed (Iceberg-bucket-partitioning stand-in): co-located join
         write_bucketed_tables(spark, wh, fpath, spath)
-        run_schedule_job_bucketed(spark)  # warm
-        t0 = time.time()
-        run_schedule_job_bucketed(spark)
-        bucketed_sec = round(time.time() - t0, 3)
+        bucketed_sec = best_of(lambda: run_schedule_job_bucketed(spark))
         queries = bench_queries(spark)
         queries["schedule_dedup_exact"] = head["elapsed_sec"]
         queries["schedule_dedup_bloom"] = bloom_sec

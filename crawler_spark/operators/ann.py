@@ -98,6 +98,39 @@ def lsh_buckets(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.2,
+    nbits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    Pairs are only formed inside an LSH bucket (the standard blocked
+    near-dup join: |bucket|² work instead of |corpus|²), then scored
+    exactly and thresholded. At 10^10 scale the bucket column is the
+    table's partition key, so the self-join is partition-local.
+    """
+    withb = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    a, b = withb.alias("a"), withb.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .withColumn("cos", cosine_col(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round("cos", 4).alias("score"),
+        )
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -68,6 +68,32 @@ def discover_frontier(
     return pages.dropDuplicates(["url"])
 
 
+def discover_frontier_wire(
+    spark,
+    seeds: DataFrame,
+    robots_raw: DataFrame,
+    sitemaps_raw: DataFrame,
+    url_filter: str | None = None,
+    default_budget: int = 1,
+) -> DataFrame:
+    """Wire-format discovery: raw robots.txt bodies (host, body string)
+    and raw sitemap bytes (sitemap_url, body binary) -> page URLs.
+
+    This is the exact cluster path (S1+S2 end-to-end): parse robots for
+    sitemap URLs/rules, parse XML(+gzip) sitemap bodies, then run the
+    same BFS as the fixture path. The fixture `sitemaps` table is just
+    the parsed form of `sitemaps_raw`.
+    """
+    from crawler_spark.sources.robots_txt import parse_robots
+    from crawler_spark.sources.sitemap_xml import parse_sitemaps
+
+    rules = parse_robots(robots_raw, default_budget=default_budget)
+    parsed = parse_sitemaps(sitemaps_raw, url_filter=None).join(
+        sitemaps_raw.select("sitemap_url", "site"), "sitemap_url"
+    ).select("sitemap_url", "site", "kind", "entries")
+    return discover_frontier(seeds, rules, parsed, url_filter=url_filter)
+
+
 def reconcile_tombstones(stored: DataFrame, current: DataFrame, key: str = "url") -> DataFrame:
     """J5: rows of `stored` whose key vanished from `current` (EXCEPT
     semantics via left_anti). Caller cascades the delete across tables."""

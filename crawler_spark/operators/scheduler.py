@@ -16,9 +16,14 @@ as window functions:
   deterministic 3..7-round backoff keyed on md5(host:round) so engine
   and oracle agree bit-for-bit.
 - O-SCHED2 / X6 skew     (crawler.py:1265-1303): the reference shuffles
-  domains to spread load; at scale we salt the fetch-assignment shuffle
-  with pmod(xxhash64(host, round), n_salts) instead — deterministic and
-  uniform even when one host owns 30% of the frontier.
+  domains to spread load; we salt the fetch assignment with
+  pmod(xxhash64(host, round), n_salts) — a deterministic per-round
+  rotation that spreads hosts uniformly over tasks even under host-hash
+  clustering. Note the division of labor: per-host row count at the
+  fetch stage is already bounded by crawl_budget (politeness), so the
+  unbounded power-law skew lives in the *pre-budget* stages — and is
+  neutralized there by the WindowGroupLimit top-k pushdown (see
+  `schedule`), not by the salt.
 
 Scale note: the per-host row_number window shuffles only *candidate*
 rows (pending ∩ not-seen), and the global ordering window runs on the

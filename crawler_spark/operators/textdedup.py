@@ -49,19 +49,19 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     small even over a narrow vocabulary. Built JVM-side with
     sequence+transform+element_at (no UDF). Docs shorter than n words
     are dropped (mirrored in the SQL oracle)."""
-    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # materialize the split ONCE as a named column: inlining it would
+    # re-tokenize the document inside every element_at (quadratic/doc)
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("w")
+    ).filter(F.size("w") >= n)
+    arr = F.col("w")
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + j) for j in range(n)]
-            ),
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j) for j in range(n)]),
         )
     )
-    return (
-        docs.filter(F.size(w) >= n)
-        .select("doc_id", F.explode(sh).alias("tok"))
-    )
+    return base.select("doc_id", F.explode(sh).alias("tok"))
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
