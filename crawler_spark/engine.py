@@ -535,8 +535,22 @@ class CrawlEngine:
         io.commit(io.last_round(), overwrites={k: self._w(v) for k, v in overwrites.items()})
         self.add_sites(current)
 
+    def maintain(self, max_paths: int = 32) -> None:
+        """Snapshot maintenance (Iceberg rewrite_data_files analog):
+        compact append tables whose delta-path lists grew past
+        max_paths, so reads stay O(files) instead of O(rounds)."""
+        for name in ("seen", "documents", "records", "entity_seen", "fetch_log"):
+            if len(self.io.table_paths(name)) > max_paths:
+                self.io.compact(self.spark, name, self.io.last_round())
+
     # ------------------------------------------------------------- run loop
-    def run(self, world: dict[str, DataFrame], max_rounds: int = 100, max_idle: int = 8) -> list[dict]:
+    def run(
+        self,
+        world: dict[str, DataFrame],
+        max_rounds: int = 100,
+        max_idle: int = 8,
+        compact_every: int = 32,
+    ) -> list[dict]:
         """Run rounds until the frontier drains (or goes idle past the
         longest possible backoff). Resume-safe: starts after the last
         committed round."""
@@ -549,6 +563,8 @@ class CrawlEngine:
         for rnd in range(max(1, start), max_rounds + 1):
             stats = self.run_round(rnd, world)
             history.append(stats)
+            if compact_every and rnd % compact_every == 0:
+                self.maintain()
             if stats["scheduled"] == 0:
                 idle += 1
                 if stats.get("pending", 0) == 0 or idle >= max_idle:
