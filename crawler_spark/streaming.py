@@ -80,6 +80,83 @@ def stream_frontier_ingest(
     return writer.start()
 
 
+HOST_DECISION = "host string, round int, allowed int, deferred int, backoff_until int"
+HOST_STATE_SCHEMA = "backoff_until int, fetched_total long"
+
+
+def stream_host_politeness(
+    spark: SparkSession,
+    results_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    budget: int = 1,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-host politeness + 429-backoff over a live stream of fetch
+    results (the streaming twin of O-SCHED3/O-SCHED4).
+
+    Input: a stream of fetch-result rows (round, url, status, bytes)
+    whose url encodes the host; state per host = (backoff_until round,
+    fetched_total). Each trigger emits, per (host, round) group seen in
+    the batch, how many results were within budget ('allowed'), how
+    many exceeded it or hit a backoff window ('deferred'), and the
+    host's current backoff horizon. The batch engine derives the same
+    facts relationally (gate_candidates + budget window); this is the
+    always-on variant with state in the streaming state store —
+    resumable from checkpoint like everything else.
+    """
+    import pandas as pd
+
+    from crawler_spark.functions.urls import host_col
+
+    raw = spark.readStream.schema(S.FETCH_LOG).parquet(results_dir)
+    keyed = raw.withColumn("host", host_col("url"))
+
+    def update(key, pdfs, state):
+        from crawler_spark.oracle import backoff_rounds
+
+        (host,) = key
+        if state.exists:
+            backoff_until, fetched_total = state.get
+        else:
+            backoff_until, fetched_total = -1, 0
+        rows = []
+        for pdf in pdfs:
+            for rnd, grp in pdf.sort_values(["round", "url"]).groupby("round"):
+                allowed = deferred = 0
+                taken = 0
+                for status in grp["status"]:
+                    if int(rnd) < backoff_until or taken >= budget:
+                        deferred += 1
+                        continue
+                    taken += 1
+                    allowed += 1
+                    fetched_total += 1
+                    if status == 429:
+                        backoff_until = int(rnd) + backoff_rounds(host, int(rnd))
+                rows.append((host, int(rnd), allowed, deferred, backoff_until))
+        state.update((backoff_until, fetched_total))
+        yield pd.DataFrame(
+            rows, columns=["host", "round", "allowed", "deferred", "backoff_until"]
+        )
+
+    out = keyed.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=HOST_DECISION,
+        stateStructType=HOST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("parquet")  # durable sink: the query resumes from checkpoint
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_fetch_metrics(
     spark: SparkSession, fetch_log_dir: str, checkpoint_dir: str
 ):

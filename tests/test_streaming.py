@@ -54,3 +54,39 @@ def test_stream_fetch_metrics(spark, tmp_path):
     out = {r.status: (r.n, r.bytes) for r in spark.sql("select * from fetch_metrics").collect()}
     assert out[200] == (2, 30)
     assert out[404] == (1, 0)
+
+
+def test_stream_host_politeness_state(spark, tmp_path):
+    """applyInPandasWithState: budget + 429 backoff carried across
+    triggers in the state store."""
+    from crawler_spark.oracle import backoff_rounds
+    from crawler_spark.streaming import stream_host_politeness
+
+    log_dir = str(tmp_path / "results")
+    ck = str(tmp_path / "ck3")
+    # trigger 1: round 1, host a.com gets 2 results (budget 1) incl a 429
+    spark.createDataFrame(
+        [(1, "https://a.com/x", 429, 0), (1, "https://a.com/y", 200, 5),
+         (1, "https://b.com/z", 200, 7)],
+        S.FETCH_LOG,
+    ).coalesce(1).write.mode("append").parquet(log_dir)
+    out_dir = str(tmp_path / "decisions")
+    q = stream_host_politeness(spark, log_dir, ck, out_dir, budget=1)
+    q.awaitTermination(120)
+    rows = {(r.host, r.round): r for r in spark.read.parquet(out_dir).collect()}
+    a1 = rows[("a.com", 1)]
+    until = 1 + backoff_rounds("a.com", 1)
+    assert (a1.allowed, a1.deferred, a1.backoff_until) == (1, 1, until)
+    assert rows[("b.com", 1)].allowed == 1 and rows[("b.com", 1)].backoff_until == -1
+    # trigger 2 (new files, resumed checkpoint): a.com still in backoff
+    rnd2 = 2
+    assert rnd2 < until
+    spark.createDataFrame(
+        [(rnd2, "https://a.com/w", 200, 3), (rnd2, "https://b.com/q", 200, 2)], S.FETCH_LOG
+    ).coalesce(1).write.mode("append").parquet(log_dir)
+    q2 = stream_host_politeness(spark, log_dir, ck, out_dir, budget=1)
+    q2.awaitTermination(120)
+    rows2 = {(r.host, r.round): r for r in spark.read.parquet(out_dir).collect()}
+    a2 = rows2[("a.com", rnd2)]
+    assert (a2.allowed, a2.deferred) == (0, 1)  # backoff survived the restart
+    assert rows2[("b.com", rnd2)].allowed == 1
