@@ -581,6 +581,53 @@ _Q_EMBEDDING_NEAR_DUP_SQL = f"""
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: probe the 2 nearest of 16 cells, exact re-rank
+    inside them (the partition-pruned scale path beside LSH)."""
+    from crawler_spark.operators.ann import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4],
+                    k=5, n_centroids=16, nprobe=2)
+
+
+_Q_IVF_TOPK_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    assign AS (
+        SELECT vid, v, cid FROM (
+            SELECT e.vec_id AS vid, e.v, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv)
+                                / (sqrt(list_dot_product(e.v, e.v))
+                                   * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid
+                   ) AS crank
+            FROM e CROSS JOIN cent c) WHERE crank = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+    qprobe AS (
+        SELECT query_id, qv, cid FROM (
+            SELECT q.query_id, q.qv, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.qv, c.cv)
+                                / (sqrt(list_dot_product(q.qv, q.qv))
+                                   * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid
+                   ) AS crank
+            FROM q CROSS JOIN cent c) WHERE crank <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.vid AS neighbor_id,
+               list_dot_product(p.qv, a.v)
+                 / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+        FROM qprobe p JOIN assign a ON p.cid = a.cid AND a.vid <> p.query_id
+    )
+    SELECT query_id, rank, neighbor_id, round(cos, 4) AS score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5
+"""
+
+
 def q_text_profile(spark, sf_dir):
     from crawler_spark.functions.text import text_profile
 
@@ -704,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "stub_embedding": q_stub_embedding,
         "embedding_near_dup": q_embedding_near_dup,
+        "ivf_topk": q_ivf_topk,
         "crawl_round": q_crawl_round,
         "multimodal_features": q_multimodal_features,
     }
@@ -735,5 +783,6 @@ def oracle_sql() -> dict[str, str]:
         "text_profile": _Q_TEXT_PROFILE_SQL,
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,
         "embedding_near_dup": _Q_EMBEDDING_NEAR_DUP_SQL,
+        "ivf_topk": _Q_IVF_TOPK_SQL,
         # crawl_round / multimodal_features: rows-only by design
     }

@@ -98,6 +98,80 @@ def lsh_buckets(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat cell assignment with fixed (deterministic) centroids.
+
+    Centroids are the first n_centroids vectors — a deterministic
+    stand-in for a trained k-means codebook (training would be an
+    iterative job upstream; the *index structure* — assign every vector
+    to its nearest centroid, search only probed cells — is what matters
+    for the query path). Assignment = broadcast centroids × corpus,
+    argmax cosine with (score desc, cid asc) tie-break.
+    """
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    scored = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).crossJoin(F.broadcast(cent)).withColumn("ccos", cosine_col(F.col("v"), F.col("cv")))
+    w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("vid", "v", "cid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the query's nprobe nearest cells, exact re-rank
+    inside them. At scale the corpus is partitioned by cid (partition
+    pruning selects only probed cells); recall/latency trades via
+    nprobe."""
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", cosine_col(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    scored = (
+        assigned.join(F.broadcast(qprobe), "cid")
+        .filter(F.col("vid") != F.col("query_id"))
+        .withColumn("cos", cosine_col(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vid").alias("neighbor_id"), F.round("cos", 4).alias("score"))
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.2,
