@@ -152,9 +152,10 @@ _Q_HOST_BUDGET_SQL = """
 
 
 def q_tombstone_except(spark, sf_dir):
-    """J5/U2: stored − current (customers with no orders)."""
+    """J5/U2: stored − current (customers whose key vanished from the
+    current set — here: no high-value order), EXCEPT via left_anti."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(
         o.select(F.col("o_custkey").alias("c_custkey")).distinct(), "c_custkey", "left_anti"
     ).select("c_custkey")
@@ -162,7 +163,7 @@ def q_tombstone_except(spark, sf_dir):
 
 _Q_TOMBSTONE_SQL = """
     SELECT c_custkey FROM customer
-    EXCEPT SELECT o_custkey AS c_custkey FROM orders
+    EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
 """
 
 
