@@ -86,6 +86,7 @@ class CrawlEngine:
         n_lineage_buckets: int = 8,
         coalesce_writes: int | None = 1,
         embed_dim: int = 16,  # 0 disables the downstream pipeline
+        priority: str = "fifo",  # scheduler PRIORITY_ORDERS key
     ):
         self.spark = spark
         self.io = ParquetSnapshotIO(root, schemas=ENGINE_SCHEMAS)
@@ -101,6 +102,7 @@ class CrawlEngine:
         # for large-scale runs where appends are wide.
         self.coalesce_writes = coalesce_writes
         self.embed_dim = embed_dim
+        self.priority = priority
 
     def _w(self, df: DataFrame) -> DataFrame:
         return df.coalesce(self.coalesce_writes) if self.coalesce_writes else df
@@ -172,7 +174,10 @@ class CrawlEngine:
                 world["robots"].agg(F.max("crawl_budget")).collect()[0][0] or 1
             )
             self._max_budget = max_budget
-        scheduled = schedule(deduped, rnd, seq_base, self.n_salts, max_budget=max_budget)
+        scheduled = schedule(
+            deduped, rnd, seq_base, self.n_salts, max_budget=max_budget,
+            priority=self.priority,
+        )
 
         # newly-deleted sites this round -> cascade (J5/C4, crawler.py:557-589)
         control_rows = getattr(self, "_control_rows", None)

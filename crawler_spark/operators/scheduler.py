@@ -119,12 +119,24 @@ def gate_candidates(
     return cand
 
 
+PRIORITY_ORDERS = {
+    # reference-equality mode: sorted-URL FIFO (K1 writes sorted files)
+    "fifo": lambda: [F.asc("url")],
+    # north-star scoring: shallow-first (BFS-ish), oldest-discovery
+    # first, then URL — favors breadth + starved pages
+    "depth": lambda: [F.asc("depth"), F.asc("discovered_round"), F.asc("url")],
+    # freshness recrawl flavor: most recently discovered first
+    "recency": lambda: [F.desc("discovered_round"), F.asc("depth"), F.asc("url")],
+}
+
+
 def schedule(
     deduped: DataFrame,
     round_no: int,
     seq_base: int,
     n_salts: int = 8,
     max_budget: int = 64,
+    priority: str = "fifo",
 ) -> DataFrame:
     """Budget window + canonical order + skew salt.
 
@@ -139,14 +151,21 @@ def schedule(
     exchange, so a skewed host (30% of the frontier) contributes k rows
     per partition instead of forcing one task to sort its whole slice.
     The exact per-host (column) budget filter runs after.
+
+    priority picks the within-host order (PRIORITY_ORDERS): 'fifo'
+    reproduces the reference exactly (the oracle pins it); 'depth' and
+    'recency' are the north-star scored generalizations — same window
+    machinery, different sort key, so every scale property (group-limit
+    pushdown, bounded global window) is priority-agnostic.
     """
-    w_host = Window.partitionBy("host").orderBy("url")
+    order = PRIORITY_ORDERS[priority]()
+    w_host = Window.partitionBy("host").orderBy(*order)
     limited = (
         deduped.withColumn("rank_in_host", F.row_number().over(w_host))
         .filter(F.col("rank_in_host") <= F.lit(max_budget))  # WindowGroupLimit
         .filter(F.col("rank_in_host") <= F.col("crawl_budget"))
     )
-    w_all = Window.orderBy("rank_in_host", "site", "url")
+    w_all = Window.orderBy("rank_in_host", "site", *order)
     return (
         limited.withColumn("seq", (F.row_number().over(w_all) + F.lit(seq_base)).cast("long"))
         .withColumn(

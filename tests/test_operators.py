@@ -139,3 +139,23 @@ def test_entity_rows_synth_blogposting():
     rows = entity_rows_for_page("u", "s", 1, 1, spans)
     assert len(rows) == 1 and rows[0][6] == "synth"
     assert rows[0][8] == ["BlogPosting"]  # schema-type heuristic (crawler.py:793-796)
+
+
+def test_priority_orders(spark):
+    """North-star priority scoring: same window machinery, different
+    within-host order; fifo stays reference-exact."""
+    rows = [
+        # (url, depth, discovered_round) — one host
+        ("https://h.com/z", 0, 1),
+        ("https://h.com/a", 2, 1),
+        ("https://h.com/m", 1, 3),
+    ]
+    df = with_url_keys(
+        spark.createDataFrame(rows, ["url", "depth", "discovered_round"])
+    ).withColumn("crawl_budget", F.lit(1))
+    fifo = schedule(df, 1, 0, priority="fifo").first()
+    assert fifo.url == "https://h.com/a"  # sorted-URL FIFO
+    depth = schedule(df, 1, 0, priority="depth").first()
+    assert depth.url == "https://h.com/z"  # shallow-first
+    rec = schedule(df, 1, 0, priority="recency").first()
+    assert rec.url == "https://h.com/m"  # newest discovery first
