@@ -87,9 +87,17 @@ class CrawlEngine:
         coalesce_writes: int | None = 1,
         embed_dim: int = 16,  # 0 disables the downstream pipeline
         priority: str = "fifo",  # scheduler PRIORITY_ORDERS key
+        bucketed_io: int | None = None,  # n_buckets -> co-located frontier/seen
     ):
         self.spark = spark
-        self.io = ParquetSnapshotIO(root, schemas=ENGINE_SCHEMAS)
+        if bucketed_io:
+            from crawler_spark.io.bucketed import BucketedSnapshotIO
+
+            self.io: ParquetSnapshotIO = BucketedSnapshotIO(
+                root, schemas=ENGINE_SCHEMAS, n_buckets=bucketed_io
+            )
+        else:
+            self.io = ParquetSnapshotIO(root, schemas=ENGINE_SCHEMAS)
         self.mode = mode
         self.n_salts = n_salts
         self.use_bloom = use_bloom
@@ -164,6 +172,9 @@ class CrawlEngine:
             # commit time — the seen table itself never shuffles here
             blooms = io.read(spark, "seen_bloom")
             deduped = D.bloom_prefilter(cand, blooms, seen, self.bloom_buckets)
+        elif hasattr(io, "anti_join_seen"):
+            # bucketed IO: chained co-located anti-joins, seen never shuffles
+            deduped = io.anti_join_seen(spark, cand)
         else:
             deduped = D.exact_anti_join(cand, seen)
 

@@ -1,0 +1,111 @@
+"""Bucketed snapshot IO: the co-located hot-join layout, in the engine.
+
+`BucketedSnapshotIO` extends the parquet snapshot store by keeping the
+url_hash-keyed tables (frontier, seen) as Spark BUCKETED tables —
+the sandbox analog of Iceberg `bucket(url_hash, N)` partitioning
+benchmarked in BENCH/BASELINE.md:
+
+- frontier: one bucketed table per version (overwrite semantics) —
+  atomicity untouched, the manifest pointer still decides visibility;
+- seen: one bucketed table per round delta (append semantics). Reading
+  returns the UNION for scans; `anti_join_seen` instead CHAINS
+  left_anti joins across the deltas — every link is co-located
+  (HashPartitioning(url_hash, N) on both sides), so the seen side is
+  never shuffled and the candidate side at most once. Compaction
+  (engine.maintain) keeps the chain short.
+
+Catalog notes: bucketed writes need saveAsTable; tables are EXTERNAL
+(data under the snapshot root) and re-registered per session from the
+manifest, so resume works across processes just like the parquet store.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.io.snapshot import ParquetSnapshotIO
+
+BUCKETED_TABLES = ("frontier", "seen")
+
+
+def _ddl_cols(schema) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+
+class BucketedSnapshotIO(ParquetSnapshotIO):
+    def __init__(self, root: str, schemas=None, n_buckets: int = 16, table_prefix: str | None = None):
+        super().__init__(root, schemas)
+        self.n_buckets = n_buckets
+        # unique prefix per snapshot root so parallel engines/tests don't
+        # collide in the shared session catalog
+        self.prefix = table_prefix or ("snap_" + hex(abs(hash(os.path.abspath(root))))[2:10])
+
+    # --- naming ------------------------------------------------------------
+    def _tbl(self, name: str, version: int) -> str:
+        return f"{self.prefix}_{name}_v{version}"
+
+    def _loc(self, name: str, version: int) -> str:
+        return os.path.join(self.root, "tables", name, f"b{version}")
+
+    # --- write -------------------------------------------------------------
+    def _write_version_dir(self, name: str, version: int, df: DataFrame) -> str:
+        if name not in BUCKETED_TABLES:
+            return super()._write_version_dir(name, version, df)
+        spark = df.sparkSession
+        tbl = self._tbl(name, version)
+        loc = self._loc(name, version)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.bucketBy(self.n_buckets, "url_hash")
+            .sortBy("url_hash")
+            .option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        return os.path.relpath(loc, self.root)
+
+    # --- read --------------------------------------------------------------
+    def _register(self, spark: SparkSession, name: str, rel: str) -> str:
+        """(Re-)attach the bucketed external table for this session."""
+        version = os.path.basename(rel)[1:]
+        tbl = self._tbl(name, version)
+        if not spark.catalog.tableExists(tbl):
+            spark.sql(
+                f"CREATE TABLE {tbl} ({_ddl_cols(self.schemas[name])}) USING PARQUET "
+                f"CLUSTERED BY (url_hash) SORTED BY (url_hash) INTO {self.n_buckets} BUCKETS "
+                f"LOCATION '{os.path.join(self.root, rel)}'"
+            )
+        return tbl
+
+    def read_deltas(self, spark: SparkSession, name: str) -> list[DataFrame]:
+        """The table as a list of co-bucketed delta scans (oldest first)."""
+        rels = self.manifest()["tables"].get(name, [])
+        return [spark.table(self._register(spark, name, rel)) for rel in rels]
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        if name not in BUCKETED_TABLES:
+            return super().read(spark, name)
+        deltas = self.read_deltas(spark, name)
+        if not deltas:
+            return spark.createDataFrame([], self.schemas[name])
+        out = deltas[0]
+        for d in deltas[1:]:
+            out = out.unionByName(d)
+        return out
+
+    # --- the exchange-free dedup path --------------------------------------
+    def anti_join_seen(self, spark: SparkSession, candidates: DataFrame) -> DataFrame:
+        """candidates ▷ seen as a CHAIN of co-located anti-joins over the
+        bucketed deltas: cand ▷ s1 ▷ s2 ▷ ... — equivalent to the anti-
+        join against the union, but each link reads a bucketed scan so
+        the seen side never shuffles."""
+        out = candidates
+        for delta in self.read_deltas(spark, "seen"):
+            out = out.join(delta.select("url_hash"), "url_hash", "left_anti")
+        return out

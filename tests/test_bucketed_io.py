@@ -1,0 +1,70 @@
+"""Bucketed snapshot IO: equality with the oracle + exchange-free plan."""
+
+from pyspark.sql import functions as F
+
+from crawler_spark.engine import CrawlEngine
+from crawler_spark.operators.discovery import discover_frontier
+from crawler_spark.operators.scheduler import gate_candidates
+from crawler_spark.oracle import Oracle
+from crawler_spark.world import make_world
+
+
+def test_bucketed_engine_equals_oracle(spark, tmp_path):
+    world = make_world(seed=19, n_hosts=3, n_urls=20, budget=3, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(spark, str(tmp_path), embed_dim=0, bucketed_io=8)
+    eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+    eng.run(t, max_rounds=10)
+    ora = Oracle(world).run(max_rounds=10)
+    got = [
+        (r.round, r.seq, r.site, r.url, r.status)
+        for r in eng.io.read(spark, "crawl_order").orderBy("seq").collect()
+    ]
+    assert got == ora.crawl_order
+    gs = {(r.url_hash, r.url) for r in eng.io.read(spark, "seen").collect()}
+    assert gs == set(ora.seen.items())
+
+
+def test_bucketed_resume_reregisters(spark, tmp_path):
+    world = make_world(seed=20, n_hosts=2, n_urls=12, budget=3, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(spark, str(tmp_path), embed_dim=0, bucketed_io=8)
+    eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+    eng._control_rows = t["control"].collect()
+    eng.run_round(1, t)
+    # fresh engine object on the same root (catalog entries must
+    # re-register from the manifest)
+    eng2 = CrawlEngine(spark, str(tmp_path), embed_dim=0, bucketed_io=8)
+    assert eng2.io.last_round() == 1
+    n_seen = eng2.io.read(spark, "seen").count()
+    assert n_seen > 0
+    eng2._control_rows = t["control"].collect()
+    eng2.run_round(2, t)
+    assert eng2.io.read(spark, "seen").count() > n_seen
+
+
+def test_bucketed_dedup_plan_has_no_seen_exchange(spark, tmp_path):
+    """The chained anti-join must not shuffle either side (both scans
+    are co-bucketed on url_hash)."""
+    world = make_world(seed=21, n_hosts=2, n_urls=12, budget=3, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(spark, str(tmp_path), embed_dim=0, bucketed_io=8)
+    eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+    eng._control_rows = t["control"].collect()
+    eng.run_round(1, t)
+    eng.run_round(2, t)
+    frontier = eng.io.read(spark, "frontier")
+    host_state = eng.io.read(spark, "host_state")
+    cand = gate_candidates(frontier, t["control"], host_state, t["robots"], 3)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        deduped = eng.io.anti_join_seen(spark, cand)
+        plan = deduped._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
+        assert "Bucketed: true" in plan
+        # gate dims may BroadcastExchange (tiny); neither join side may
+        # SHUFFLE — no hash/range repartitioning anywhere in the chain
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange rangepartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -159,3 +159,22 @@ def test_priority_orders(spark):
     assert depth.url == "https://h.com/z"  # shallow-first
     rec = schedule(df, 1, 0, priority="recency").first()
     assert rec.url == "https://h.com/m"  # newest discovery first
+
+
+def test_bloom_incremental_update_equals_rebuild(spark):
+    """update_blooms (bitwise OR of new keys) must equal a full rebuild
+    over the union — the invariant that makes per-round incremental
+    filter maintenance safe."""
+    a = with_url_keys(
+        spark.createDataFrame([(f"https://h.com/a/{i}",) for i in range(150)], ["url"])
+    )
+    b = with_url_keys(
+        spark.createDataFrame([(f"https://h.com/b/{i}",) for i in range(70)], ["url"])
+    )
+    base = D.build_bloom(a, n_buckets=4, expected_per_bucket=1000)
+    updated = {r.bucket: r for r in D.update_blooms(base, b, 4, 1000).collect()}
+    rebuilt = {r.bucket: r for r in D.build_bloom(a.unionByName(b), 4, 1000).collect()}
+    assert set(updated) == set(rebuilt)
+    for k in rebuilt:
+        assert updated[k].bits == rebuilt[k].bits  # bit-identical
+        assert updated[k].n_keys == rebuilt[k].n_keys
