@@ -90,3 +90,35 @@ def test_stream_host_politeness_state(spark, tmp_path):
     a2 = rows2[("a.com", rnd2)]
     assert (a2.allowed, a2.deferred) == (0, 1)  # backoff survived the restart
     assert rows2[("b.com", rnd2)].allowed == 1
+
+
+def test_streaming_ingest_feeds_engine_crawl(spark, tmp_path):
+    """S3 end-to-end: the streaming url-monitor fills the frontier, the
+    round loop crawls it — the reference's file-bus handoff
+    (app.py:112-135 -> crawler.py:279-348) as stream -> batch rounds."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.engine import CrawlEngine
+    from crawler_spark.world import make_world
+
+    world = make_world(seed=71, n_hosts=2, n_urls=12, budget=3, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(spark, str(tmp_path / "snap"), embed_dim=0)
+    # seed an EMPTY frontier, then let the stream deliver the URL files
+    eng.seed(spark.createDataFrame([], "url string, site string"))
+    urls_dir = str(tmp_path / "urls")
+    by_site = {}
+    for r in world.web.itertuples(index=False):
+        if "#" in r.url or r.url != r.url.lower():
+            continue
+        by_site.setdefault(r.host.replace(".", "_"), []).append(r.url)
+    for site, urls in by_site.items():
+        write_urls_file(urls_dir, f"{site}.txt", sorted(urls))
+    q = stream_frontier_ingest(spark, urls_dir, eng.io, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert eng.io.read(spark, "frontier").filter(F.col("state") == "pending").count() > 0
+    eng._control_rows = []
+    s1 = eng.run_round(eng.io.last_round() + 1, t)
+    assert s1["fetched"] > 0
+    seen = eng.io.read(spark, "seen")
+    assert seen.count() == s1["fetched"]
