@@ -178,3 +178,39 @@ def test_bloom_incremental_update_equals_rebuild(spark):
     for k in rebuilt:
         assert updated[k].bits == rebuilt[k].bits  # bit-identical
         assert updated[k].n_keys == rebuilt[k].n_keys
+
+
+def test_char_ngrams(spark):
+    from crawler_spark.operators.textdedup import char_ngrams
+
+    docs = spark.createDataFrame([(1, "Hello  World")], ["doc_id", "text"])
+    grams = sorted(r.gram for r in char_ngrams(docs, n=5).collect())
+    # normalized: lowercased, whitespace collapsed -> "hello world"
+    assert "hello" in grams and "o wor" in grams
+    assert all(len(g) == 5 for g in grams)
+    assert grams == sorted(set(grams))  # distinct
+
+
+def test_saturated_buckets_flags_overfull(spark):
+    many = with_url_keys(
+        spark.createDataFrame([(f"https://h.com/{i}",) for i in range(400)], ["url"])
+    )
+    blooms = D.build_bloom(many, n_buckets=2, expected_per_bucket=50)  # undersized
+    sat = {r.bucket for r in D.saturated_buckets(blooms, max_fill=0.5).collect()}
+    assert sat == {0, 1}  # both buckets blew their sizing budget
+    roomy = D.build_bloom(many, n_buckets=2, expected_per_bucket=10000)
+    assert D.saturated_buckets(roomy, max_fill=0.5).count() == 0
+
+
+def test_lsh_bucketed_topk_subset_of_brute_force(spark):
+    from crawler_spark.operators.ann import brute_force_topk, lsh_bucketed_topk, lsh_buckets
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2]
+    bf = {(r.query_id, r.neighbor_id): r.rank for r in brute_force_topk(emb, qids, k=10).collect()}
+    lsh = lsh_bucketed_topk(emb, qids, k=3, nbits=4).collect()
+    buckets = {r.vec_id: r.bucket for r in lsh_buckets(emb, nbits=4).collect()}
+    for r in lsh:
+        # every LSH hit shares the query's bucket (the blocking contract)
+        assert buckets[r.neighbor_id] == buckets[r.query_id]
+        assert 1 <= r.rank <= 3
