@@ -222,7 +222,7 @@ def q_global_summary(spark, sf_dir):
 
 
 _Q_GLOBAL_SUMMARY_SQL = """
-    SELECT count(*) AS n_docs, sum(n_chars) AS total_chars,
+    SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
            round(sum(n_chars) / count(*), 4) AS avg_chars,
            count(DISTINCT lang) AS n_langs
     FROM documents
@@ -304,7 +304,7 @@ def q_sessionize(spark, sf_dir):
 
 
 _Q_SESSIONIZE_SQL = """
-    SELECT user_id, sum(new_sess) + 1 AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM (
         SELECT user_id,
                CASE WHEN epoch_ms(ts)

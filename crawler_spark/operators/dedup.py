@@ -165,7 +165,11 @@ def broadcast_probe_col(spark, blooms: DataFrame, n_buckets: int):
     def maybe_seen(h64: pd.Series) -> pd.Series:
         tbl = bc.value
         u = _u64(h64)
-        bucket = (u % np.uint64(n_buckets)).astype(np.int64)
+        # bucket must match Spark's pmod over the SIGNED h64 (bucket_col):
+        # numpy int64 % follows Python semantics (sign of divisor), i.e. pmod.
+        # An unsigned modulo here mis-buckets every negative h64 key for
+        # non-power-of-two n_buckets -> bloom FALSE NEGATIVES (dropped dups).
+        bucket = h64.to_numpy(dtype=np.int64) % np.int64(n_buckets)
         out = np.zeros(len(h64), dtype=bool)
         for b in np.unique(bucket):
             ent = tbl.get(int(b))

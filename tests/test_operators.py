@@ -89,6 +89,26 @@ def test_bloom_never_drops(spark):
     assert got == want
 
 
+def test_bloom_no_false_negatives_nonpow2_buckets(spark):
+    """Regression (round-2 advice): broadcast probe must bucket with the
+    SIGNED pmod like build_bloom, or every negative-h64 seen key probes
+    the wrong bucket and passes dedup as fresh. n_buckets=10 (non-power-
+    of-two) exposes it; 16 masked it."""
+    cand = [f"https://h{i}.com/p/{i}" for i in range(400)]
+    seen = cand[::2]
+    c = with_url_keys(spark.createDataFrame([(u,) for u in cand], ["url"]))
+    s = with_url_keys(spark.createDataFrame([(u,) for u in seen], ["url"]))
+    assert s.filter(F.col("h64") < 0).count() > 0  # fixture exercises negatives
+    blooms = D.build_bloom(s, n_buckets=10, expected_per_bucket=1000)
+    # every seen key must probe maybe=True (bloom has no false negatives)
+    maybe = D.broadcast_probe_col(spark, blooms, 10)
+    n_missed = s.withColumn("maybe", maybe(F.col("h64"))).filter(~F.col("maybe")).count()
+    assert n_missed == 0
+    got = sorted(r.url for r in D.bloom_prefilter(c, blooms, s, 10).collect())
+    want = sorted(r.url for r in D.exact_anti_join(c, s).collect())
+    assert got == want
+
+
 # --- discovery / reconcile --------------------------------------------------
 
 
