@@ -82,7 +82,11 @@ _FRONTIER_SQL = """
 
 def q_frontier_schedule_round(spark, sf_dir):
     """Flagship: one scheduling round — J1 seen anti-join + O-SCHED3
-    host-budget window + O-SCHED1 canonical (rank, host, url) order."""
+    host-budget window + O-SCHED1 canonical (rank, host, url) order.
+    seq comes from the distributed two-phase assigner (range partitions
+    + broadcast offsets) — no single-partition window anywhere."""
+    from crawler_spark.operators.scheduler import assign_global_seq
+
     fr = _frontier_view(spark, sf_dir)
     seen = _t(spark, sf_dir, "orders").filter(F.pmod("o_custkey", F.lit(3)) == 0).select(
         F.col("o_custkey").alias("user_id")
@@ -92,8 +96,10 @@ def q_frontier_schedule_round(spark, sf_dir):
     lim = cand.withColumn("rank_in_host", F.row_number().over(w_host)).filter(
         F.col("rank_in_host") <= 2
     )
-    w_all = Window.orderBy("rank_in_host", "host", "url")
-    return lim.withColumn("seq", F.row_number().over(w_all).cast("long")).select(
+    seqd = assign_global_seq(
+        lim, [F.asc("rank_in_host"), F.asc("host"), F.asc("url")], 0
+    )
+    return seqd.select(
         "seq", F.col("rank_in_host").cast("long").alias("rank_in_host"), "host", "url"
     )
 

@@ -43,7 +43,9 @@ from crawler_spark.operators.scheduler import (
 )
 
 ENGINE_SCHEMAS = {
-    "frontier": S.FRONTIER,
+    "frontier": S.FRONTIER,  # append-only base: seed + discovered links
+    "frontier_state": S.FRONTIER_STATE,  # append-only state deltas (latest wins)
+    "pending_ingest": S.FRONTIER,  # streaming url-monitor staging table
     "seen": S.SEEN,
     "seen_bloom": D.BLOOM_SCHEMA,
     "documents": S.DOCUMENTS,
@@ -72,6 +74,53 @@ ENGINE_SCHEMAS = {
 SITE_TABLES = ["seen", "documents", "records", "entity_seen", "embeddings", "uploaded"]
 
 
+def _state_prio():
+    # tie-break when a delete-cascade delta lands in the same round as a
+    # fetch transition for the same url_hash: deleted always wins
+    return F.when(F.col("state") == S.DELETED, F.lit(2)).otherwise(F.lit(1))
+
+
+def read_frontier_view(spark: SparkSession, io: ParquetSnapshotIO) -> DataFrame:
+    """The effective frontier: append-only base rows with the LATEST
+    state delta applied (delta-state commits — per-round IO is
+    O(|transitions|), never O(|frontier|); the round loop used to
+    rewrite the whole frontier, a ~1 TB/round write at 10^10 URLs).
+
+    Read-side merge = groupBy(url_hash) max(round, prio, state) over the
+    deltas + one equi-join with the base; `maintain()` folds deltas into
+    the base so the chain stays short. On Iceberg the same logical op is
+    MERGE INTO + rewrite_data_files; with BucketedSnapshotIO both sides
+    are bucketed by url_hash, so the merge join is co-located.
+    """
+    base = io.read(spark, "frontier")
+    deltas = io.read(spark, "frontier_state")
+    latest = deltas.groupBy("url_hash").agg(
+        F.max(F.struct(F.col("round"), _state_prio().alias("prio"), F.col("state"))).alias("_rs")
+    )
+    return (
+        base.join(latest, "url_hash", "left")
+        .withColumn("state", F.coalesce(F.col("_rs.state"), F.col("state")))
+        .drop("_rs")
+        .select(*[f.name for f in S.FRONTIER.fields])
+    )
+
+
+def read_host_state_view(spark: SparkSession, io: ParquetSnapshotIO) -> DataFrame:
+    """Effective per-host backoff state: latest append wins (same
+    delta-state pattern as the frontier; the table only ever holds hosts
+    that 429'd, but even that set should not be rewritten per round)."""
+    hs = io.read(spark, "host_state")
+    return (
+        hs.groupBy("host")
+        .agg(F.max(F.struct("last_round", "backoff_until_round")).alias("_s"))
+        .select(
+            "host",
+            F.col("_s.backoff_until_round").alias("backoff_until_round"),
+            F.col("_s.last_round").alias("last_round"),
+        )
+    )
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -82,6 +131,7 @@ class CrawlEngine:
         use_bloom: bool = False,
         bloom_buckets: int = 16,
         bloom_expected_per_bucket: int = 100_000,
+        bloom_broadcast_budget_bytes: int = 256 << 20,
         follow_links: bool = True,
         n_lineage_buckets: int = 8,
         coalesce_writes: int | None = 1,
@@ -103,6 +153,7 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.bloom_buckets = bloom_buckets
         self.bloom_expected = bloom_expected_per_bucket
+        self.bloom_broadcast_budget = bloom_broadcast_budget_bytes
         self.follow_links = follow_links
         self.n_lineage_buckets = n_lineage_buckets
         # per-round appends are tiny (≤ hosts × budget rows): coalesce to
@@ -126,17 +177,19 @@ class CrawlEngine:
             with_url_keys(frontier_urls.select("url"), mode=self.mode)
             .groupBy("url_hash")
             .agg(
-                F.min("url").alias("url"),
-                F.first("h64").alias("h64"),
-                F.min("site").alias("site"),
-                F.min("host").alias("host"),
+                # single struct-min so url/site/host all come from the SAME
+                # lexicographically-least spelling (independent mins could
+                # pair one twin's url with another twin's host casing,
+                # diverging from the oracle's politeness grouping)
+                F.min(F.struct("url", "site", "host")).alias("ush"),
+                F.first("h64").alias("h64"),  # h64 is determined by url_hash
             )
             .select(
-                "url",
+                F.col("ush.url").alias("url"),
                 "url_hash",
                 "h64",
-                "site",
-                "host",
+                F.col("ush.site").alias("site"),
+                F.col("ush.host").alias("host"),
                 F.lit(0).alias("depth"),
                 F.lit(0).alias("discovered_round"),
                 F.lit(S.PENDING).alias("state"),
@@ -146,6 +199,7 @@ class CrawlEngine:
             0,
             overwrites={
                 "frontier": frontier,
+                "frontier_state": self._empty("frontier_state"),
                 "host_state": self._empty("host_state"),
             },
             meta={"seq_total": 0, "mode": self.mode},
@@ -157,10 +211,13 @@ class CrawlEngine:
     # ------------------------------------------------------------- one round
     def run_round(self, rnd: int, world: dict[str, DataFrame]) -> dict:
         io, spark = self.io, self.spark
-        frontier = io.read(spark, "frontier")
+        self.drain_ingest()
+        frontier_base = io.read(spark, "frontier")  # existence checks only
+        frontier = read_frontier_view(spark, io)  # effective states
         seen = io.read(spark, "seen")
         entity_seen = io.read(spark, "entity_seen")
-        host_state = io.read(spark, "host_state")
+        host_state = read_host_state_view(spark, io)
+        persists: list[DataFrame] = []
 
         eng_ctl = io.read(spark, "engine_control")
         cand = gate_candidates(
@@ -169,9 +226,21 @@ class CrawlEngine:
         )
         if self.use_bloom:
             # persistent per-bucket filters, incrementally maintained at
-            # commit time — the seen table itself never shuffles here
+            # commit time — the seen table itself never shuffles here.
+            # probe_mode auto-selects: broadcast while the filter set fits
+            # the driver/executor budget, cogrouped (filters stay on their
+            # bucket partitions) beyond it — a 10^10-key filter set must
+            # never be collect()ed to the driver.
             blooms = io.read(spark, "seen_bloom")
-            deduped = D.bloom_prefilter(cand, blooms, seen, self.bloom_buckets)
+            total_bits = blooms.agg(F.sum("n_bits")).collect()[0][0] or 0
+            mode = (
+                "broadcast"
+                if total_bits // 8 <= self.bloom_broadcast_budget
+                else "cogroup"
+            )
+            deduped = D.bloom_prefilter(
+                cand, blooms, seen, self.bloom_buckets, probe_mode=mode
+            )
         elif hasattr(io, "anti_join_seen"):
             # bucketed IO: chained co-located anti-joins, seen never shuffles
             deduped = io.anti_join_seen(spark, cand)
@@ -187,7 +256,7 @@ class CrawlEngine:
             self._max_budget = max_budget
         scheduled = schedule(
             deduped, rnd, seq_base, self.n_salts, max_budget=max_budget,
-            priority=self.priority,
+            priority=self.priority, persist_registry=persists,
         )
 
         # newly-deleted sites this round -> cascade (J5/C4, crawler.py:557-589)
@@ -210,13 +279,18 @@ class CrawlEngine:
         n_sched = sum(status_counts.values())
 
         if n_sched == 0:
-            overwrites = {}
+            overwrites, appends = {}, {}
             if newly_deleted:
                 overwrites = {
-                    k: self._w(v) for k, v in self._cascade_delete(newly_deleted, frontier).items()
+                    k: self._w(v) for k, v in self._site_table_overwrites(newly_deleted).items()
                 }
-            io.commit(rnd, overwrites=overwrites, meta={"seq_total": seq_base})
+                appends["frontier_state"] = self._w(
+                    self._delete_deltas(frontier, newly_deleted, rnd)
+                )
+            io.commit(rnd, appends=appends, overwrites=overwrites, meta={"seq_total": seq_base})
             fetched.unpersist()
+            for df in persists:
+                df.unpersist()
             pending = frontier.filter(F.col("state") == S.PENDING)
             if all_deleted:
                 pending = pending.filter(~F.col("site").isin(list(all_deleted)))
@@ -267,22 +341,22 @@ class CrawlEngine:
                 .join(F.broadcast(hosts), "host", "left_semi")
                 .groupBy("url_hash")
                 .agg(
-                    F.min(F.struct("depth", "url")).alias("du"),
+                    # ONE struct-min: site/host must come from the same
+                    # (depth, url)-minimal twin, not independent column mins
+                    F.min(F.struct("depth", "url", "site", "host")).alias("du"),
                     F.first("h64").alias("h64"),
-                    F.min("site").alias("site"),
-                    F.min("host").alias("host"),
                 )
                 .select(
                     F.col("du.url").alias("url"),
                     "url_hash",
                     "h64",
-                    "site",
-                    "host",
+                    F.col("du.site").alias("site"),
+                    F.col("du.host").alias("host"),
                     F.col("du.depth").alias("depth"),
                     F.lit(rnd).alias("discovered_round"),
                     F.lit(S.PENDING).alias("state"),
                 )
-                .join(frontier.select("url_hash"), "url_hash", "left_anti")
+                .join(frontier_base.select("url_hash"), "url_hash", "left_anti")
                 .select(*[f.name for f in S.FRONTIER.fields])
             )
         else:
@@ -290,18 +364,15 @@ class CrawlEngine:
         links = links.cache()
         n_links = links.count()
 
-        # --- frontier state transitions ------------------------------------
-        updates = ok.select("url_hash", F.lit(S.FETCHED).alias("new_state")).unionByName(
-            errs.select("url_hash", F.lit(S.ERROR).alias("new_state"))
-        )
-        frontier2 = (
-            frontier.join(updates, "url_hash", "left")
-            .withColumn("state", F.coalesce("new_state", "state"))
-            .drop("new_state")
-            .unionByName(links)
+        # --- frontier state transitions (append-only deltas; the frontier
+        # base is NEVER rewritten in the round loop — O(|delta|) commit IO)
+        state_deltas = ok.select(
+            "url_hash", F.lit(S.FETCHED).alias("state"), F.lit(rnd).alias("round")
+        ).unionByName(
+            errs.select("url_hash", F.lit(S.ERROR).alias("state"), F.lit(rnd).alias("round"))
         )
 
-        # --- host backoff state (O-SCHED4) ---------------------------------
+        # --- host backoff state (O-SCHED4): latest-wins append -------------
         new_back = (
             f429.select("host")
             .distinct()
@@ -310,8 +381,8 @@ class CrawlEngine:
                 F.lit(rnd) + backoff_rounds_expr(F.col("host"), rnd),
             )
             .withColumn("last_round", F.lit(rnd))
+            .select("host", "backoff_until_round", "last_round")
         )
-        host_state2 = host_state.join(new_back, "host", "left_anti").unionByName(new_back)
 
         # --- metrics / order / log -----------------------------------------
         crawl_order = fetched.select("round", "seq", "site", "url", "status")
@@ -357,6 +428,9 @@ class CrawlEngine:
         )
 
         appends = {
+            "frontier": links,
+            "frontier_state": state_deltas,
+            "host_state": new_back,
             "seen": new_seen,
             "documents": docs,
             "records": records,
@@ -369,13 +443,13 @@ class CrawlEngine:
         if self.embed_dim:
             appends["embeddings"] = new_emb
             appends["uploaded"] = new_upl
-        overwrites = {"frontier": frontier2, "host_state": host_state2}
+        overwrites: dict[str, DataFrame] = {}
         if self.use_bloom:
             # OR the new seen keys into the bucket filters (no rebuild);
             # on a deletion round the filters are rebuilt from the exact
             # set instead (delete support = rebuild-from-truth)
             if newly_deleted:
-                seen_after = self._cascade_delete(newly_deleted, frontier2)["seen"].unionByName(
+                seen_after = self._site_table_overwrites(newly_deleted)["seen"].unionByName(
                     new_seen.filter(~F.col("site").isin(newly_deleted))
                 )
                 overwrites["seen_bloom"] = D.build_bloom(
@@ -391,8 +465,11 @@ class CrawlEngine:
         if newly_deleted:
             # cascade: for each site-keyed table, fold this round's append
             # into the filtered overwrite (an overwrite replaces the whole
-            # path list, so the append must ride along or it would be lost)
-            cascade = self._cascade_delete(newly_deleted, frontier2)
+            # path list, so the append must ride along or it would be lost);
+            # the frontier cascade is DELTAS — deleted-state rows for the
+            # site's base rows plus this round's links, O(|site|) not
+            # O(|frontier|)
+            cascade = self._site_table_overwrites(newly_deleted)
             for name in SITE_TABLES:
                 overwrites[name] = cascade[name]
                 this_round = appends.pop(name, None)
@@ -400,7 +477,9 @@ class CrawlEngine:
                     overwrites[name] = cascade[name].unionByName(
                         this_round.filter(~F.col("site").isin(newly_deleted))
                     )
-            overwrites["frontier"] = cascade["frontier"]
+            appends["frontier_state"] = state_deltas.unionByName(
+                self._delete_deltas(frontier.unionByName(links), newly_deleted, rnd)
+            )
         appends = {k: self._w(v) for k, v in appends.items()}
         overwrites = {k: self._w(v) for k, v in overwrites.items()}
 
@@ -420,23 +499,44 @@ class CrawlEngine:
         }
         fetched.unpersist()
         links.unpersist()
+        for df in persists:
+            df.unpersist()
         return stats
 
-    def _cascade_delete(self, sites: list[str], frontier2: DataFrame) -> dict[str, DataFrame]:
-        """C4: delete a site everywhere (read-filter-overwrite of the
-        site-keyed tables; frontier rows flip to state='deleted')."""
-        out: dict[str, DataFrame] = {}
-        for name in SITE_TABLES:
-            out[name] = self.io.read(self.spark, name).filter(~F.col("site").isin(sites))
-        out["frontier"] = frontier2.withColumn(
-            "state",
-            F.when(F.col("site").isin(sites), F.lit(S.DELETED)).otherwise(F.col("state")),
+    def _site_table_overwrites(self, sites: list[str]) -> dict[str, DataFrame]:
+        """C4 cascade: filtered overwrites of the site-keyed tables
+        (rare lifecycle op — per-round state stays append-only)."""
+        return {
+            name: self.io.read(self.spark, name).filter(~F.col("site").isin(sites))
+            for name in SITE_TABLES
+        }
+
+    def _delete_deltas(self, frontier_view: DataFrame, sites: list[str], rnd: int) -> DataFrame:
+        """Deleted-state tombstone deltas for every not-yet-deleted row of
+        the given sites (the frontier half of the C4 cascade)."""
+        return (
+            frontier_view.filter(F.col("site").isin(sites) & (F.col("state") != S.DELETED))
+            .select("url_hash", F.lit(S.DELETED).alias("state"), F.lit(rnd).alias("round"))
         )
-        return out
+
+    # ------------------------------------------------- streaming ingestion
+    def drain_ingest(self) -> int:
+        """Fold streamed URL rows (pending_ingest, written by
+        streaming.stream_frontier_ingest) into the frontier base.
+
+        Consumed delta paths are pinned and removed in the same atomic
+        commit that appends the merged rows (see
+        streaming.drain_pending_ingest) — replaces the old
+        read-union-overwrite sink that raced with the round loop."""
+        from crawler_spark.streaming import drain_pending_ingest
+
+        return drain_pending_ingest(self.spark, self.io, self.coalesce_writes)
 
     # ---------------------------------------------------- lifecycle (C1-C5)
-    def _write_control(self, site: str, paused: bool | None = None, deleted: bool | None = None):
-        """Upsert one site's lifecycle flags (tiny table; collect+rewrite)."""
+    def _control_df(self, site: str, paused: bool | None = None, deleted: bool | None = None) -> DataFrame:
+        """Updated lifecycle-flags table for one site's change (tiny
+        table; collect+rewrite). Returned, not committed — callers fold
+        it into the same atomic commit as any cascade."""
         rows = {
             r.site: [r.paused, r.deleted]
             for r in self.io.read(self.spark, "engine_control").collect()
@@ -447,12 +547,15 @@ class CrawlEngine:
         if deleted is not None:
             cur[1] = deleted
         rows[site] = cur
-        df = self.spark.createDataFrame(
+        return self.spark.createDataFrame(
             [(s, p, d) for s, (p, d) in sorted(rows.items())],
             ENGINE_SCHEMAS["engine_control"],
         )
+
+    def _write_control(self, site: str, paused: bool | None = None, deleted: bool | None = None):
         self.io.commit(
-            self.io.last_round(), overwrites={"engine_control": self._w(df)}
+            self.io.last_round(),
+            overwrites={"engine_control": self._w(self._control_df(site, paused, deleted))},
         )
 
     def pause_site(self, site: str) -> None:
@@ -465,13 +568,20 @@ class CrawlEngine:
 
     def delete_site(self, site: str) -> None:
         """C4 (app.py:505-563, crawler.py:557-589): immediate cascade
-        across all site-keyed tables + a standing deleted flag."""
-        frontier = self.io.read(self.spark, "frontier")
-        cascade = self._cascade_delete([site], frontier)
+        across all site-keyed tables + a standing deleted flag — ONE
+        atomic commit, so a crash can never leave the cascade applied
+        without the flag (the site would be silently recrawlable)."""
+        rnd = max(self.io.last_round(), 0)
+        frontier = read_frontier_view(self.spark, self.io)
+        overwrites = {
+            k: self._w(v) for k, v in self._site_table_overwrites([site]).items()
+        }
+        overwrites["engine_control"] = self._w(self._control_df(site, deleted=True))
         self.io.commit(
-            self.io.last_round(), overwrites={k: self._w(v) for k, v in cascade.items()}
+            rnd,
+            appends={"frontier_state": self._w(self._delete_deltas(frontier, [site], rnd))},
+            overwrites=overwrites,
         )
-        self._write_control(site, deleted=True)
 
     def add_sites(self, frontier_urls: DataFrame) -> None:
         """C1/C2 + U1 union-merge: page URLs (url[, site]) join the
@@ -483,13 +593,15 @@ class CrawlEngine:
             with_url_keys(frontier_urls.select("url"), mode=self.mode)
             .groupBy("url_hash")
             .agg(
-                F.min("url").alias("url"),
+                F.min(F.struct("url", "site", "host")).alias("ush"),
                 F.first("h64").alias("h64"),
-                F.min("site").alias("site"),
-                F.min("host").alias("host"),
             )
             .select(
-                "url", "url_hash", "h64", "site", "host",
+                F.col("ush.url").alias("url"),
+                "url_hash",
+                "h64",
+                F.col("ush.site").alias("site"),
+                F.col("ush.host").alias("host"),
                 F.lit(0).alias("depth"),
                 F.lit(rnd).alias("discovered_round"),
                 F.lit(S.PENDING).alias("state"),
@@ -498,21 +610,56 @@ class CrawlEngine:
             .join(seen.select("url_hash"), "url_hash", "left_anti")
             .select(*[f.name for f in S.FRONTIER.fields])
         )
-        self.io.commit(
-            rnd,
-            overwrites={"frontier": self._w(frontier.unionByName(new))},
+        self.io.commit(rnd, appends={"frontier": self._w(new)})
+
+    def add_raw_sites(
+        self,
+        raw_urls: DataFrame,
+        robots: DataFrame,
+        sitemaps: DataFrame,
+        url_filter: str | None = None,
+    ) -> DataFrame:
+        """C1 from bare URLs (the reference's /process entry,
+        app.py:270-344): sitemap-vs-site dispatch + robots-first with
+        /sitemap.xml fallback + site-name validation (P2/F5/P4), then
+        the discovered pages join the frontier. Unresolvable sitemap
+        URLs are recorded in fetch_log with SITEMAP_ERROR_STATUS (the
+        reference's SITEMAP error category, app.py:704-714). Returns the
+        rejected (url, site) rows (invalid site names) for the caller
+        to surface."""
+        from crawler_spark.operators.discovery import discover_from_raw_seeds
+
+        pages, rejected, unresolved = discover_from_raw_seeds(
+            raw_urls, robots, sitemaps, url_filter
         )
+        self.add_sites(pages)
+        rnd = max(self.io.last_round(), 0)
+        sm_errors = unresolved.select(
+            F.lit(rnd).alias("round"),
+            F.col("sitemap_url").alias("url"),
+            F.lit(S.SITEMAP_ERROR_STATUS).alias("status"),
+            F.lit(0).cast("long").alias("bytes"),
+        )
+        if not sm_errors.isEmpty():
+            self.io.commit(rnd, appends={"fetch_log": self._w(sm_errors)})
+        return rejected
 
     def restart_site(self, site: str, frontier_urls: DataFrame) -> None:
         """C5 (app.py:565-600): purge the site everywhere, clear flags,
-        re-seed from its original URLs."""
-        frontier = self.io.read(self.spark, "frontier").filter(F.col("site") != site)
-        cascade = self._cascade_delete([site], frontier)
-        cascade["frontier"] = frontier
-        self.io.commit(
-            self.io.last_round(), overwrites={k: self._w(v) for k, v in cascade.items()}
+        re-seed from its original URLs. The frontier overwrite folds the
+        state deltas into the base (a compaction) and clears the delta
+        chain — otherwise stale fetched/deleted tombstones would apply to
+        the re-seeded rows of the same url_hash."""
+        keep = read_frontier_view(self.spark, self.io).filter(F.col("site") != site)
+        overwrites = {
+            k: self._w(v) for k, v in self._site_table_overwrites([site]).items()
+        }
+        overwrites["frontier"] = self._w(keep)
+        overwrites["frontier_state"] = self._empty("frontier_state")
+        overwrites["engine_control"] = self._w(
+            self._control_df(site, paused=False, deleted=False)
         )
-        self._write_control(site, paused=False, deleted=False)
+        self.io.commit(self.io.last_round(), overwrites=overwrites)
         self.add_sites(frontier_urls)
 
     def refresh_sitemaps(self, world: dict[str, DataFrame], url_filter: str | None = None) -> None:
@@ -534,14 +681,17 @@ class CrawlEngine:
             .select("url_hash")
             .distinct()
         )
-        frontier = io.read(spark, "frontier")
+        frontier = read_frontier_view(spark, io)
         removed = frontier.filter(F.col("depth") == 0).join(
             cur_keys, "url_hash", "left_anti"
         )
         removed_keys = removed.select("url_hash")
         removed_urls = removed.select("url")
         overwrites = {
+            # overwrite folds deltas into the base (states preserved) and
+            # clears the chain — tombstoned rows vanish entirely
             "frontier": frontier.join(removed_keys, "url_hash", "left_anti"),
+            "frontier_state": self._empty("frontier_state"),
             "seen": io.read(spark, "seen").join(removed_keys, "url_hash", "left_anti"),
             "documents": io.read(spark, "documents").join(
                 removed_keys.withColumnRenamed("url_hash", "doc_id"), "doc_id", "left_anti"
@@ -554,10 +704,68 @@ class CrawlEngine:
     def maintain(self, max_paths: int = 32) -> None:
         """Snapshot maintenance (Iceberg rewrite_data_files analog):
         compact append tables whose delta-path lists grew past
-        max_paths, so reads stay O(files) instead of O(rounds)."""
+        max_paths, so reads stay O(files) instead of O(rounds).
+
+        The frontier pair compacts together: fold the state deltas into
+        the base (one MERGE-shaped rewrite, amortized over max_paths
+        rounds) and clear the delta chain. host_state collapses to its
+        latest-wins view."""
         for name in ("seen", "documents", "records", "entity_seen", "fetch_log"):
             if len(self.io.table_paths(name)) > max_paths:
                 self.io.compact(self.spark, name, self.io.last_round())
+        if len(self.io.table_rels("frontier_state")) + len(
+            self.io.table_rels("frontier")
+        ) > max_paths:
+            self.io.commit(
+                self.io.last_round(),
+                overwrites={
+                    "frontier": self._w(read_frontier_view(self.spark, self.io)),
+                    "frontier_state": self._empty("frontier_state"),
+                },
+            )
+        if len(self.io.table_rels("host_state")) > max_paths:
+            self.io.commit(
+                self.io.last_round(),
+                overwrites={
+                    "host_state": self._w(read_host_state_view(self.spark, self.io))
+                },
+            )
+        if self.use_bloom:
+            self.rebuild_saturated_blooms()
+
+    def rebuild_saturated_blooms(self, max_fill: float = 0.5) -> int:
+        """Cuckoo-compaction analog (SURVEY.md §4 X4): buckets whose key
+        count outgrew their sizing budget are rebuilt from the exact
+        seen set at double the observed capacity, bounding fpp for the
+        rest of the crawl (a saturated filter never returns wrong
+        results — it only degrades the prefilter toward 'probe
+        everything'). Returns the number of rebuilt buckets."""
+        spark, io = self.spark, self.io
+        blooms = io.read(spark, "seen_bloom")
+        sat = {
+            int(r.bucket): int(r.n_keys)
+            for r in D.saturated_buckets(blooms, max_fill=max_fill).collect()
+        }
+        if not sat:
+            return 0
+        flagged = list(sat)
+        seen_flagged = (
+            io.read(spark, "seen")
+            .withColumn("bucket", D.bucket_col("h64", self.bloom_buckets))
+            .filter(F.col("bucket").isin(flagged))
+            .drop("bucket")
+        )
+        rebuilt = D.build_bloom(
+            seen_flagged,
+            self.bloom_buckets,
+            expected_per_bucket=2 * max(sat.values()),
+        )
+        keep = blooms.filter(~F.col("bucket").isin(flagged))
+        io.commit(
+            io.last_round(),
+            overwrites={"seen_bloom": self._w(keep.unionByName(rebuilt))},
+        )
+        return len(flagged)
 
     # ------------------------------------------------------------- run loop
     def run(

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from crawler_spark.io.snapshot import ParquetSnapshotIO
 
-BUCKETED_TABLES = ("frontier", "seen")
+BUCKETED_TABLES = ("frontier", "frontier_state", "seen")
 
 
 def _ddl_cols(schema) -> str:

@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,6 +52,10 @@ class ParquetSnapshotIO(TableIO):
     def __init__(self, root: str, schemas: dict[str, "object"] | None = None):
         self.root = root
         self.schemas = schemas or {}
+        # serializes the manifest read-modify-swap so an engine round loop
+        # and a streaming foreachBatch sink (separate thread, same process)
+        # can both commit without losing each other's table updates
+        self._commit_lock = threading.Lock()
         os.makedirs(os.path.join(root, "_manifest"), exist_ok=True)
         os.makedirs(os.path.join(root, "tables"), exist_ok=True)
 
@@ -73,7 +78,11 @@ class ParquetSnapshotIO(TableIO):
             return json.load(f)
 
     def table_paths(self, name: str) -> list[str]:
-        return [os.path.join(self.root, p) for p in self.manifest()["tables"].get(name, [])]
+        return [os.path.join(self.root, p) for p in self.table_rels(name)]
+
+    def table_rels(self, name: str) -> list[str]:
+        """Manifest-relative path list for a table (the delta chain)."""
+        return list(self.manifest()["tables"].get(name, []))
 
     # --- read/write --------------------------------------------------------
     def read(self, spark: SparkSession, name: str) -> DataFrame:
@@ -89,6 +98,16 @@ class ParquetSnapshotIO(TableIO):
             # accumulated delta paths (matters once appends pile up)
             reader = reader.schema(schema)
         return reader.parquet(*paths)
+
+    def read_rels(self, spark: SparkSession, name: str, rels: list[str]) -> DataFrame:
+        """Read a PINNED list of delta paths (not whatever the live
+        manifest says) — lets a consumer snapshot exactly what it will
+        later mark consumed, immune to concurrent appends."""
+        schema = self.schemas.get(name)
+        if not rels:
+            return spark.createDataFrame([], schema)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.parquet(*[os.path.join(self.root, r) for r in rels])
 
     def _write_version_dir(self, name: str, version: int, df: DataFrame) -> str:
         rel = os.path.join("tables", name, f"v{version}")
@@ -108,46 +127,55 @@ class ParquetSnapshotIO(TableIO):
         appends: dict[str, DataFrame] | None = None,
         overwrites: dict[str, DataFrame] | None = None,
         meta: dict | None = None,
+        consumes: dict[str, list[str]] | None = None,
     ) -> int:
         """Stage parquet for every changed table, then swap the pointer.
 
         appends: new rows only — manifest accumulates the path list.
         overwrites: full replacement — manifest points at the new path only.
+        consumes: {table: rel_paths} to REMOVE from a table's path list in
+        the same atomic swap (e.g. pending-ingest deltas folded into the
+        frontier this commit). Paths appended concurrently by another
+        writer are untouched.
         """
-        prev = self.manifest()
-        tables: dict[str, list[str]] = {k: list(v) for k, v in prev["tables"].items()}
-        version = prev["version"] + 1
-        # stage all table writes concurrently — Spark schedules the jobs in
-        # parallel and atomicity only depends on the pointer swap below
-        from concurrent.futures import ThreadPoolExecutor
+        with self._commit_lock:
+            prev = self.manifest()
+            tables: dict[str, list[str]] = {k: list(v) for k, v in prev["tables"].items()}
+            version = prev["version"] + 1
+            # stage all table writes concurrently — Spark schedules the jobs in
+            # parallel and atomicity only depends on the pointer swap below
+            from concurrent.futures import ThreadPoolExecutor
 
-        jobs = [("a", n, df) for n, df in (appends or {}).items()] + [
-            ("o", n, df) for n, df in (overwrites or {}).items()
-        ]
-        with ThreadPoolExecutor(max_workers=min(8, max(1, len(jobs)))) as ex:
-            rels = list(
-                ex.map(lambda j: (j[0], j[1], self._write_version_dir(j[1], version, j[2])), jobs)
-            )
-        for kind, name, rel in rels:
-            if kind == "a":
-                tables.setdefault(name, []).append(rel)
-            else:
-                tables[name] = [rel]
-        man = {
-            "version": version,
-            "round": round_no,
-            "tables": tables,
-            "meta": {**prev.get("meta", {}), **(meta or {})},
-        }
-        man_path = os.path.join(self.root, "_manifest", f"v{version}.json")
-        with open(man_path + ".tmp", "w") as f:
-            json.dump(man, f, indent=1, sort_keys=True)
-        os.rename(man_path + ".tmp", man_path)
-        cur = self._current_path()
-        with open(cur + ".tmp", "w") as f:
-            f.write(str(version))
-        os.rename(cur + ".tmp", cur)  # the atomic commit point
-        return version
+            jobs = [("a", n, df) for n, df in (appends or {}).items()] + [
+                ("o", n, df) for n, df in (overwrites or {}).items()
+            ]
+            with ThreadPoolExecutor(max_workers=min(8, max(1, len(jobs)))) as ex:
+                rels = list(
+                    ex.map(lambda j: (j[0], j[1], self._write_version_dir(j[1], version, j[2])), jobs)
+                )
+            for name, eaten in (consumes or {}).items():
+                gone = set(eaten)
+                tables[name] = [p for p in tables.get(name, []) if p not in gone]
+            for kind, name, rel in rels:
+                if kind == "a":
+                    tables.setdefault(name, []).append(rel)
+                else:
+                    tables[name] = [rel]
+            man = {
+                "version": version,
+                "round": round_no,
+                "tables": tables,
+                "meta": {**prev.get("meta", {}), **(meta or {})},
+            }
+            man_path = os.path.join(self.root, "_manifest", f"v{version}.json")
+            with open(man_path + ".tmp", "w") as f:
+                json.dump(man, f, indent=1, sort_keys=True)
+            os.rename(man_path + ".tmp", man_path)
+            cur = self._current_path()
+            with open(cur + ".tmp", "w") as f:
+                f.write(str(version))
+            os.rename(cur + ".tmp", cur)  # the atomic commit point
+            return version
 
     # --- maintenance -------------------------------------------------------
     def compact(self, spark: SparkSession, name: str, round_no: int) -> None:

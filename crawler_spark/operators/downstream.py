@@ -81,15 +81,35 @@ def embed_new_records(
         .join(embeddings.select("site", "key"), ["site", "key"], "left_anti")
     )
     prepared = prepare_embed_text(cand)
+    # F13 auto-flatten (crawler.py:1243-1247): every TOP-LEVEL PRIMITIVE
+    # of the schema dict joins the metadata map; nested objects/arrays
+    # are skipped. JVM-side: from_json to map<string,string> stringifies
+    # every value ('{...}'/'[...]' for non-primitives — filtered out),
+    # and schema keys override the base type/url entries exactly like
+    # the reference's dict-assignment order.
+    prims = F.map_filter(
+        F.coalesce(
+            F.from_json("payload_json", "map<string,string>"),
+            F.expr("map()").cast("map<string,string>"),
+        ),
+        lambda k, v: v.isNotNull()
+        & ~F.ltrim(v).startswith("{")
+        & ~F.ltrim(v).startswith("["),
+    )
+    base = F.create_map(
+        F.lit("type"), F.coalesce(F.element_at("types", 1), F.lit("")),
+        F.lit("url"), F.col("url"),
+    )
+    metadata = F.map_concat(
+        F.map_filter(base, lambda k, _v: ~F.array_contains(F.map_keys(prims), k)),
+        prims,
+    )
     return prepared.select(
         "key",
         "site",
         hash_embedding(F.col("embed_text"), dim).alias("embedding"),
         F.lit(round_no).alias("round"),
-        F.create_map(
-            F.lit("type"), F.coalesce(F.element_at("types", 1), F.lit("")),
-            F.lit("url"), F.col("url"),
-        ).alias("metadata"),
+        metadata.alias("metadata"),
         F.col("payload_json").alias("schema_json"),
     )
 

@@ -12,15 +12,33 @@ Plan shape: `scheduled` is bounded by n_hosts × budget rows per round —
 with AQE it becomes the broadcast side against an arbitrarily large
 `web`, so the big table never shuffles.
 
-`fetch_via_http` sketches the real-cluster operator: mapInPandas over
-the salted assignment, one HTTP client per partition — stubbed here
-because the sandbox has no network/aiohttp.
+`fetch_via_http` is the real-cluster operator: mapInPandas over the
+salted (salt, host) assignment with an injectable `transport` callable
+(url -> (status, spans, out_links)), per-host min-delay honored WITHIN
+each partition (the scheduler already bounded per-host rows per round).
+The default transport uses urllib (no aiohttp in this image) and is the
+only part that needs network — everything else is tested against a fake
+transport reproducing the synthetic web.
 """
 
 from __future__ import annotations
 
+import time
+from typing import Callable, Iterable, Optional
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# reference UA string semantics (crawler.py:49-52): identify as a crawler
+USER_AGENT = "crawler-spark/0.2 (+https://example.invalid/bot)"
+
+# transport result: (status:int, spans:list[dict]|None, out_links:list[str]|None)
+Transport = Callable[[str], tuple]
+
+TIMEOUT_STATUS = 0  # reference logs TIMEOUT (crawler.py:998-1002)
+TRANSPORT_ERROR_STATUS = 599  # any other transport exception
 
 
 def simulate_fetch(
@@ -61,18 +79,95 @@ def simulate_fetch(
     )
 
 
-def fetch_via_http(scheduled: DataFrame, timeout_s: int = 30) -> DataFrame:
-    """Real-cluster fetch operator (NOT runnable in this sandbox).
+def default_urllib_transport(timeout_s: float = 30.0, user_agent: str = USER_AGENT) -> Transport:
+    """Network transport for real clusters (reference crawler.py:951-958:
+    GET with UA header + 30 s timeout). Raw HTML becomes one text span;
+    href targets become out_links (a real deployment swaps in its HTML->
+    span extractor here). Unusable in this sandbox (no network) — tests
+    inject a fake transport instead."""
+    import re
+    import urllib.request
 
-    Shape: scheduled.repartition("salt", "host").mapInPandas(batch_get,
-    schema=scheduled.schema + status/spans/out_links/bytes), where
-    batch_get opens one pooled HTTP client per partition and GETs each
-    URL with a per-host min-delay honoring the same budget the
-    scheduler enforced. Kept as an explicit stub so the cluster path is
-    visible and typed.
+    href = re.compile(r"""href=["']([^"'#][^"']*)["']""")
+
+    def get(url: str) -> tuple:
+        req = urllib.request.Request(url, headers={"User-Agent": user_agent})
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            body = resp.read().decode("utf-8", errors="replace")
+        spans = [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
+        return 200, spans, href.findall(body)
+
+    return get
+
+
+def fetch_via_http(
+    scheduled: DataFrame,
+    transport: Optional[Transport] = None,
+    timeout_s: float = 30.0,
+    min_delay_s: float = 0.0,
+    user_agent: str = USER_AGENT,
+) -> DataFrame:
+    """Wire fetch: mapInPandas over the salted (salt, host) assignment.
+
+    Within a partition, rows are processed in (host, url) order and
+    same-host requests are paced >= min_delay_s apart (O-SCHED3 inside
+    the politeness quantum; the scheduler's budget window already
+    bounded per-host rows per round, so the pacing loop is short). All
+    of a host's rows land in ONE partition (repartition on salt+host),
+    so in-partition pacing is global pacing for that host.
+
+    transport(url) -> (status, spans, out_links); timeouts map to
+    status 0 (reference TIMEOUT, crawler.py:998-1002), other transport
+    failures to 599 (reference ERROR path, crawler.py:1004-1006). The
+    output schema/columns match simulate_fetch exactly, so the round
+    loop is transport-agnostic.
     """
-    raise NotImplementedError(
-        "sandbox has no network; use simulate_fetch. On a cluster, implement "
-        "batch_get with aiohttp/httpx inside mapInPandas over (salt, host) "
-        "partitions."
+    if transport is None:
+        transport = default_urllib_transport(timeout_s, user_agent)
+
+    from crawler_spark import schemas as S
+
+    out_schema = T.StructType(
+        list(scheduled.schema.fields)
+        + [
+            T.StructField("status", T.IntegerType(), False),
+            T.StructField("spans", S.SPANS, True),
+            T.StructField("out_links", T.ArrayType(T.StringType()), True),
+            T.StructField("bytes", T.LongType(), False),
+        ]
     )
+
+    def batch_get(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        last_hit: dict[str, float] = {}  # per-partition per-host pacing clock
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["host", "url"], kind="mergesort").reset_index(drop=True)
+            statuses, spanss, linkss, nbytes = [], [], [], []
+            for host, url in zip(pdf["host"], pdf["url"]):
+                if min_delay_s:
+                    prev = last_hit.get(host)
+                    now = time.monotonic()
+                    if prev is not None and now - prev < min_delay_s:
+                        time.sleep(min_delay_s - (now - prev))
+                    last_hit[host] = time.monotonic()
+                try:
+                    status, spans, links = transport(url)
+                except TimeoutError:
+                    status, spans, links = TIMEOUT_STATUS, None, None
+                except Exception:
+                    status, spans, links = TRANSPORT_ERROR_STATUS, None, None
+                statuses.append(int(status))
+                spanss.append(spans)
+                linkss.append(links)
+                nbytes.append(
+                    sum(len(s.get("text") or "") + len(s.get("media_ref") or "") for s in spans)
+                    if status == 200 and spans
+                    else 0
+                )
+            pdf = pdf.assign(status=statuses, bytes=nbytes)
+            pdf["spans"] = spanss
+            pdf["out_links"] = linkss
+            yield pdf[[f.name for f in out_schema.fields]]
+
+    return scheduled.repartition("salt", "host").mapInPandas(batch_get, out_schema)

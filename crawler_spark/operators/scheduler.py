@@ -26,10 +26,11 @@ as window functions:
   `schedule`), not by the salt.
 
 Scale note: the per-host row_number window shuffles only *candidate*
-rows (pending ∩ not-seen), and the global ordering window runs on the
-post-budget set, which is bounded by n_hosts × budget rows per round —
-tiny relative to a 10^10 frontier, so the single-partition ordering
-window is not a bottleneck.
+rows (pending ∩ not-seen). The canonical `seq` is assigned WITHOUT a
+single-partition global window: `assign_global_seq` range-partitions on
+the order key and adds broadcast per-partition offsets, so even when
+n_hosts × budget approaches frontier size (10^7-10^8 hosts at 100 TB)
+no task ever sees more than its range slice.
 """
 
 from __future__ import annotations
@@ -130,6 +131,61 @@ PRIORITY_ORDERS = {
 }
 
 
+def assign_global_seq(
+    df: DataFrame,
+    order_cols: list,
+    seq_base: int,
+    n_parts: int | None = None,
+    persist_registry: list | None = None,
+) -> DataFrame:
+    """Distributed total-order id assignment (no single-partition window).
+
+    `row_number().over(Window.orderBy(...))` funnels every row through ONE
+    task — fine when the post-budget set is small, a scale-killer when
+    n_hosts × budget IS the frontier (10^7-10^8 hosts). Two-phase instead:
+
+      1. repartitionByRange on the order key (parallel range shuffle) and
+         number rows within each partition (window partitioned by the
+         range-partition id — a parallel exchange, never a funnel);
+      2. per-partition row counts (n_parts tiny rows, collected) become
+         broadcast offsets; seq = seq_base + offset[pid] + local rank.
+
+    The result is identical to the global row_number for any range
+    boundaries, because ranges are contiguous in the total order — so
+    sampling nondeterminism in the range partitioner cannot change seq.
+
+    The range-partitioned intermediate is persisted (it is consumed twice:
+    counts + final join); callers pass persist_registry to unpersist when
+    the round's outputs are materialized.
+    """
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    if persist_registry is not None:
+        persist_registry.append(parted)
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += int(n)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        parted.join(F.broadcast(off_df), parted["_pid"] == off_df["pid"])
+        .withColumn(
+            "seq", (F.row_number().over(w) + F.col("_off") + F.lit(seq_base)).cast("long")
+        )
+        .drop("_pid", "pid", "_off")
+    )
+
+
 def schedule(
     deduped: DataFrame,
     round_no: int,
@@ -137,6 +193,7 @@ def schedule(
     n_salts: int = 8,
     max_budget: int = 64,
     priority: str = "fifo",
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Budget window + canonical order + skew salt.
 
@@ -165,10 +222,14 @@ def schedule(
         .filter(F.col("rank_in_host") <= F.lit(max_budget))  # WindowGroupLimit
         .filter(F.col("rank_in_host") <= F.col("crawl_budget"))
     )
-    w_all = Window.orderBy("rank_in_host", "site", *order)
+    seqd = assign_global_seq(
+        limited,
+        [F.asc("rank_in_host"), F.asc("site"), *order],
+        seq_base,
+        persist_registry=persist_registry,
+    )
     return (
-        limited.withColumn("seq", (F.row_number().over(w_all) + F.lit(seq_base)).cast("long"))
-        .withColumn(
+        seqd.withColumn(
             "salt",
             F.pmod(F.xxhash64(F.col("host"), F.lit(round_no)), F.lit(n_salts)).cast("int"),
         )

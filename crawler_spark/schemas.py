@@ -85,6 +85,12 @@ SITE_CONTROL = T.StructType(
 
 # --- engine state tables ---------------------------------------------------
 
+# synthetic status codes in fetch_log beyond real HTTP statuses:
+#   0   timeout (reference TIMEOUT, crawler.py:998-1002)
+#   597 sitemap discovery failure (reference SITEMAP category, app.py:704-714)
+#   599 transport error (reference ERROR, crawler.py:1004-1006)
+SITEMAP_ERROR_STATUS = 597
+
 # frontier states
 PENDING = "pending"
 FETCHED = "fetched"
@@ -101,6 +107,20 @@ FRONTIER = T.StructType(
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("discovered_round", T.IntegerType(), False),
         T.StructField("state", T.StringType(), False),
+    ]
+)
+
+# append-only frontier state transitions (delta-state commits): a base
+# frontier row's effective state = latest delta by (round, prio), falling
+# back to the state it was inserted with. Rewriting the whole frontier per
+# round is O(|frontier|) IO — the one scale-killer at 10^10 URLs — so the
+# round commit appends O(|delta|) rows here instead; maintain() compacts
+# (on Iceberg this is the MERGE INTO + rewrite_data_files pair).
+FRONTIER_STATE = T.StructType(
+    [
+        T.StructField("url_hash", T.StringType(), False),
+        T.StructField("state", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
     ]
 )
 

@@ -96,9 +96,13 @@ def recent_log(spark: SparkSession, io: ParquetSnapshotIO, k: int = 100) -> Data
 
 def error_log(spark: SparkSession, io: ParquetSnapshotIO, k: int = 200) -> DataFrame:
     """T4 + P8: recent non-200 lines with the error-category CASE chain
-    (app.py:704-714)."""
+    (app.py:704-714) — including the reference's SITEMAP category for
+    discovery failures (sitemap-first, like the reference's dispatch)."""
+    from crawler_spark.schemas import SITEMAP_ERROR_STATUS
+
     cat = (
-        F.when(F.col("status") == 429, "rate_limit")
+        F.when(F.col("status") == SITEMAP_ERROR_STATUS, "sitemap")
+        .when(F.col("status") == 429, "rate_limit")
         .when(F.col("status") == 404, "not_found")
         .when(F.col("status") == 0, "timeout")
         .otherwise("general")

@@ -47,24 +47,27 @@ def stream_frontier_ingest(
     """Start the streaming url-monitor; returns the StreamingQuery.
 
     Per micro-batch: in-batch dedup (dropDuplicates on url_hash —
-    bounded: one batch), then anti-join against the committed frontier
-    (dedup against history without unbounded stream state), then one
-    snapshot commit. Exactly-once: the file-source offset log + the
-    snapshot manifest both advance per batch; a replayed batch re-runs
-    the same anti-join and inserts nothing.
+    bounded: one batch), then ONE append to the `pending_ingest` staging
+    table. The round loop folds staged rows into the frontier at round
+    start (`CrawlEngine.drain_ingest`), anti-joining against frontier
+    and seen there. Staging instead of touching the frontier directly
+    means the stream and the engine never write the same table — the old
+    read-union-overwrite sink silently lost the loser's rows when both
+    writers raced on the frontier pointer. Exactly-once: the file-source
+    offset log advances per batch; drain_ingest consumes the staged
+    delta paths atomically with its frontier append and is idempotent
+    on replay (anti-join vs base).
     """
     raw = spark.readStream.format("text").load(urls_dir)
     parsed = parse_url_lines(raw, mode)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        new_rows = batch_df.dropDuplicates(["url_hash"])
-        frontier = io.read(batch_df.sparkSession, "frontier")
-        fresh = new_rows.join(frontier.select("url_hash"), "url_hash", "left_anti").select(
+        new_rows = batch_df.dropDuplicates(["url_hash"]).select(
             *[f.name for f in S.FRONTIER.fields]
         )
         io.commit(
             int(io.last_round()),
-            overwrites={"frontier": frontier.unionByName(fresh).coalesce(4)},
+            appends={"pending_ingest": new_rows.coalesce(1)},
             meta={"stream_batch": batch_id},
         )
 
@@ -78,6 +81,34 @@ def stream_frontier_ingest(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drain_pending_ingest(spark: SparkSession, io: ParquetSnapshotIO, coalesce: int | None = 1) -> int:
+    """Fold staged pending_ingest rows into the frontier base.
+
+    Pins the staged delta paths FIRST and consumes exactly those in the
+    same atomic commit that appends the merged rows — a concurrent
+    stream append between pin and commit survives untouched, and a crash
+    after commit simply re-merges nothing (the anti-join against the
+    base makes replay a no-op). Returns the number of consumed deltas.
+    """
+    rels = io.table_rels("pending_ingest")
+    if not rels:
+        return 0
+    ing = io.read_rels(spark, "pending_ingest", rels).dropDuplicates(["url_hash"])
+    fresh = (
+        ing.join(io.read(spark, "frontier").select("url_hash"), "url_hash", "left_anti")
+        .join(io.read(spark, "seen").select("url_hash"), "url_hash", "left_anti")
+        .select(*[f.name for f in S.FRONTIER.fields])
+    )
+    if coalesce:
+        fresh = fresh.coalesce(coalesce)
+    io.commit(
+        io.last_round(),
+        appends={"frontier": fresh},
+        consumes={"pending_ingest": rels},
+    )
+    return len(rels)
 
 
 HOST_DECISION = "host string, round int, allowed int, deferred int, backoff_until int"

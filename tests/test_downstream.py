@@ -60,6 +60,35 @@ def test_embed_and_upload_dedup(spark):
     assert select_for_upload(emb1, upl1, 2).count() == 0
 
 
+def test_metadata_auto_flatten_primitives(spark):
+    """F13 (crawler.py:1243-1247): top-level primitives of the schema
+    dict land in metadata; nested objects/arrays don't; schema keys
+    override the base type/url entries (dict-assignment order)."""
+    payload = json.dumps(
+        {
+            "headline": "H",
+            "count": 7,
+            "score": 1.5,
+            "free": True,
+            "author": {"name": "A"},        # nested object: skipped
+            "tags": ["x", "y"],             # array: skipped
+            "url": "https://canonical/x",   # primitive override of base url
+            "nothing": None,                # null: skipped
+        }
+    )
+    rows = [("u9", "s1", 1, 1, "single", "k9", ["Article"], "N", payload)]
+    recs = spark.createDataFrame(rows, S.RECORDS)
+    emb = embed_new_records(recs, spark.createDataFrame([], S.EMBEDDINGS), 1, dim=4)
+    md = emb.first().metadata
+    assert md["headline"] == "H"
+    assert md["count"] == "7"
+    assert md["score"] == "1.5"
+    assert md["free"] == "true"
+    assert "author" not in md and "tags" not in md and "nothing" not in md
+    assert md["url"] == "https://canonical/x"  # schema primitive wins
+    assert md["type"] == "Article"  # base entry preserved (no collision)
+
+
 def test_transform_for_upload(spark):
     recs = records_df(spark)
     emb = embed_new_records(recs, spark.createDataFrame([], S.EMBEDDINGS), 1, dim=4)

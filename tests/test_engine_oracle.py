@@ -155,6 +155,41 @@ def test_bloom_prefilter_equals_exact(spark, tmp_path):
     assert got["seen"] == set(ora.seen.items())
 
 
+def test_bloom_saturation_rebuild_bounds_fpp(spark, tmp_path):
+    """Long-crawl maintenance: undersized bucket filters saturate; the
+    maintain() rebuild resizes them from the exact seen set so the fill
+    bound holds again — and the prefilter stays exactly equal to the
+    exact anti-join throughout (saturation only costs extra confirms)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.engine import read_frontier_view
+    from crawler_spark.operators import dedup as D
+
+    world = make_world(seed=23, n_hosts=3, n_urls=120, budget=8, burst=False)
+    tables = world.to_spark(spark)
+    eng = CrawlEngine(
+        spark, str(tmp_path), embed_dim=0,
+        use_bloom=True, bloom_buckets=4, bloom_expected_per_bucket=4,  # undersized
+    )
+    eng.seed(discover_frontier(tables["seeds"], tables["robots"], tables["sitemaps"]))
+    eng._control_rows = tables["control"].collect()
+    for rnd in range(1, 6):
+        eng.run_round(rnd, tables)
+    blooms = eng.io.read(spark, "seen_bloom")
+    assert D.saturated_buckets(blooms).count() > 0
+    assert eng.rebuild_saturated_blooms() > 0
+    blooms2 = eng.io.read(spark, "seen_bloom")
+    assert D.saturated_buckets(blooms2).count() == 0  # fill bound restored
+    cand = read_frontier_view(spark, eng.io).filter(F.col("state") == "pending")
+    seen = eng.io.read(spark, "seen")
+    got = sorted(r.url for r in D.bloom_prefilter(cand, blooms2, seen, 4).collect())
+    want = sorted(r.url for r in D.exact_anti_join(cand, seen).collect())
+    assert got == want
+    # the crawl continues correctly on the rebuilt filters
+    s = eng.run_round(6, tables)
+    assert s.get("fetched", 0) >= 0
+
+
 def test_url_filter(spark, tmp_path):
     """P1 substring filter limits sitemap discovery in both paths."""
     world = make_world(seed=13, n_hosts=3, n_urls=18, budget=3, burst=False)

@@ -5,7 +5,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from crawler_spark import status as ST
-from crawler_spark.engine import CrawlEngine
+from crawler_spark.engine import CrawlEngine, read_frontier_view
 from crawler_spark.operators.discovery import discover_frontier
 from crawler_spark.sources.robots_txt import parse_robots, render_robots_txt
 from crawler_spark.world import make_world
@@ -32,7 +32,7 @@ def test_pause_resume_via_api(spark, tmp_path):
         eng.run_round(r, t)
     site = world.hosts[0].replace(".", "_")
     assert (
-        eng.io.read(spark, "frontier")
+        read_frontier_view(spark, eng.io)
         .filter((F.col("site") == site) & (F.col("state") == "pending"))
         .count()
         > 0
@@ -75,7 +75,7 @@ def test_restart_site_recrawls(spark, tmp_path):
     assert before > 0
     eng.restart_site(site, seeds)
     assert eng.io.read(spark, "seen").filter(F.col("site") == site).count() == 0
-    pend = eng.io.read(spark, "frontier").filter(
+    pend = read_frontier_view(spark, eng.io).filter(
         (F.col("site") == site) & (F.col("state") == "pending")
     )
     assert pend.count() > 0  # re-seeded
@@ -94,6 +94,80 @@ def test_add_sites_mid_crawl_dedups(spark, tmp_path):
     frontier = eng.io.read(spark, "frontier")
     assert frontier.count() == n_before + 1  # U1: seen URL not re-added
     assert frontier.filter(F.col("url") == "https://h000.example.com/brand-new").count() == 1
+
+
+def test_add_raw_sites_dispatch_matches_sitemap_tree(spark, tmp_path):
+    """P2/F5/P4 (app.py:281-291,370): seeding from a bare https://host
+    URL discovers exactly the host's sitemap-tree pages via robots;
+    invalid site names are rejected; sitemap-typed URLs skip robots."""
+    world = make_world(seed=43, n_hosts=2, n_urls=12, budget=2, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(spark, str(tmp_path), embed_dim=0)
+    eng.seed(spark.createDataFrame([], "url string, site string"))
+    host = world.hosts[0]
+    raw = spark.createDataFrame(
+        [(f"https://{host}",), ("https://bad-host.com/",)], ["url"]
+    )
+    rejected = eng.add_raw_sites(raw, t["robots"], t["sitemaps"])
+    assert {r.url for r in rejected.collect()} == {"https://bad-host.com/"}
+    got = {r.url for r in eng.io.read(spark, "frontier").collect()}
+    want = set()
+    for r in world.sitemaps.itertuples(index=False):
+        if r.kind == "urlset" and r.site == host.replace(".", "_"):
+            want |= set(r.entries)
+    assert got == want
+
+    # sitemap-typed URL dispatches directly (no robots consultation)
+    from crawler_spark.operators.discovery import discover_from_raw_seeds
+
+    sub = world.sitemaps[world.sitemaps.kind == "urlset"].iloc[0]
+    pages, rej, unresolved = discover_from_raw_seeds(
+        spark.createDataFrame([(sub.sitemap_url,)], ["url"]),
+        t["robots"].limit(0),  # robots empty: must not matter for sitemap URLs
+        t["sitemaps"],
+    )
+    assert rej.count() == 0 and unresolved.count() == 0
+    assert {r.url for r in pages.collect()} == set(sub.entries)
+
+
+def test_raw_seed_default_sitemap_fallback(spark):
+    """F5 (app.py:288-291): robots lists no sitemaps -> try
+    urljoin(url, '/sitemap.xml')."""
+    from crawler_spark import schemas as S
+    from crawler_spark.operators.discovery import discover_from_raw_seeds
+
+    robots = spark.createDataFrame([("plain.org", [], [], 1)], S.ROBOTS)
+    sitemaps = spark.createDataFrame(
+        [("https://plain.org/sitemap.xml", "plain_org", "urlset",
+          ["https://plain.org/a", "https://plain.org/b"])],
+        S.SITEMAPS,
+    )
+    raw = spark.createDataFrame([("https://plain.org",)], ["url"])
+    pages, rejected, unresolved = discover_from_raw_seeds(raw, robots, sitemaps)
+    assert rejected.count() == 0 and unresolved.count() == 0
+    assert {r.url for r in pages.collect()} == {"https://plain.org/a", "https://plain.org/b"}
+
+
+def test_sitemap_discovery_error_category(spark, tmp_path):
+    """P8 sitemap category (app.py:704-714): an unresolvable sitemap URL
+    is logged to fetch_log with SITEMAP_ERROR_STATUS and shows up in
+    error_log as category='sitemap' — never silently dropped."""
+    from crawler_spark import schemas as S
+
+    robots = spark.createDataFrame([("ghost.org", [], [], 1)], S.ROBOTS)
+    sitemaps = spark.createDataFrame([], S.SITEMAPS)
+    eng = CrawlEngine(spark, str(tmp_path), embed_dim=0)
+    eng.seed(spark.createDataFrame([], "url string, site string"))
+    rejected = eng.add_raw_sites(
+        spark.createDataFrame([("https://ghost.org",)], ["url"]), robots, sitemaps
+    )
+    assert rejected.count() == 0
+    log = eng.io.read(spark, "fetch_log").collect()
+    assert [(r.url, r.status) for r in log] == [
+        ("https://ghost.org/sitemap.xml", S.SITEMAP_ERROR_STATUS)
+    ]
+    cats = {r.category for r in ST.error_log(spark, eng.io).collect()}
+    assert cats == {"sitemap"}
 
 
 def test_refresh_sitemaps_tombstones(spark, tmp_path):

@@ -54,6 +54,41 @@ def test_budget_window_group_limit(spark):
     assert "WindowGroupLimit" in p
 
 
+def test_schedule_has_no_single_partition_exchange(spark):
+    """The canonical seq must not funnel the scheduled set through one
+    task (scheduler.assign_global_seq): at 10^7-10^8 hosts the
+    post-budget set IS the frontier, so a Window.orderBy() global
+    row_number would be the round's bottleneck. Also asserts the
+    two-phase ids equal the single-window semantics."""
+    from pyspark.sql import Window
+
+    deduped = with_url_keys(
+        spark.createDataFrame(
+            [(f"https://h{i % 7}.com/p/{j:03d}",) for i in range(7) for j in range(40)],
+            ["url"],
+        )
+    ).withColumn("crawl_budget", F.lit(5))
+    sched = schedule(deduped, 1, 100, max_budget=5)
+    p = plan_of(sched)
+    assert "Exchange SinglePartition" not in p
+    got = [
+        (r.rank_in_host, r.site, r.url, r.seq)
+        for r in sched.orderBy("seq").collect()
+    ]
+    w_all = Window.orderBy("rank_in_host", "site", "url")
+    limited = deduped.withColumn(
+        "rank_in_host",
+        F.row_number().over(Window.partitionBy("host").orderBy("url")),
+    ).filter(F.col("rank_in_host") <= 5)
+    want = [
+        (r.rank_in_host, r.site, r.url, r.seq)
+        for r in limited.withColumn(
+            "seq", (F.row_number().over(w_all) + F.lit(100)).cast("long")
+        ).orderBy("seq").collect()
+    ]
+    assert got == want
+
+
 def test_bucketed_anti_join_has_no_exchange(spark, tmp_path):
     a = with_url_keys(
         spark.createDataFrame([(f"https://h.com/{i}",) for i in range(100)], ["url"])

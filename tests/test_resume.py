@@ -3,7 +3,7 @@ final tables must be bit-identical to an uninterrupted run."""
 
 from collections import Counter
 
-from crawler_spark.engine import CrawlEngine
+from crawler_spark.engine import CrawlEngine, read_frontier_view
 from crawler_spark.operators.discovery import discover_frontier
 from crawler_spark.world import make_world
 
@@ -21,7 +21,8 @@ def snapshot_state(spark, eng):
             for r in io.read(spark, "records").collect()
         ),
         "frontier": frozenset(
-            (r.url_hash, r.url, r.state) for r in io.read(spark, "frontier").collect()
+            (r.url_hash, r.url, r.state)
+            for r in read_frontier_view(spark, io).collect()
         ),
     }
 

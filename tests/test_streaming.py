@@ -6,7 +6,11 @@ from crawler_spark import schemas as S
 from crawler_spark.engine import ENGINE_SCHEMAS
 from crawler_spark.functions.urls import md5_hex
 from crawler_spark.io.snapshot import ParquetSnapshotIO
-from crawler_spark.streaming import stream_fetch_metrics, stream_frontier_ingest
+from crawler_spark.streaming import (
+    drain_pending_ingest,
+    stream_fetch_metrics,
+    stream_frontier_ingest,
+)
 
 
 def write_urls_file(d, name, urls):
@@ -27,6 +31,10 @@ def test_stream_frontier_ingest_dedups_across_batches(spark, tmp_path):
     ])
     q = stream_frontier_ingest(spark, urls_dir, io, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
+    # stream stages into pending_ingest; drain folds into the frontier
+    assert len(io.table_rels("pending_ingest")) > 0
+    drain_pending_ingest(spark, io)
+    assert io.table_rels("pending_ingest") == []  # consumed atomically
     got = {r.url for r in io.read(spark, "frontier").collect()}
     assert got == {"https://a.com/p/1", "https://a.com/p/2"}
 
@@ -34,6 +42,7 @@ def test_stream_frontier_ingest_dedups_across_batches(spark, tmp_path):
     write_urls_file(urls_dir, "site_b.txt", ["https://a.com/p/2", "https://b.com/x"])
     q2 = stream_frontier_ingest(spark, urls_dir, io, str(tmp_path / "ckpt"))
     q2.awaitTermination(120)
+    drain_pending_ingest(spark, io)
     rows = io.read(spark, "frontier").collect()
     assert {r.url for r in rows} == {
         "https://a.com/p/1", "https://a.com/p/2", "https://b.com/x"
@@ -116,6 +125,8 @@ def test_streaming_ingest_feeds_engine_crawl(spark, tmp_path):
         write_urls_file(urls_dir, f"{site}.txt", sorted(urls))
     q = stream_frontier_ingest(spark, urls_dir, eng.io, str(tmp_path / "ck"))
     q.awaitTermination(120)
+    # the round loop drains the staging table itself at round start
+    eng.drain_ingest()
     assert eng.io.read(spark, "frontier").filter(F.col("state") == "pending").count() > 0
     eng._control_rows = []
     s1 = eng.run_round(eng.io.last_round() + 1, t)

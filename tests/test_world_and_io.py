@@ -11,6 +11,48 @@ from crawler_spark.io.snapshot import ParquetSnapshotIO
 from crawler_spark.world import make_world
 
 
+def _dir_bytes(path):
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+    )
+
+
+def test_round_commits_are_delta_sized(spark, tmp_path):
+    """Delta-state frontier: the round loop must never rewrite the
+    frontier base — per-round commit IO is O(|transitions|+|links|),
+    not O(|frontier|). Evidence: the seed version dir stays referenced
+    untouched, every round adds only append paths, and each round's
+    frontier_state delta is far smaller than the base."""
+    from crawler_spark.engine import CrawlEngine
+    from crawler_spark.operators.discovery import discover_frontier
+
+    world = make_world(seed=33, n_hosts=3, n_urls=600, budget=2, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(spark, str(tmp_path), embed_dim=0)
+    eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+    seed_rels = eng.io.table_rels("frontier")
+    assert len(seed_rels) == 1
+    eng._control_rows = t["control"].collect()
+    per_round_rels = []
+    for rnd in (1, 2, 3, 4):
+        before = set(eng.io.table_rels("frontier")) | set(eng.io.table_rels("frontier_state"))
+        eng.run_round(rnd, t)
+        after = set(eng.io.table_rels("frontier")) | set(eng.io.table_rels("frontier_state"))
+        assert before <= after  # pure appends: nothing rewritten/dropped
+        per_round_rels.append(after - before)
+    assert eng.io.table_rels("frontier")[0] == seed_rels[0]  # base untouched
+    base_bytes = _dir_bytes(os.path.join(str(tmp_path), seed_rels[0]))
+    for added in per_round_rels:
+        state_adds = [r for r in added if "frontier_state" in r]
+        assert state_adds  # every round committed its transitions as a delta
+        for rel in state_adds:
+            # a round's state delta carries <= budget*hosts tiny rows;
+            # the base holds the whole frontier
+            assert _dir_bytes(os.path.join(str(tmp_path), rel)) < base_bytes
+
+
 def test_world_deterministic():
     w1 = make_world(seed=42, n_hosts=5, n_urls=50)
     w2 = make_world(seed=42, n_hosts=5, n_urls=50)
