@@ -701,6 +701,20 @@ def q_crawl_round(spark, sf_dir):
     return eng.io.read(spark, "crawl_order").orderBy("seq")
 
 
+def q_ivf_kmeans_topk(spark, sf_dir):
+    """IVF top-k over a kmeans_train codebook (Lloyd iterations as
+    DataFrame jobs, crawler_spark/operators/ann.py). Rows-only: the
+    iterative trainer isn't SQL-expressible; the oracle-checked
+    `ivf_topk` entry pins the identical query shape on the
+    deterministic stand-in codebook, and the trained-vs-stand-in recall
+    gain is asserted in tests/test_operators.py."""
+    from crawler_spark.operators.ann import ivf_topk, kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_train(emb, n_centroids=16, n_iters=3)
+    return ivf_topk(emb, [0, 1, 2, 3, 4], k=5, n_centroids=16, nprobe=2, centroids=cent)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media decode plumbing (stubbed decoder): documents ->
     fake media payloads -> mapInPandas feature extraction. Rows-only
@@ -760,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
         "crawl_round": q_crawl_round,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "multimodal_features": q_multimodal_features,
     }
 

@@ -138,13 +138,17 @@ class CrawlEngine:
         embed_dim: int = 16,  # 0 disables the downstream pipeline
         priority: str = "fifo",  # scheduler PRIORITY_ORDERS key
         bucketed_io: int | None = None,  # n_buckets -> co-located frontier/seen
+        bucketed_min_bytes: int = 32 << 20,  # adaptive: plain parquet below this
     ):
         self.spark = spark
         if bucketed_io:
             from crawler_spark.io.bucketed import BucketedSnapshotIO
 
             self.io: ParquetSnapshotIO = BucketedSnapshotIO(
-                root, schemas=ENGINE_SCHEMAS, n_buckets=bucketed_io
+                root,
+                schemas=ENGINE_SCHEMAS,
+                n_buckets=bucketed_io,
+                min_bucket_bytes=bucketed_min_bytes,
             )
         else:
             self.io = ParquetSnapshotIO(root, schemas=ENGINE_SCHEMAS)

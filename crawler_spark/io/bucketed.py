@@ -17,6 +17,14 @@ benchmarked in BENCH/BASELINE.md:
 Catalog notes: bucketed writes need saveAsTable; tables are EXTERNAL
 (data under the snapshot root) and re-registered per session from the
 manifest, so resume works across processes just like the parquet store.
+
+Adaptive layout: bucketed saveAsTable pays ~18% DDL/commit overhead
+that only earns out once the dedup exchange dominates, so each version
+dir picks its format at write time — plain parquet while the table's
+on-disk bytes are under `min_bucket_bytes`, bucketed beyond. The
+manifest path prefix records the choice (v{n} plain, b{n} bucketed);
+reads and the chained anti-join handle mixed chains (a small plain
+delta broadcasts anyway — co-location only matters for the big links).
 """
 
 from __future__ import annotations
@@ -37,12 +45,27 @@ def _ddl_cols(schema) -> str:
 
 
 class BucketedSnapshotIO(ParquetSnapshotIO):
-    def __init__(self, root: str, schemas=None, n_buckets: int = 16, table_prefix: str | None = None):
+    def __init__(
+        self,
+        root: str,
+        schemas=None,
+        n_buckets: int = 16,
+        table_prefix: str | None = None,
+        min_bucket_bytes: int = 32 << 20,
+    ):
         super().__init__(root, schemas)
         self.n_buckets = n_buckets
+        self.min_bucket_bytes = min_bucket_bytes
         # unique prefix per snapshot root so parallel engines/tests don't
         # collide in the shared session catalog
         self.prefix = table_prefix or ("snap_" + hex(abs(hash(os.path.abspath(root))))[2:10])
+
+    def _table_bytes(self, name: str) -> int:
+        total = 0
+        for p in self.table_paths(name):
+            for r, _, fs in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(r, f)) for f in fs)
+        return total
 
     # --- naming ------------------------------------------------------------
     def _tbl(self, name: str, version: int) -> str:
@@ -54,6 +77,10 @@ class BucketedSnapshotIO(ParquetSnapshotIO):
     # --- write -------------------------------------------------------------
     def _write_version_dir(self, name: str, version: int, df: DataFrame) -> str:
         if name not in BUCKETED_TABLES:
+            return super()._write_version_dir(name, version, df)
+        if self._table_bytes(name) < self.min_bucket_bytes:
+            # adaptive: small table -> plain parquet (v-prefix rel),
+            # skipping the saveAsTable/DDL overhead
             return super()._write_version_dir(name, version, df)
         spark = df.sparkSession
         tbl = self._tbl(name, version)
@@ -84,9 +111,17 @@ class BucketedSnapshotIO(ParquetSnapshotIO):
         return tbl
 
     def read_deltas(self, spark: SparkSession, name: str) -> list[DataFrame]:
-        """The table as a list of co-bucketed delta scans (oldest first)."""
-        rels = self.manifest()["tables"].get(name, [])
-        return [spark.table(self._register(spark, name, rel)) for rel in rels]
+        """The table as a list of delta scans (oldest first): bucketed
+        catalog scans for b-prefix rels, plain parquet for v-prefix."""
+        out = []
+        for rel in self.manifest()["tables"].get(name, []):
+            if os.path.basename(rel).startswith("b"):
+                out.append(spark.table(self._register(spark, name, rel)))
+            else:
+                out.append(
+                    spark.read.schema(self.schemas[name]).parquet(os.path.join(self.root, rel))
+                )
+        return out
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if name not in BUCKETED_TABLES:

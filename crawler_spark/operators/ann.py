@@ -98,23 +98,84 @@ def lsh_buckets(
     )
 
 
+def default_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic stand-in codebook: the first n_centroids vectors.
+    Keeps the oracle-checked query shape reproducible in SQL; swap in
+    kmeans_train for a real codebook."""
+    return embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame jobs -> (cid, cv) codebook.
+
+    Init: hash-spread — centroid g is the min-id vector whose id hashes
+    to group g (deterministic AND spread across the corpus even when
+    rows are cluster-ordered, where a first-N init would collapse into
+    one cluster). Each iteration: broadcast the k centroids, argmax-
+    cosine assignment (one pass over the corpus, no shuffle of vectors
+    beyond the groupBy), per-cell elementwise mean via one avg per
+    dimension (JVM-side). Empty cells keep their previous centroid.
+    The k×dim codebook is collected per iteration (tiny) to cut lineage.
+    """
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select(vec_col).first()[0])
+    cand = embeddings.withColumn(
+        "g", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_centroids))
+    )
+    cent = (
+        cand.groupBy("g")
+        .agg(F.min_by(F.col(vec_col), F.col(id_col)).alias("cv"))
+        .select(
+            F.col("g").cast("long").alias("cid"),
+            F.transform("cv", lambda x: x.cast("double")).alias("cv"),
+        )
+    )
+    schema = "cid bigint, cv array<double>"
+    for _ in range(n_iters):
+        assigned = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=cent)
+        means = assigned.groupBy("cid").agg(
+            *[F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(dim)]
+        )
+        new_cent = means.select(
+            "cid", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cv")
+        )
+        kept = cent.join(new_cent.select("cid"), "cid", "left_anti")
+        rows = [(int(r.cid), list(r.cv)) for r in new_cent.unionByName(kept).collect()]
+        cent = spark.createDataFrame(sorted(rows), schema)
+    return cent
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-flat cell assignment with fixed (deterministic) centroids.
+    """IVF-flat cell assignment.
 
-    Centroids are the first n_centroids vectors — a deterministic
-    stand-in for a trained k-means codebook (training would be an
-    iterative job upstream; the *index structure* — assign every vector
-    to its nearest centroid, search only probed cells — is what matters
-    for the query path). Assignment = broadcast centroids × corpus,
-    argmax cosine with (score desc, cid asc) tie-break.
+    Centroids default to the first-N stand-in (SQL-reproducible; see
+    default_centroids) or a kmeans_train codebook. The *index
+    structure* — assign every vector to its nearest centroid, search
+    only probed cells — is the scale path either way. Assignment =
+    broadcast centroids × corpus, argmax cosine with (score desc,
+    cid asc) tie-break.
     """
-    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    cent = centroids if centroids is not None else default_centroids(
+        embeddings, n_centroids, id_col, vec_col
     )
     scored = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
@@ -135,15 +196,17 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: probe the query's nprobe nearest cells, exact re-rank
     inside them. At scale the corpus is partitioned by cid (partition
     pruning selects only probed cells); recall/latency trades via
-    nprobe."""
-    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    nprobe. Pass a kmeans_train codebook via `centroids` for trained
+    cells (the default stand-in keeps the SQL oracle reproducible)."""
+    cent = centroids if centroids is not None else default_centroids(
+        embeddings, n_centroids, id_col, vec_col
     )
-    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col, centroids=cent)
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

@@ -12,7 +12,7 @@ from crawler_spark.world import make_world
 def test_bucketed_engine_equals_oracle(spark, tmp_path):
     world = make_world(seed=19, n_hosts=3, n_urls=20, budget=3, burst=False)
     t = world.to_spark(spark)
-    eng = CrawlEngine(spark, str(tmp_path), embed_dim=0, bucketed_io=8)
+    eng = CrawlEngine(spark, str(tmp_path), embed_dim=0, bucketed_io=8, bucketed_min_bytes=0)
     eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
     eng.run(t, max_rounds=10)
     ora = Oracle(world).run(max_rounds=10)
@@ -28,13 +28,13 @@ def test_bucketed_engine_equals_oracle(spark, tmp_path):
 def test_bucketed_resume_reregisters(spark, tmp_path):
     world = make_world(seed=20, n_hosts=2, n_urls=12, budget=3, burst=False)
     t = world.to_spark(spark)
-    eng = CrawlEngine(spark, str(tmp_path), embed_dim=0, bucketed_io=8)
+    eng = CrawlEngine(spark, str(tmp_path), embed_dim=0, bucketed_io=8, bucketed_min_bytes=0)
     eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
     eng._control_rows = t["control"].collect()
     eng.run_round(1, t)
     # fresh engine object on the same root (catalog entries must
     # re-register from the manifest)
-    eng2 = CrawlEngine(spark, str(tmp_path), embed_dim=0, bucketed_io=8)
+    eng2 = CrawlEngine(spark, str(tmp_path), embed_dim=0, bucketed_io=8, bucketed_min_bytes=0)
     assert eng2.io.last_round() == 1
     n_seen = eng2.io.read(spark, "seen").count()
     assert n_seen > 0
@@ -43,12 +43,49 @@ def test_bucketed_resume_reregisters(spark, tmp_path):
     assert eng2.io.read(spark, "seen").count() > n_seen
 
 
+def test_adaptive_layout_mixed_chain(spark, tmp_path):
+    """Adaptive bucketed IO: below min_bucket_bytes versions are plain
+    parquet (v-prefix, no DDL overhead); once the table crosses the
+    threshold new versions are bucketed (b-prefix) — and reads over the
+    MIXED chain return exactly the union."""
+    import os
+
+    from crawler_spark.engine import ENGINE_SCHEMAS
+    from crawler_spark.functions.urls import with_url_keys
+    from crawler_spark.io.bucketed import BucketedSnapshotIO
+
+    io = BucketedSnapshotIO(
+        str(tmp_path), schemas=ENGINE_SCHEMAS, n_buckets=4, min_bucket_bytes=4096
+    )
+
+    def seen_rows(lo, hi):
+        return with_url_keys(
+            spark.createDataFrame([(f"https://h.com/{i}",) for i in range(lo, hi)], ["url"])
+        ).select("url", "url_hash", "h64").withColumn("site", F.lit("s")).withColumn(
+            "host", F.lit("h.com")
+        ).withColumn("fetched_round", F.lit(1))
+
+    io.commit(1, appends={"seen": seen_rows(0, 5)})  # tiny -> plain
+    rels1 = io.table_rels("seen")
+    assert os.path.basename(rels1[0]).startswith("v")
+    io.commit(2, appends={"seen": seen_rows(5, 400)})  # still under threshold at decision time
+    io.commit(3, appends={"seen": seen_rows(400, 420)})  # table now past 4 KiB -> bucketed
+    rels = io.table_rels("seen")
+    assert os.path.basename(rels[-1]).startswith("b")
+    got = sorted(r.url for r in io.read(spark, "seen").collect())
+    assert got == sorted(f"https://h.com/{i}" for i in range(420))
+    # chained anti-join over the mixed chain still exact
+    cand = seen_rows(410, 430).select("url", "url_hash")
+    fresh = sorted(r.url for r in io.anti_join_seen(spark, cand).collect())
+    assert fresh == sorted(f"https://h.com/{i}" for i in range(420, 430))
+
+
 def test_bucketed_dedup_plan_has_no_seen_exchange(spark, tmp_path):
     """The chained anti-join must not shuffle either side (both scans
     are co-bucketed on url_hash)."""
     world = make_world(seed=21, n_hosts=2, n_urls=12, budget=3, burst=False)
     t = world.to_spark(spark)
-    eng = CrawlEngine(spark, str(tmp_path), embed_dim=0, bucketed_io=8)
+    eng = CrawlEngine(spark, str(tmp_path), embed_dim=0, bucketed_io=8, bucketed_min_bytes=0)
     eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
     eng._control_rows = t["control"].collect()
     eng.run_round(1, t)

@@ -222,6 +222,54 @@ def test_saturated_buckets_flags_overfull(spark):
     assert D.saturated_buckets(roomy, max_fill=0.5).count() == 0
 
 
+def test_kmeans_ivf_beats_standin_recall(spark):
+    """k-means IVF trainer (Lloyd iterations as DataFrame jobs): on a
+    cluster-ordered fixture — where the first-N stand-in codebook
+    collapses into one cluster — trained centroids must lift
+    recall@k vs brute-force ground truth."""
+    import numpy as np
+
+    from crawler_spark.operators.ann import (
+        brute_force_topk,
+        default_centroids,
+        ivf_topk,
+        kmeans_train,
+    )
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 8, 30, 8
+    centers = rng.normal(size=(n_clusters, dim)) * 4
+    rows = []
+    vid = 0
+    for c in range(n_clusters):  # cluster-ordered: first N ids share cluster 0
+        for _ in range(per):
+            v = centers[c] + rng.normal(size=dim) * 0.3
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qids = [5, 45, 95, 130, 170, 215]
+    k = 5
+    truth = {
+        q: {r.neighbor_id for r in grp}
+        for q, grp in __import__("itertools").groupby(
+            sorted(brute_force_topk(emb, qids, k=k).collect(), key=lambda r: r.query_id),
+            key=lambda r: r.query_id,
+        )
+    }
+
+    def recall(result_rows):
+        hits = sum(r.neighbor_id in truth[r.query_id] for r in result_rows)
+        return hits / (len(qids) * k)
+
+    standin = recall(ivf_topk(emb, qids, k=k, n_centroids=n_clusters, nprobe=1).collect())
+    trained_cent = kmeans_train(emb, n_centroids=n_clusters, n_iters=4)
+    trained = recall(
+        ivf_topk(emb, qids, k=k, n_centroids=n_clusters, nprobe=1, centroids=trained_cent).collect()
+    )
+    assert trained > standin
+    assert trained >= 0.9  # real clusters found -> near-exact within-cell search
+
+
 def test_lsh_bucketed_topk_subset_of_brute_force(spark):
     from crawler_spark.operators.ann import brute_force_topk, lsh_bucketed_topk, lsh_buckets
 
