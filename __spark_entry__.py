@@ -83,10 +83,12 @@ _FRONTIER_SQL = """
 def q_frontier_schedule_round(spark, sf_dir):
     """Flagship: one scheduling round — J1 seen anti-join + O-SCHED3
     host-budget window + O-SCHED1 canonical (rank, host, url) order.
-    seq comes from the distributed two-phase assigner (range partitions
-    + broadcast offsets) — no single-partition window anywhere."""
-    from crawler_spark.operators.scheduler import assign_global_seq
 
+    Post-budget bound here is 50 hosts x rank<=2 = 100 rows, so the
+    one-job window orders it (the engine's small-bound path). The
+    >1M-row scale path is scheduler.assign_global_seq (range partitions
+    + broadcast offsets, no single-partition exchange) — identical seq
+    values, plan-asserted in tests/test_plans.py."""
     fr = _frontier_view(spark, sf_dir)
     seen = _t(spark, sf_dir, "orders").filter(F.pmod("o_custkey", F.lit(3)) == 0).select(
         F.col("o_custkey").alias("user_id")
@@ -96,10 +98,8 @@ def q_frontier_schedule_round(spark, sf_dir):
     lim = cand.withColumn("rank_in_host", F.row_number().over(w_host)).filter(
         F.col("rank_in_host") <= 2
     )
-    seqd = assign_global_seq(
-        lim, [F.asc("rank_in_host"), F.asc("host"), F.asc("url")], 0
-    )
-    return seqd.select(
+    w_all = Window.orderBy("rank_in_host", "host", "url")
+    return lim.withColumn("seq", F.row_number().over(w_all).cast("long")).select(
         "seq", F.col("rank_in_host").cast("long").alias("rank_in_host"), "host", "url"
     )
 

@@ -254,13 +254,19 @@ class CrawlEngine:
         seq_base = int(io.rows_meta("seq_total", 0))
         max_budget = getattr(self, "_max_budget", None)
         if max_budget is None:
-            max_budget = (
-                world["robots"].agg(F.max("crawl_budget")).collect()[0][0] or 1
-            )
+            row = world["robots"].agg(
+                F.max("crawl_budget"), F.count("*")
+            ).collect()[0]
+            max_budget = row[0] or 1
             self._max_budget = max_budget
+            self._n_hosts = int(row[1])
         scheduled = schedule(
             deduped, rnd, seq_base, self.n_salts, max_budget=max_budget,
             priority=self.priority, persist_registry=persists,
+            # a-priori bound on the scheduled set: picks the one-job
+            # ordering below SMALL_ORDER_ROWS, the distributed two-phase
+            # assigner beyond (see scheduler.schedule)
+            expected_rows=self._n_hosts * max_budget,
         )
 
         # newly-deleted sites this round -> cascade (J5/C4, crawler.py:557-589)

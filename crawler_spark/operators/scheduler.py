@@ -144,46 +144,74 @@ def assign_global_seq(
     task — fine when the post-budget set is small, a scale-killer when
     n_hosts × budget IS the frontier (10^7-10^8 hosts). Two-phase instead:
 
-      1. repartitionByRange on the order key (parallel range shuffle) and
-         number rows within each partition (window partitioned by the
-         range-partition id — a parallel exchange, never a funnel);
+      1. repartitionByRange on the order key (parallel range shuffle),
+         sortWithinPartitions (narrow, in-partition);
       2. per-partition row counts (n_parts tiny rows, collected) become
-         broadcast offsets; seq = seq_base + offset[pid] + local rank.
+         broadcast offsets; a narrow Arrow pass (mapInPandas, vectorized
+         arange — no per-row Python) stamps seq = seq_base +
+         offset[partition] + position. No exchange after the range
+         shuffle, no window, no join.
 
     The result is identical to the global row_number for any range
     boundaries, because ranges are contiguous in the total order — so
     sampling nondeterminism in the range partitioner cannot change seq.
 
-    The range-partitioned intermediate is persisted (it is consumed twice:
-    counts + final join); callers pass persist_registry to unpersist when
-    the round's outputs are materialized.
+    Both the input and the range-partitioned intermediate are persisted:
+    repartitionByRange SAMPLES its input to pick boundaries (an extra
+    full pass over the upstream pipeline if unpersisted), and the
+    partitioned set is consumed twice (counts + seq stamping). The input
+    here is the post-budget set — bounded by hosts x budget — so the
+    cache is small by construction. Callers pass persist_registry to
+    unpersist when the round's outputs are materialized.
     """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
+    df = df.persist()
     parted = (
         df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
     if persist_registry is not None:
+        persist_registry.append(df)
         persist_registry.append(parted)
     counts = sorted(
         (r["_pid"], r["n"])
         for r in parted.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     )
-    offsets, acc = [], 0
+    offsets, acc = {}, 0
     for pid, n in counts:
-        offsets.append((pid, acc))
+        offsets[int(pid)] = acc
         acc += int(n)
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
-        parted.join(F.broadcast(off_df), parted["_pid"] == off_df["pid"])
-        .withColumn(
-            "seq", (F.row_number().over(w) + F.col("_off") + F.lit(seq_base)).cast("long")
-        )
-        .drop("_pid", "pid", "_off")
+    b_off = spark.sparkContext.broadcast(offsets)
+    out_schema = T.StructType(
+        list(parted.schema.fields) + [T.StructField("seq", T.LongType(), False)]
     )
+
+    def stamp(batches):
+        pos = 0
+        start = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if start is None:
+                start = seq_base + b_off.value.get(int(pdf["_pid"].iloc[0]), 0)
+            pdf = pdf.assign(seq=np.arange(start + pos + 1, start + pos + 1 + len(pdf)))
+            pos += len(pdf)
+            yield pdf
+
+    return parted.mapInPandas(stamp, out_schema).drop("_pid")
+
+
+# post-budget sets below this bound take the one-job single-window path;
+# above it, the three-job two-phase assigner (whose fixed overhead is
+# noise at that size, and whose parallelism is mandatory there)
+SMALL_ORDER_ROWS = 1_000_000
 
 
 def schedule(
@@ -194,6 +222,7 @@ def schedule(
     max_budget: int = 64,
     priority: str = "fifo",
     persist_registry: list | None = None,
+    expected_rows: int | None = None,
 ) -> DataFrame:
     """Budget window + canonical order + skew salt.
 
@@ -213,7 +242,16 @@ def schedule(
     reproduces the reference exactly (the oracle pins it); 'depth' and
     'recency' are the north-star scored generalizations — same window
     machinery, different sort key, so every scale property (group-limit
-    pushdown, bounded global window) is priority-agnostic.
+    pushdown, distributed ordering) is priority-agnostic.
+
+    expected_rows: the caller's A-PRIORI bound on the post-budget set —
+    n_hosts x max_budget, known from the dims before touching data.
+    Below SMALL_ORDER_ROWS the single-window seq (one job, one small
+    task) beats the two-phase assigner's three-job overhead; above it
+    (10^7-10^8 hosts: the bound IS the frontier) the two-phase path is
+    mandatory — no single task may see the whole round. Both produce
+    identical seq values (asserted in tests/test_plans.py); None means
+    no bound is known and the scale-safe path is used.
     """
     order = PRIORITY_ORDERS[priority]()
     w_host = Window.partitionBy("host").orderBy(*order)
@@ -222,12 +260,16 @@ def schedule(
         .filter(F.col("rank_in_host") <= F.lit(max_budget))  # WindowGroupLimit
         .filter(F.col("rank_in_host") <= F.col("crawl_budget"))
     )
-    seqd = assign_global_seq(
-        limited,
-        [F.asc("rank_in_host"), F.asc("site"), *order],
-        seq_base,
-        persist_registry=persist_registry,
-    )
+    full_order = [F.asc("rank_in_host"), F.asc("site"), *order]
+    if expected_rows is not None and expected_rows <= SMALL_ORDER_ROWS:
+        w_all = Window.orderBy(*full_order)
+        seqd = limited.withColumn(
+            "seq", (F.row_number().over(w_all) + F.lit(seq_base)).cast("long")
+        )
+    else:
+        seqd = assign_global_seq(
+            limited, full_order, seq_base, persist_registry=persist_registry
+        )
     return (
         seqd.withColumn(
             "salt",

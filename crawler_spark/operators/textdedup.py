@@ -89,9 +89,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band.
 
-    The self-join is on (band_idx, band_key) — co-partitioned by band
-    key, so only docs hashing into the same bucket shuffle together.
-    """
+    Shape: one groupBy on (band_idx, band_key) collects each bucket's
+    doc ids, then i<j pairs are built INSIDE the bucket with array ops
+    (transform+slice — still |bucket|², the LSH contract, but the
+    expensive shingle->signature pipeline runs ONCE; the equivalent
+    self-join evaluated it per join side because Spark's exchange reuse
+    does not fire across the aliased branches)."""
     sig = minhash_signatures(docs, text_col, k)
     bands = sig.select(
         "doc_id",
@@ -109,11 +112,24 @@ def minhash_lsh_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "b.band_idx", "b.band_key")
-    a, c = bands.alias("a"), bands.alias("c")
+    buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(c, ["band_idx", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("c.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
