@@ -736,6 +736,153 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_char_ngrams(spark, sf_dir):
+    """Character 5-gram shingles (near-dup unit beside the word-shingle
+    family), JVM-side sequence/transform/substring — no UDF
+    (crawler_spark/operators/textdedup.py)."""
+    from crawler_spark.operators.textdedup import char_ngrams
+
+    return char_ngrams(_docs_wide(spark, sf_dir).filter(F.col("doc_id") < 100), n=5)
+
+
+_Q_CHAR_NGRAMS_SQL = """
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_distinct([substr(t, i, 5)
+                     for i in generate_series(1, greatest(length(t) - 4, 1))])) AS gram
+        FROM norm
+    ) WHERE length(gram) = 5
+"""
+
+
+def q_lsh_bucketed_topk(spark, sf_dir):
+    """ANN top-k restricted to the query's sign-LSH bucket — the
+    bucket-pruned scale path beside IVF (recall-vs-exact property in
+    tests/test_operators.py)."""
+    from crawler_spark.operators.ann import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5, nbits=6
+    )
+
+
+_Q_LSH_TOPK_SQL = f"""
+    WITH b AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+                      {_NEARDUP_BUCKET} AS bucket
+               FROM embeddings),
+    q AS (SELECT vid AS query_id, v AS qv, bucket FROM b WHERE vid IN (0, 1, 2, 3, 4)),
+    scored AS (
+        SELECT q.query_id, b.vid AS neighbor_id,
+               list_dot_product(q.qv, b.v)
+                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        FROM b JOIN q ON b.bucket = q.bucket AND b.vid <> q.query_id
+    )
+    SELECT query_id, rank, neighbor_id, round(cos, 4) AS score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5
+"""
+
+
+def q_backoff_rounds(spark, sf_dir):
+    """Deterministic 429 backoff (O-SCHED4/F14): md5-derived 3..7
+    rounds per (host, round) — the SQL twin of
+    scheduler.backoff_rounds_expr (reference random.uniform(3,7),
+    crawler.py:1019-1023, made deterministic)."""
+    from crawler_spark.operators.scheduler import backoff_rounds_expr
+
+    hosts = (
+        _t(spark, sf_dir, "documents").select(F.col("source").alias("host")).distinct()
+    )
+    return hosts.select("host", backoff_rounds_expr(F.col("host"), 4).alias("backoff"))
+
+
+_Q_BACKOFF_SQL = """
+    SELECT host,
+           CAST(3 + (('0x' || substr(md5(host || ':' || '4'), 1, 8))::BIGINT % 5) AS INT) AS backoff
+    FROM (SELECT DISTINCT source AS host FROM documents)
+"""
+
+
+def q_seed_dispatch(spark, sf_dir):
+    """P2+F5+P4 raw-seed dispatch (app.py:281-291,370): sitemap-vs-site
+    URL dispatch, robots-first with /sitemap.xml fallback, site-name
+    regex validation — over a deterministic URL mix derived from
+    documents ids (every branch exercised: direct sitemap URLs, .xml
+    suffix, robots-listed hosts, fallback hosts, invalid names)."""
+    from crawler_spark.operators.discovery import dispatch_seed_urls
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 20).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("-bad")).otherwise(F.lit("")),
+        F.lit(".example.com"),
+    )
+    url = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("https://"), host, F.lit("/sitemap.xml")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("https://"), host, F.lit("/news-sitemap")))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("/index.html")))
+    )
+    raw = ids.select(url.alias("url"))
+    rid = spark.range(0, 20)
+    robots = rid.select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.com")).alias("host"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.array(
+                F.concat(F.lit("https://h"), F.col("id").cast("string"), F.lit(".example.com/sm1.xml")),
+                F.concat(F.lit("https://h"), F.col("id").cast("string"), F.lit(".example.com/sm2.xml")),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("sitemap_urls"),
+    )
+    worklist, _rejected = dispatch_seed_urls(raw, robots)
+    return worklist.select("sitemap_url", "site", "host")
+
+
+_Q_SEED_DISPATCH_SQL = """
+    WITH raw AS (
+        SELECT 'https://h' || (doc_id % 20)
+               || (CASE WHEN doc_id % 7 = 0 THEN '-bad' ELSE '' END)
+               || '.example.com'
+               || (CASE WHEN doc_id % 3 = 0 THEN '/sitemap.xml'
+                        WHEN doc_id % 3 = 1 THEN '/news-sitemap'
+                        ELSE '/index.html' END) AS url
+        FROM documents WHERE doc_id < 200
+    ),
+    u AS (
+        SELECT url,
+               regexp_extract(url, '^https?://([^/:]+)', 1) AS host,
+               replace(regexp_extract(url, '^https?://([^/:]+)', 1), '.', '_') AS site
+        FROM raw
+    ),
+    ok AS (SELECT * FROM u WHERE regexp_matches(site, '^[a-zA-Z0-9_]+$')),
+    robots AS (
+        SELECT 'h' || i || '.example.com' AS host,
+               CASE WHEN i % 2 = 0
+                    THEN ['https://h' || i || '.example.com/sm1.xml',
+                          'https://h' || i || '.example.com/sm2.xml']
+                    ELSE [] END AS sitemap_urls
+        FROM generate_series(0, 19) t(i)
+    ),
+    direct AS (
+        SELECT url AS sitemap_url, site, host FROM ok
+        WHERE contains(lower(url), 'sitemap') OR url LIKE '%.xml'
+    ),
+    via AS (
+        SELECT unnest(CASE WHEN len(coalesce(r.sitemap_urls, [])) > 0 THEN r.sitemap_urls
+                           ELSE [regexp_extract(o.url, '^(https?://[^/]+)', 1) || '/sitemap.xml'] END) AS sitemap_url,
+               o.site, o.host
+        FROM ok o LEFT JOIN robots r USING (host)
+        WHERE NOT (contains(lower(o.url), 'sitemap') OR o.url LIKE '%.xml')
+    )
+    SELECT DISTINCT sitemap_url, site, host FROM (
+        SELECT * FROM direct UNION ALL SELECT * FROM via)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -773,6 +920,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stub_embedding": q_stub_embedding,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
+        "char_ngrams": q_char_ngrams,
+        "lsh_bucketed_topk": q_lsh_bucketed_topk,
+        "backoff_rounds": q_backoff_rounds,
+        "seed_dispatch": q_seed_dispatch,
         "crawl_round": q_crawl_round,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "multimodal_features": q_multimodal_features,
@@ -806,5 +957,9 @@ def oracle_sql() -> dict[str, str]:
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,
         "embedding_near_dup": _Q_EMBEDDING_NEAR_DUP_SQL,
         "ivf_topk": _Q_IVF_TOPK_SQL,
-        # crawl_round / multimodal_features: rows-only by design
+        "char_ngrams": _Q_CHAR_NGRAMS_SQL,
+        "lsh_bucketed_topk": _Q_LSH_TOPK_SQL,
+        "backoff_rounds": _Q_BACKOFF_SQL,
+        "seed_dispatch": _Q_SEED_DISPATCH_SQL,
+        # crawl_round / ivf_kmeans_topk / multimodal_features: rows-only by design
     }

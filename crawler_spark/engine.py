@@ -77,7 +77,7 @@ SITE_TABLES = ["seen", "documents", "records", "entity_seen", "embeddings", "upl
 def _state_prio():
     # tie-break when a delete-cascade delta lands in the same round as a
     # fetch transition for the same url_hash: deleted always wins
-    return F.when(F.col("state") == S.DELETED, F.lit(2)).otherwise(F.lit(1))
+    return S.state_prio(F.col("state"))
 
 
 def read_frontier_view(spark: SparkSession, io: ParquetSnapshotIO) -> DataFrame:
@@ -92,6 +92,10 @@ def read_frontier_view(spark: SparkSession, io: ParquetSnapshotIO) -> DataFrame:
     MERGE INTO + rewrite_data_files; with BucketedSnapshotIO both sides
     are bucketed by url_hash, so the merge join is co-located.
     """
+    if hasattr(io, "frontier_view"):
+        # bucketed IO: per-delta co-located chain — neither the base nor
+        # the state deltas shuffle (plan-asserted in test_bucketed_io)
+        return io.frontier_view(spark)
     base = io.read(spark, "frontier")
     deltas = io.read(spark, "frontier_state")
     latest = deltas.groupBy("url_hash").agg(

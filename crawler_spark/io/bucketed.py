@@ -134,6 +134,80 @@ class BucketedSnapshotIO(ParquetSnapshotIO):
             out = out.unionByName(d)
         return out
 
+    # --- the exchange-free frontier merge ----------------------------------
+    def _latest_state(self, deltas: DataFrame) -> DataFrame:
+        """One state delta table reduced to its per-url_hash winning
+        (round, prio, state) triple. On a bucketed scan this groupBy
+        needs no exchange — HashPartitioning(url_hash, N) already
+        satisfies the aggregation's required distribution."""
+        from crawler_spark import schemas as S
+
+        return deltas.groupBy("url_hash").agg(
+            F.max(
+                F.struct(
+                    F.col("round"),
+                    S.state_prio(F.col("state")).alias("prio"),
+                    F.col("state"),
+                )
+            ).alias("_d")
+        )
+
+    def frontier_view(self, spark: SparkSession) -> DataFrame:
+        """Effective frontier with the latest-wins state merge pushed
+        BELOW the base union: each base delta (disjoint url_hash sets by
+        dedup) is chained through per-state-delta co-located left joins,
+        keeping a running (round, prio, state) max link by link — the
+        pairwise max is associative, so the result equals the generic
+        groupBy-over-all-deltas merge (engine.read_frontier_view), but
+        when the chain is all-bucketed NEITHER side ever shuffles (the
+        anti_join_seen trick applied to a merge join). Mixed chains
+        degrade gracefully: a small plain delta's aggregate broadcasts.
+        maintain() keeps both chains short."""
+        bases = self.read_deltas(spark, "frontier")
+        if not bases:
+            return spark.createDataFrame([], self.schemas["frontier"])
+        states = [
+            self._latest_state(s) for s in self.read_deltas(spark, "frontier_state")
+        ]
+        cols = [f.name for f in self.schemas["frontier"].fields]
+        merged = []
+        for b in bases:
+            cur = b.withColumn("_r", F.lit(-1)).withColumn("_p", F.lit(0))
+            for latest in states:
+                cur = (
+                    cur.join(latest, "url_hash", "left")
+                    .withColumn(
+                        "_take",
+                        F.col("_d").isNotNull()
+                        & (
+                            F.struct(
+                                F.col("_d.round"), F.col("_d.prio"), F.col("_d.state")
+                            )
+                            >= F.struct(F.col("_r"), F.col("_p"), F.col("state"))
+                        ),
+                    )
+                    .withColumn(
+                        "state",
+                        F.when(F.col("_take"), F.col("_d.state")).otherwise(
+                            F.col("state")
+                        ),
+                    )
+                    .withColumn(
+                        "_r",
+                        F.when(F.col("_take"), F.col("_d.round")).otherwise(F.col("_r")),
+                    )
+                    .withColumn(
+                        "_p",
+                        F.when(F.col("_take"), F.col("_d.prio")).otherwise(F.col("_p")),
+                    )
+                    .drop("_d", "_take")
+                )
+            merged.append(cur.select(*cols))
+        out = merged[0]
+        for m in merged[1:]:
+            out = out.unionByName(m)
+        return out
+
     # --- the exchange-free dedup path --------------------------------------
     def anti_join_seen(self, spark: SparkSession, candidates: DataFrame) -> DataFrame:
         """candidates ▷ seen as a CHAIN of co-located anti-joins over the

@@ -58,6 +58,33 @@ class ParquetSnapshotIO(TableIO):
         self._commit_lock = threading.Lock()
         os.makedirs(os.path.join(root, "_manifest"), exist_ok=True)
         os.makedirs(os.path.join(root, "tables"), exist_ok=True)
+        self._lock_path = os.path.join(root, "_manifest", "LOCK")
+
+    def _process_lock(self):
+        """Advisory cross-process writer lock (flock on a file under the
+        manifest dir): two separate driver processes committing to one
+        posix snapshot root serialize their read-modify-swap instead of
+        losing the loser's table updates; the kernel releases it if the
+        holder dies. Posix-local roots only — on a distributed store the
+        Iceberg catalog's commit transaction plays this role (see
+        io/iceberg.py)."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def held():
+            try:
+                import fcntl
+            except ImportError:  # non-posix: in-process lock only
+                yield
+                return
+            with open(self._lock_path, "a") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+
+        return held()
 
     # --- manifest plumbing -------------------------------------------------
     def _current_path(self) -> str:
@@ -138,7 +165,7 @@ class ParquetSnapshotIO(TableIO):
         frontier this commit). Paths appended concurrently by another
         writer are untouched.
         """
-        with self._commit_lock:
+        with self._commit_lock, self._process_lock():
             prev = self.manifest()
             tables: dict[str, list[str]] = {k: list(v) for k, v in prev["tables"].items()}
             version = prev["version"] + 1

@@ -97,6 +97,16 @@ FETCHED = "fetched"
 ERROR = "error"
 DELETED = "deleted"
 
+
+def state_prio(state_col):
+    """Same-round delta tie-break: a delete-cascade transition beats a
+    fetch transition landing in the same round for the same url_hash.
+    Shared by every frontier_state merge (engine.read_frontier_view and
+    the bucketed co-located chain) so they resolve identically."""
+    from pyspark.sql import functions as F
+
+    return F.when(state_col == DELETED, F.lit(2)).otherwise(F.lit(1))
+
 FRONTIER = T.StructType(
     [
         T.StructField("url", T.StringType(), False),

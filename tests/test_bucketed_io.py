@@ -80,6 +80,108 @@ def test_adaptive_layout_mixed_chain(spark, tmp_path):
     assert fresh == sorted(f"https://h.com/{i}" for i in range(420, 430))
 
 
+def _frontier_rows(spark, lo, hi, state="pending"):
+    from crawler_spark.functions.urls import with_url_keys
+
+    return (
+        with_url_keys(
+            spark.createDataFrame([(f"https://h.com/{i}",) for i in range(lo, hi)], ["url"])
+        )
+        .withColumn("site", F.lit("s"))
+        .withColumn("host", F.lit("h.com"))
+        .withColumn("depth", F.lit(0))
+        .withColumn("discovered_round", F.lit(0))
+        .withColumn("state", F.lit(state))
+    )
+
+
+def test_bucketed_frontier_view_matches_generic_merge(spark, tmp_path):
+    """The co-located per-delta chain must resolve latest-wins state
+    (with the same-round deleted-beats-fetched tie-break) EXACTLY like
+    the generic groupBy-over-all-deltas merge."""
+    from crawler_spark import schemas as S
+    from crawler_spark.engine import ENGINE_SCHEMAS
+    from crawler_spark.io.bucketed import BucketedSnapshotIO
+
+    io = BucketedSnapshotIO(
+        str(tmp_path), schemas=ENGINE_SCHEMAS, n_buckets=4, min_bucket_bytes=0
+    )
+    base1 = _frontier_rows(spark, 0, 30)
+    base2 = _frontier_rows(spark, 30, 50)
+    io.commit(0, appends={"frontier": base1})
+    io.commit(1, appends={"frontier": base2})
+    keys = {
+        r.url: r.url_hash for r in io.read(spark, "frontier").collect()
+    }
+
+    def delta(rows):
+        return spark.createDataFrame(
+            [(keys[f"https://h.com/{i}"], st, rnd) for i, st, rnd in rows],
+            S.FRONTIER_STATE,
+        )
+
+    # round 1: some fetched; round 2: one errors, one re-fetched later,
+    # plus a same-round deleted-vs-fetched conflict inside ONE delta
+    io.commit(2, appends={"frontier_state": delta(
+        [(i, "fetched", 1) for i in range(0, 10)] + [(40, "fetched", 1)]
+    )})
+    io.commit(3, appends={"frontier_state": delta(
+        [(3, "error", 2), (11, "fetched", 2), (12, "fetched", 2),
+         (12, "deleted", 2), (40, "deleted", 2)]
+    )})
+    got = {
+        (r.url, r.state) for r in io.frontier_view(spark).collect()
+    }
+    # generic merge (the flat-mode formula) over the same tables
+    base = io.read(spark, "frontier")
+    deltas = io.read(spark, "frontier_state")
+    latest = deltas.groupBy("url_hash").agg(
+        F.max(
+            F.struct(F.col("round"), S.state_prio(F.col("state")).alias("prio"), F.col("state"))
+        ).alias("_rs")
+    )
+    want = {
+        (r.url, r.state)
+        for r in base.join(latest, "url_hash", "left")
+        .withColumn("state", F.coalesce(F.col("_rs.state"), F.col("state")))
+        .collect()
+    }
+    assert got == want
+    by_url = dict(got)
+    assert by_url["https://h.com/3"] == "error"
+    assert by_url["https://h.com/12"] == "deleted"  # same-round tie-break
+    assert by_url["https://h.com/40"] == "deleted"  # later round wins
+    assert by_url["https://h.com/20"] == "pending"  # untouched base row
+
+
+def test_bucketed_frontier_view_plan_no_shuffle(spark, tmp_path):
+    """All-bucketed chain: the state merge shuffles NEITHER the base
+    nor the deltas (groupBy + SMJ both reuse the bucket partitioning)."""
+    from crawler_spark import schemas as S
+    from crawler_spark.engine import ENGINE_SCHEMAS
+    from crawler_spark.io.bucketed import BucketedSnapshotIO
+
+    io = BucketedSnapshotIO(
+        str(tmp_path), schemas=ENGINE_SCHEMAS, n_buckets=4, min_bucket_bytes=0
+    )
+    io.commit(0, appends={"frontier": _frontier_rows(spark, 0, 200)})
+    io.commit(1, appends={"frontier": _frontier_rows(spark, 200, 300)})
+    ks = [r.url_hash for r in io.read(spark, "frontier").limit(50).collect()]
+    st = spark.createDataFrame([(k, "fetched", 1) for k in ks], S.FRONTIER_STATE)
+    io.commit(2, appends={"frontier_state": st})
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        view = io.frontier_view(spark)
+        plan = view._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange rangepartitioning" not in plan
+        assert "Exchange SinglePartition" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert view.count() == 300
+
+
 def test_bucketed_dedup_plan_has_no_seen_exchange(spark, tmp_path):
     """The chained anti-join must not shuffle either side (both scans
     are co-bucketed on url_hash)."""

@@ -120,3 +120,24 @@ def test_snapshot_compact(spark, tmp_path):
     io.compact(spark, "t", 99)
     assert len(io.table_paths("t")) == 1
     assert io.read(spark, "t").count() == 4
+
+
+def test_commit_lock_across_io_instances(spark, tmp_path):
+    """Two IO instances on one root (the two-driver-processes shape —
+    flock excludes per open file, so two instances in one process model
+    it exactly): interleaved concurrent appends must all survive the
+    read-modify-swap; without the cross-process lock the loser's paths
+    were silently dropped from the manifest."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    a = ParquetSnapshotIO(str(tmp_path), schemas={"t": S.SEEDS})
+    b = ParquetSnapshotIO(str(tmp_path), schemas={"t": S.SEEDS})
+
+    def appender(io, tag):
+        for i in range(6):
+            io.commit(i, appends={"t": spark.createDataFrame([(f"{tag}{i}", "s")], S.SEEDS)})
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(lambda args: appender(*args), [(a, "a"), (b, "b")]))
+    got = sorted(r.url for r in a.read(spark, "t").collect())
+    assert got == sorted([f"a{i}" for i in range(6)] + [f"b{i}" for i in range(6)])
