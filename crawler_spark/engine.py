@@ -143,6 +143,8 @@ class CrawlEngine:
         priority: str = "fifo",  # scheduler PRIORITY_ORDERS key
         bucketed_io: int | None = None,  # n_buckets -> co-located frontier/seen
         bucketed_min_bytes: int = 32 << 20,  # adaptive: plain parquet below this
+        upload_transport=None,  # K8 wire sink: transport(points)->statuses
+        upload_batch_size: int = 64,
     ):
         self.spark = spark
         if bucketed_io:
@@ -170,6 +172,10 @@ class CrawlEngine:
         self.coalesce_writes = coalesce_writes
         self.embed_dim = embed_dim
         self.priority = priority
+        # optional external vector-DB sink (K8). None keeps the snapshot
+        # `uploaded` table as the sink of record with every point acked.
+        self.upload_transport = upload_transport
+        self.upload_batch_size = upload_batch_size
 
     def _w(self, df: DataFrame) -> DataFrame:
         return df.coalesce(self.coalesce_writes) if self.coalesce_writes else df
@@ -345,6 +351,29 @@ class CrawlEngine:
                 records, io.read(spark, "embeddings"), rnd, self.embed_dim
             )
             new_upl = select_for_upload(new_emb, io.read(spark, "uploaded"), rnd)
+            if self.upload_transport is not None:
+                # K8 wire sink: push this round's upload set through the
+                # transport and mark ONLY acked (2xx) points uploaded —
+                # failed points stay out of `uploaded` and re-enter next
+                # round's J4 anti-join (reference retry-on-next-poll)
+                from crawler_spark.operators.downstream import (
+                    transform_for_upload,
+                    upload_via_transport,
+                )
+
+                docs_up = transform_for_upload(
+                    new_emb.join(
+                        new_upl.select("key", "site"), ["key", "site"], "left_semi"
+                    )
+                )
+                acked = upload_via_transport(
+                    docs_up, self.upload_transport, self.upload_batch_size
+                ).filter((F.col("status") >= 200) & (F.col("status") < 300))
+                new_upl = new_upl.join(
+                    acked.select(F.col("url").alias("key"), "site"),
+                    ["key", "site"],
+                    "left_semi",
+                )
 
         # --- link discovery (engine extension; scoped to known hosts) ------
         if self.follow_links:

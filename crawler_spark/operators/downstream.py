@@ -126,6 +126,108 @@ def select_for_upload(embeddings: DataFrame, uploaded: DataFrame, round_no: int)
     )
 
 
+UPLOAD_ERROR_STATUS = 599  # transport exception -> whole batch failed
+
+
+def default_rest_transport(endpoint: str, timeout_s: float = 30.0):
+    """Real-cluster vector-DB sink (reference upload worker,
+    crawler.py:1120-1211: upsert point batches to the DB endpoint):
+    POST the batch as JSON, one status per point. Needs network —
+    in-sandbox tests inject a fake transport instead."""
+    import json as _json
+    import urllib.request
+
+    def put(points: list[dict]) -> list[int]:
+        body = _json.dumps(
+            [
+                {
+                    "url": p["url"],
+                    "site": p["site"],
+                    "vector": [float(x) for x in p["vector"]],
+                    "metadata": dict(p["metadata"] or {}),
+                    "schema_json": p["schema_json"],
+                }
+                for p in points
+            ]
+        ).encode()
+        req = urllib.request.Request(
+            endpoint, data=body, headers={"Content-Type": "application/json"}, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return [int(resp.status)] * len(points)
+
+    return put
+
+
+def upload_via_transport(
+    upload_docs: DataFrame, transport, batch_size: int = 64
+) -> DataFrame:
+    """K8 wire sink: push transform_for_upload documents through an
+    injectable `transport(points) -> statuses` in deterministic batches.
+
+    Rows are co-located by site (repartition) and processed in
+    (site, url) order; each site's points chunk into consecutive
+    batches of `batch_size` (batch_idx = ordinal within the site), so
+    batch composition is independent of parallelism. A transport
+    exception fails its whole batch with 599 — other sites/batches are
+    unaffected, and the caller marks ONLY 2xx points uploaded, so
+    failed points re-enter the next round's J4 anti-join (the
+    reference's retry-on-next-poll loop). Task retries can re-send a
+    batch (at-least-once, like the reference); vector upserts are
+    idempotent by key.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("site", T.StringType(), False),
+            T.StructField("status", T.IntegerType(), False),
+            T.StructField("batch_idx", T.IntegerType(), False),
+        ]
+    )
+
+    def push(batches):
+        buf: list[dict] = []
+        cur_site = None
+        next_idx = 0
+        out: list[tuple] = []
+
+        def flush():
+            nonlocal buf, next_idx
+            if not buf:
+                return
+            try:
+                statuses = transport(buf)
+                if len(statuses) != len(buf):
+                    raise ValueError("transport returned wrong arity")
+            except Exception:
+                statuses = [UPLOAD_ERROR_STATUS] * len(buf)
+            for p, st in zip(buf, statuses):
+                out.append((p["url"], p["site"], int(st), next_idx))
+            next_idx += 1
+            buf = []
+
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                if rec["site"] != cur_site:
+                    flush()
+                    cur_site, next_idx = rec["site"], 0
+                buf.append(rec)
+                if len(buf) >= batch_size:
+                    flush()
+        flush()
+        if out:
+            yield pd.DataFrame(out, columns=["url", "site", "status", "batch_idx"])
+
+    return (
+        upload_docs.repartition("site")
+        .sortWithinPartitions("site", "url")
+        .mapInPandas(push, out_schema)
+    )
+
+
 def transform_for_upload(embeddings: DataFrame) -> DataFrame:
     """P9 (crawler.py:1141-1163): the upload document projection —
     url<-key, vector, site, metadata with site injected, schema_json

@@ -117,3 +117,66 @@ def test_engine_emits_embeddings(spark, tmp_path):
     assert upl.count() == n_emb  # everything embedded got uploaded exactly once
     assert emb.select("site", "key").distinct().count() == n_emb  # J3 key-dedup held
     assert len(emb.first().embedding) == 8
+
+
+def test_upload_via_transport_batching_and_failure(spark):
+    """K8 wire sink: deterministic per-site batching (never mixes
+    sites, chunks of batch_size in (site,url) order), whole-batch 599
+    on transport exception with other sites unaffected."""
+    from crawler_spark.operators.downstream import upload_via_transport
+
+    rows = [(f"u{i}", "s1" if i < 5 else "s2") for i in range(8)]
+    docs = spark.createDataFrame(rows, ["url", "site"]).select(
+        "url",
+        F.array(F.lit(0.1)).cast("array<float>").alias("vector"),
+        "site",
+        F.create_map(F.lit("k"), F.lit("v")).alias("metadata"),
+        F.lit("{}").alias("schema_json"),
+    )
+
+    def fake(points):
+        assert len({p["site"] for p in points}) == 1  # fails batch -> 599 if mixed
+        if points[0]["site"] == "s2":
+            raise RuntimeError("endpoint down")
+        return [200] * len(points)
+
+    res = upload_via_transport(docs, fake, batch_size=2).collect()
+    got = {r.url: (r.status, r.batch_idx) for r in res}
+    assert len(got) == 8
+    # s1: 5 docs in url order -> batches [u0,u1],[u2,u3],[u4]
+    assert [got[f"u{i}"][1] for i in range(5)] == [0, 0, 1, 1, 2]
+    assert all(got[f"u{i}"][0] == 200 for i in range(5))
+    # s2's transport raises -> its batches fail wholesale, s1 unaffected
+    assert all(got[f"u{i}"][0] == 599 for i in range(5, 8))
+
+
+def test_engine_upload_transport_acks_gate_uploaded(spark, tmp_path):
+    """Engine + wire sink: only 2xx-acked points are marked uploaded;
+    a rejecting site's points stay pending (reference retry-on-next-
+    poll: they re-enter J4 every round, never exactly-once-marked)."""
+    from crawler_spark.engine import CrawlEngine
+    from crawler_spark.operators.discovery import discover_frontier
+    from crawler_spark.world import make_world
+
+    world = make_world(seed=31, n_hosts=2, n_urls=10, budget=3, burst=False)
+    t = world.to_spark(spark)
+
+    def transport(points):
+        # one site's vector-DB shard is down: never acks
+        return [503 if p["site"] == "h001_example_com" else 200 for p in points]
+
+    eng = CrawlEngine(
+        spark, str(tmp_path), embed_dim=8,
+        upload_transport=transport, upload_batch_size=4,
+    )
+    eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+    eng.run(t, max_rounds=8)
+    emb = eng.io.read(spark, "embeddings")
+    upl = eng.io.read(spark, "uploaded")
+    emb_sites = {r.site for r in emb.select("site").distinct().collect()}
+    assert "h001_example_com" in emb_sites and len(emb_sites) == 2
+    assert {r.site for r in upl.select("site").distinct().collect()} == {
+        "h000_example_com"
+    }
+    n_ok = emb.filter(F.col("site") == "h000_example_com").count()
+    assert upl.count() == n_ok  # acked exactly once, rejected never
