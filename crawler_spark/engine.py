@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 from crawler_spark import schemas as S
 from crawler_spark.functions.urls import with_url_keys
 from crawler_spark.io.snapshot import ParquetSnapshotIO
+from crawler_spark.operators import cuckoo as CK
 from crawler_spark.operators import dedup as D
 from crawler_spark.operators.extract import dedup_entities, extract_entities
 from crawler_spark.operators.fetch import simulate_fetch
@@ -48,6 +49,7 @@ ENGINE_SCHEMAS = {
     "pending_ingest": S.FRONTIER,  # streaming url-monitor staging table
     "seen": S.SEEN,
     "seen_bloom": D.BLOOM_SCHEMA,
+    "seen_cuckoo": CK.CUCKOO_SCHEMA,
     "documents": S.DOCUMENTS,
     "records": S.RECORDS,
     "entity_seen": S.ENTITY_SEEN,
@@ -133,6 +135,7 @@ class CrawlEngine:
         mode: str = "reference",
         n_salts: int = 8,
         use_bloom: bool = False,
+        seen_filter: str | None = None,  # 'bloom' | 'cuckoo' | None
         bloom_buckets: int = 16,
         bloom_expected_per_bucket: int = 100_000,
         bloom_broadcast_budget_bytes: int = 256 << 20,
@@ -160,7 +163,15 @@ class CrawlEngine:
             self.io = ParquetSnapshotIO(root, schemas=ENGINE_SCHEMAS)
         self.mode = mode
         self.n_salts = n_salts
-        self.use_bloom = use_bloom
+        # probabilistic seen-set prefilter: 'bloom' (insert-only; deletes
+        # rebuild affected buckets) or 'cuckoo' (native targeted deletes,
+        # O(|site|) on cascade rounds). use_bloom=True is the legacy
+        # spelling of seen_filter='bloom'.
+        if use_bloom and seen_filter is None:
+            seen_filter = "bloom"
+        self.seen_filter = seen_filter
+        self.use_bloom = seen_filter == "bloom"
+        self.use_cuckoo = seen_filter == "cuckoo"
         self.bloom_buckets = bloom_buckets
         self.bloom_expected = bloom_expected_per_bucket
         self.bloom_broadcast_budget = bloom_broadcast_budget_bytes
@@ -254,6 +265,18 @@ class CrawlEngine:
             )
             deduped = D.bloom_prefilter(
                 cand, blooms, seen, self.bloom_buckets, probe_mode=mode
+            )
+        elif self.use_cuckoo:
+            filters = io.read(spark, "seen_cuckoo")
+            total_bytes = (
+                filters.agg(F.sum(F.length("table") + F.length("stash"))).collect()[0][0]
+                or 0
+            )
+            mode = (
+                "broadcast" if total_bytes <= self.bloom_broadcast_budget else "cogroup"
+            )
+            deduped = CK.cuckoo_prefilter(
+                cand, filters, seen, self.bloom_buckets, probe_mode=mode
             )
         elif hasattr(io, "anti_join_seen"):
             # bucketed IO: chained co-located anti-joins, seen never shuffles
@@ -505,6 +528,24 @@ class CrawlEngine:
                     self.bloom_buckets,
                     self.bloom_expected,
                 )
+        elif self.use_cuckoo:
+            filters = io.read(spark, "seen_cuckoo")
+            if newly_deleted:
+                # the cuckoo advantage: delete the cascaded site's
+                # fingerprints in place — O(|site|), no bucket rebuild,
+                # no full seen-set rescan (vs the Bloom rebuild above)
+                gone = (
+                    io.read(spark, "seen")
+                    .filter(F.col("site").isin(newly_deleted))
+                    .select("h64")
+                )
+                filters = CK.delete_from_cuckoos(filters, gone, self.bloom_buckets)
+                adds = new_seen.filter(~F.col("site").isin(newly_deleted))
+            else:
+                adds = new_seen
+            overwrites["seen_cuckoo"] = CK.update_cuckoos(
+                filters, adds, self.bloom_buckets, self.bloom_expected
+            )
         if newly_deleted:
             # cascade: for each site-keyed table, fold this round's append
             # into the filtered overwrite (an overwrite replaces the whole
@@ -775,6 +816,39 @@ class CrawlEngine:
             )
         if self.use_bloom:
             self.rebuild_saturated_blooms()
+        elif self.use_cuckoo:
+            self.rebuild_saturated_cuckoos()
+
+    def rebuild_saturated_cuckoos(self, max_load: float = 0.84) -> int:
+        """Cuckoo growth path: buckets past the safe load factor (or
+        spilling to stash) are rebuilt from the exact seen set at double
+        the observed capacity — the same maintenance shape as the Bloom
+        saturation rebuild, needed only for GROWTH (deletes are native,
+        see delete_from_cuckoos)."""
+        spark, io = self.spark, self.io
+        filters = io.read(spark, "seen_cuckoo")
+        sat = {
+            int(r.bucket): int(r.n_keys)
+            for r in CK.saturated_cuckoo_buckets(filters, max_load).collect()
+        }
+        if not sat:
+            return 0
+        flagged = list(sat)
+        seen_flagged = (
+            io.read(spark, "seen")
+            .withColumn("bucket", D.bucket_col("h64", self.bloom_buckets))
+            .filter(F.col("bucket").isin(flagged))
+            .drop("bucket")
+        )
+        rebuilt = CK.build_cuckoo(
+            seen_flagged, self.bloom_buckets, expected_per_bucket=2 * max(sat.values())
+        )
+        keep = filters.filter(~F.col("bucket").isin(flagged))
+        io.commit(
+            io.last_round(),
+            overwrites={"seen_cuckoo": self._w(keep.unionByName(rebuilt))},
+        )
+        return len(flagged)
 
     def rebuild_saturated_blooms(self, max_fill: float = 0.5) -> int:
         """Cuckoo-compaction analog (SURVEY.md §4 X4): buckets whose key

@@ -282,3 +282,103 @@ def test_lsh_bucketed_topk_subset_of_brute_force(spark):
         # every LSH hit shares the query's bucket (the blocking contract)
         assert buckets[r.neighbor_id] == buckets[r.query_id]
         assert 1 <= r.rank <= 3
+
+
+# --- cuckoo filter (X4: native deletes beside the Bloom path) ---------------
+
+
+def test_cuckoo_never_drops_both_probe_modes(spark):
+    """Cuckoo prefilter output == exact anti-join output (FP-safe), in
+    broadcast AND cogrouped probe modes, with a non-power-of-two bucket
+    count and negative h64 keys (the signed-pmod regression class)."""
+    from crawler_spark.operators import cuckoo as CK
+
+    cand = [f"https://h{i}.com/p/{i}" for i in range(400)]
+    seen = cand[::2]
+    c = with_url_keys(spark.createDataFrame([(u,) for u in cand], ["url"]))
+    s = with_url_keys(spark.createDataFrame([(u,) for u in seen], ["url"]))
+    assert s.filter(F.col("h64") < 0).count() > 0
+    filters = CK.build_cuckoo(s, n_buckets=10, expected_per_bucket=1000)
+    want = sorted(r.url for r in D.exact_anti_join(c, s).collect())
+    for mode in ("broadcast", "cogroup"):
+        got = sorted(
+            r.url for r in CK.cuckoo_prefilter(c, filters, s, 10, probe_mode=mode).collect()
+        )
+        assert got == want, mode
+
+
+def test_cuckoo_update_then_delete(spark):
+    """Incremental insert keeps membership exact; targeted delete
+    removes ONLY the deleted keys (remaining keys keep the no-false-
+    negative invariant — the critical dedup property)."""
+    from crawler_spark.operators import cuckoo as CK
+
+    a = with_url_keys(
+        spark.createDataFrame([(f"https://a.com/{i}",) for i in range(300)], ["url"])
+    )
+    b = with_url_keys(
+        spark.createDataFrame([(f"https://b.com/{i}",) for i in range(200)], ["url"])
+    )
+    f0 = CK.build_cuckoo(a, n_buckets=4, expected_per_bucket=1000)
+    f1 = CK.update_cuckoos(f0, b, 4, 1000)
+    both = a.unionByName(b)
+    maybe = CK.broadcast_cuckoo_probe_col(spark, f1, 4)
+    assert both.withColumn("m", maybe(F.col("h64"))).filter(~F.col("m")).count() == 0
+    # delete all of a's keys
+    f2 = CK.delete_from_cuckoos(f1, a, 4)
+    maybe2 = CK.broadcast_cuckoo_probe_col(spark, f2, 4)
+    assert b.withColumn("m", maybe2(F.col("h64"))).filter(~F.col("m")).count() == 0
+    # deleted keys should (almost surely, 16-bit fp) now probe fresh;
+    # the filters' key accounting reflects the removal
+    n_deleted_still = a.withColumn("m", maybe2(F.col("h64"))).filter(F.col("m")).count()
+    assert n_deleted_still <= 3  # fp-collision residue only
+    assert sum(r.n_keys for r in f2.collect()) == 200
+    # prefilter vs the post-delete seen set stays exact
+    cand = a.limit(50).unionByName(b.limit(50))
+    got = sorted(r.url for r in CK.cuckoo_prefilter(cand, f2, b, 4).collect())
+    want = sorted(r.url for r in D.exact_anti_join(cand, b).collect())
+    assert got == want
+
+
+def test_cuckoo_saturation_flags(spark):
+    from crawler_spark.operators import cuckoo as CK
+
+    many = with_url_keys(
+        spark.createDataFrame([(f"https://x.com/{i}",) for i in range(2000)], ["url"])
+    )
+    tight = CK.build_cuckoo(many, n_buckets=2, expected_per_bucket=40)  # undersized
+    assert CK.saturated_cuckoo_buckets(tight).count() > 0
+    roomy = CK.build_cuckoo(many, n_buckets=2, expected_per_bucket=20000)
+    assert CK.saturated_cuckoo_buckets(roomy).count() == 0
+
+
+def test_engine_cuckoo_equals_exact_with_delete(spark, tmp_path):
+    """Engine with seen_filter='cuckoo' must produce the IDENTICAL crawl
+    (order + seen set) as the exact-anti-join engine, through a cascade
+    delete round (which exercises the O(|site|) fingerprint delete)."""
+    from crawler_spark.engine import CrawlEngine
+    from crawler_spark.operators.discovery import discover_frontier
+    from crawler_spark.world import make_world
+
+    mk = lambda: make_world(
+        seed=23, n_hosts=3, n_urls=18, budget=3, burst=False,
+        deletes=[("h001_example_com", 2)],
+    )
+    results = {}
+    for tag, kw in (("exact", {}), ("cuckoo", {"seen_filter": "cuckoo"})):
+        world = mk()
+        t = world.to_spark(spark)
+        root = str(tmp_path / tag)
+        eng = CrawlEngine(spark, root, embed_dim=0, **kw)
+        eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+        eng.run(t, max_rounds=8)
+        results[tag] = (
+            [
+                (r.round, r.seq, r.site, r.url, r.status)
+                for r in eng.io.read(spark, "crawl_order").orderBy("seq").collect()
+            ],
+            sorted(
+                (r.url_hash, r.url) for r in eng.io.read(spark, "seen").collect()
+            ),
+        )
+    assert results["cuckoo"] == results["exact"]
