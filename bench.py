@@ -62,7 +62,14 @@ def get_session(cpus: int, warehouse: str | None = None):
     return get_spark(
         app=f"crawler-spark-bench-{cpus}",
         cpus=cpus,
-        shuffle_partitions=max(cpus, 8),
+        # FIXED across parallelism levels: same plan, same partition
+        # count, only executor slots change — the cluster-faithful N->4N
+        # comparison — and per-task shuffle blocks stay bounded at the
+        # large scaling inputs.
+        shuffle_partitions=64,
+        # scaling inputs reach ~50M rows/side; keep the hot join
+        # in memory (the sandbox box has 128 GiB)
+        driver_memory="48g",
         extra=extra,
     )
 
@@ -316,8 +323,12 @@ def main():
 
 
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))  # N and 4N cores
-SCALE_URLS = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "8000000"))
-SCALE_SEEN = int(os.environ.get("SPARK_GRAFT_SCALE_SEEN", "16000000"))
+# sized so per-core compute dominates the ~2-3 s of fixed multi-job
+# latency (local-mode job launches + range sampling + offset collect):
+# at 8M the hot join is only ~30 core-seconds and the ratio measures
+# Amdahl on job overhead, not the plan
+SCALE_URLS = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "48000000"))
+SCALE_SEEN = int(os.environ.get("SPARK_GRAFT_SCALE_SEEN", "48000000"))
 
 
 def measure_commit_bytes(spark, parent: str, rounds: int = 5) -> dict:
@@ -429,11 +440,12 @@ buckets, so the anti-join is co-located sort-merge with NO exchange.
 | local[{lo}]  (N)  | {flat[lo]['sec']} | {flat[lo]['urls_per_sec']:,} |
 | local[{hi}] (4N) | {flat[hi]['sec']} | {flat[hi]['urls_per_sec']:,} |
 
-efficiency = {eff_flat:.3f} — page-cached local disk absorbs the
-exchange here, so the flat layout also scales in-sandbox; the bucketed
-layout is still ~1.5x faster in absolute terms because the exchange
-work (hash, serialize, spill, merge both sides every round) is gone
-entirely. On a real cluster that exchange crosses the network and
+efficiency = {eff_flat:.3f} — the flat layout also scales in-sandbox
+(page-cached local disk absorbs the exchange; a value slightly above
+1.0 means the low-parallelism run paid extra memory pressure on the
+shuffle). The bucketed layout is {results[hi]['urls_per_sec'] / flat[hi]['urls_per_sec']:.1f}x
+faster in absolute terms at 4N because the exchange work (hash,
+serialize, spill, merge both sides every round) is gone entirely. On a real cluster that exchange crosses the network and
 grows with the seen set; the co-located bucketed join (Iceberg
 `bucket(url_hash, N)`) keeps the hot path exchange-free at any scale —
 which is why frontier/seen are specified hash-bucketed (SURVEY.md §1

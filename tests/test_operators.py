@@ -382,3 +382,35 @@ def test_engine_cuckoo_equals_exact_with_delete(spark, tmp_path):
             ),
         )
     assert results["cuckoo"] == results["exact"]
+
+
+def test_engine_rebuild_saturated_cuckoos(spark, tmp_path):
+    """Growth maintenance: undersized cuckoo buckets get rebuilt bigger
+    from the exact seen set, and membership stays false-negative-free."""
+    from crawler_spark.engine import CrawlEngine
+    from crawler_spark.operators import cuckoo as CK
+    from crawler_spark.operators.discovery import discover_frontier
+    from crawler_spark.world import make_world
+
+    world = make_world(seed=29, n_hosts=3, n_urls=40, budget=5, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(
+        spark, str(tmp_path), embed_dim=0, seen_filter="cuckoo",
+        # one bucket sized for 4 keys (32-slot capacity) vs ~40 seen
+        # URLs -> guaranteed past the 0.84 load threshold
+        bloom_buckets=1, bloom_expected_per_bucket=4,
+    )
+    eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+    eng.run(t, max_rounds=8, compact_every=0)
+    n_seen = eng.io.read(spark, "seen").count()
+    assert n_seen > 28  # fixture sanity: enough keys to saturate 32 slots
+    before = {r.bucket: r.n_cells for r in eng.io.read(spark, "seen_cuckoo").collect()}
+    n_rebuilt = eng.rebuild_saturated_cuckoos()
+    assert n_rebuilt > 0
+    after = {r.bucket: r.n_cells for r in eng.io.read(spark, "seen_cuckoo").collect()}
+    assert any(after[b] > before[b] for b in after)
+    filters = eng.io.read(spark, "seen_cuckoo")
+    maybe = CK.broadcast_cuckoo_probe_col(spark, filters, 1)
+    seen = eng.io.read(spark, "seen")
+    assert seen.withColumn("m", maybe(F.col("h64"))).filter(~F.col("m")).count() == 0
+    assert CK.saturated_cuckoo_buckets(filters).count() == 0

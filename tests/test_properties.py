@@ -99,3 +99,40 @@ def test_oracle_seq_dense_and_ordered(seed):
     assert seqs == list(range(1, len(seqs) + 1))  # dense, monotone
     rounds = [r for r, *_x in res.crawl_order]
     assert rounds == sorted(rounds)
+
+
+# --- cuckoo-filter invariants (pure numpy core, no Spark) -------------------
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=400, unique=True),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_cuckoo_core_invariants(keys, data):
+    """For ANY key set and ANY delete subset: (1) inserted keys always
+    probe maybe=True (no false negatives — the dedup-correctness
+    invariant); (2) after deleting a subset, every REMAINING key still
+    probes True; (3) key accounting is exact."""
+    import numpy as np
+
+    from crawler_spark.operators.cuckoo import (
+        SLOTS,
+        _delete,
+        _insert,
+        _lookup,
+        cuckoo_sizing,
+    )
+
+    u = np.array(keys, dtype=np.int64).view(np.uint64)
+    n_cells = cuckoo_sizing(len(u), 0.7)
+    table = np.zeros((n_cells, SLOTS), dtype=np.uint16)
+    stash: list = []
+    _insert(table, stash, u)
+    assert _lookup(table, np.asarray(stash, np.uint64), u).all()
+    n_del = data.draw(st.integers(min_value=0, max_value=len(keys)))
+    dele, keep = u[:n_del], u[n_del:]
+    removed = _delete(table, stash, dele)
+    assert removed == n_del
+    if len(keep):
+        assert _lookup(table, np.asarray(stash, np.uint64), keep).all()
