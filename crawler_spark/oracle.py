@@ -48,10 +48,19 @@ class OracleResult:
 
 
 class Oracle:
-    def __init__(self, world: World, mode: str = "reference", follow_links: bool = True):
+    def __init__(
+        self,
+        world: World,
+        mode: str = "reference",
+        follow_links: bool = True,
+        priority: str = "fifo",
+    ):
         self.world = world
         self.mode = mode
         self.follow_links = follow_links
+        # python twin of scheduler.PRIORITY_ORDERS: the within-host order
+        # AND the canonical cross-host tiebreak (rank, site, *order)
+        self.priority = priority
         self.web = world.web_by_url()
         self.robots = {
             r.host: r for r in world.robots.itertuples(index=False)
@@ -65,6 +74,16 @@ class Oracle:
 
     def url_hash(self, url: str) -> str:
         return md5_hex(self.dedup_key(url))
+
+    def _prio_key(self, row: dict) -> tuple:
+        """Sort key twin of scheduler.PRIORITY_ORDERS[self.priority]."""
+        if self.priority == "fifo":
+            return (row["url"],)
+        if self.priority == "depth":
+            return (row["depth"], row["disc"], row["url"])
+        if self.priority == "recency":
+            return (-row["disc"], row["depth"], row["url"])
+        raise ValueError(f"unknown priority: {self.priority}")
 
     # --- discovery (mirrors operators.discovery.discover_frontier) --------
     def discover(self, url_filter: str | None = None) -> list[tuple[str, str]]:
@@ -133,7 +152,8 @@ class Oracle:
         for h, urls in by_hash.items():
             u, s = min(urls)
             frontier[h] = {
-                "url": u, "site": s, "host": host_of_py(u), "depth": 0, "state": "pending"
+                "url": u, "site": s, "host": host_of_py(u), "depth": 0,
+                "disc": 0, "state": "pending",
             }
 
         res = OracleResult(
@@ -161,13 +181,14 @@ class Oracle:
                     continue
                 if h in res.seen:
                     continue
-                per_host.setdefault(row["host"], []).append(row["url"])
-            sched: list[tuple[int, str, str]] = []  # (rank, site, url)
-            for host, urls in per_host.items():
+                per_host.setdefault(row["host"], []).append(row)
+            sched: list[tuple] = []  # (rank, site, prio_key, url)
+            for host, rows in per_host.items():
                 budget = self.robots[host].crawl_budget if host in self.robots else 1
-                for rank, u in enumerate(sorted(urls)[:budget], start=1):
-                    sched.append((rank, site_of_py(host), u))
-            sched.sort()
+                ordered = sorted(rows, key=self._prio_key)[:budget]
+                for rank, r in enumerate(ordered, start=1):
+                    sched.append((rank, site_of_py(host), self._prio_key(r), r["url"]))
+            sched.sort()  # canonical (rank_in_host, site, *priority order)
 
             if not sched:
                 idle += 1
@@ -181,7 +202,7 @@ class Oracle:
             idle = 0
 
             new_links: dict[str, tuple[int, str, str, str]] = {}  # hash -> (depth,url,site,host)
-            for rank, site, url in sched:
+            for rank, site, _k, url in sched:
                 seq_total += 1
                 seq = seq_total
                 host = host_of_py(url)
@@ -247,7 +268,8 @@ class Oracle:
                     row["state"] = "error"
             for lhash, (depth, url, site, host) in new_links.items():
                 frontier[lhash] = {
-                    "url": url, "site": site, "host": host, "depth": depth, "state": "pending"
+                    "url": url, "site": site, "host": host, "depth": depth,
+                    "disc": rnd, "state": "pending",
                 }
 
         # final cascade of deleted sites over accumulated outputs

@@ -414,3 +414,35 @@ def test_engine_rebuild_saturated_cuckoos(spark, tmp_path):
     seen = eng.io.read(spark, "seen")
     assert seen.withColumn("m", maybe(F.col("h64"))).filter(~F.col("m")).count() == 0
     assert CK.saturated_cuckoo_buckets(filters).count() == 0
+
+
+def test_engine_priority_modes_equal_oracle(spark, tmp_path):
+    """The 'depth' and 'recency' scheduling priorities (north-star
+    scored generalizations) now have full oracle twins: engine crawl
+    order + seen set must match the python oracle exactly, and must
+    genuinely differ from fifo (link-discovered pages interleave)."""
+    from crawler_spark.engine import CrawlEngine
+    from crawler_spark.operators.discovery import discover_frontier
+    from crawler_spark.oracle import Oracle
+    from crawler_spark.world import make_world
+
+    orders = {}
+    for prio in ("depth", "recency"):
+        world = make_world(seed=37, n_hosts=3, n_urls=24, budget=2, burst=False)
+        t = world.to_spark(spark)
+        eng = CrawlEngine(spark, str(tmp_path / prio), embed_dim=0, priority=prio)
+        eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+        eng.run(t, max_rounds=14)
+        ora = Oracle(world, priority=prio).run(max_rounds=14)
+        got = [
+            (r.round, r.seq, r.site, r.url, r.status)
+            for r in eng.io.read(spark, "crawl_order").orderBy("seq").collect()
+        ]
+        assert got == ora.crawl_order, prio
+        gs = {(r.url_hash, r.url) for r in eng.io.read(spark, "seen").collect()}
+        assert gs == set(ora.seen.items()), prio
+        orders[prio] = got
+    fifo = Oracle(
+        make_world(seed=37, n_hosts=3, n_urls=24, budget=2, burst=False)
+    ).run(max_rounds=14)
+    assert orders["depth"] != fifo.crawl_order  # priorities actually bite
