@@ -736,6 +736,65 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_frontier_state_merge(spark, sf_dir):
+    """Delta-state frontier merge (the engine's read-side core,
+    engine.merge_frontier_states): append-only base + state deltas ->
+    effective states; latest (round, prio, state) wins and a same-round
+    'deleted' beats 'fetched' (the cascade tie-break). orders rows play
+    the base, lineitem rows the deltas, with synthesized same-round
+    conflicts so the prio rule is actually exercised."""
+    from crawler_spark.engine import merge_frontier_states
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            F.col("o_orderkey").cast("string").alias("url_hash"),
+            F.lit("pending").alias("state"),
+        )
+    )
+    d0 = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 5000)
+        .select(
+            F.col("l_orderkey").cast("string").alias("url_hash"),
+            F.when(F.col("l_returnflag") == "R", "deleted")
+            .when(F.col("l_returnflag") == "A", "fetched")
+            .otherwise("error")
+            .alias("state"),
+            F.col("l_linenumber").cast("int").alias("round"),
+        )
+    )
+    deltas = d0.unionByName(
+        d0.filter(F.pmod("round", F.lit(3)) == 0).withColumn("state", F.lit("deleted"))
+    )
+    return merge_frontier_states(base, deltas).select("url_hash", "state")
+
+
+_Q_FRONTIER_STATE_MERGE_SQL = """
+    WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS url_hash, 'pending' AS state
+                  FROM orders WHERE o_orderkey < 5000),
+    d0 AS (SELECT CAST(l_orderkey AS VARCHAR) AS url_hash,
+                  CASE WHEN l_returnflag='R' THEN 'deleted'
+                       WHEN l_returnflag='A' THEN 'fetched' ELSE 'error' END AS state,
+                  CAST(l_linenumber AS INT) AS round
+           FROM lineitem WHERE l_orderkey < 5000),
+    d AS (SELECT * FROM d0
+          UNION ALL
+          SELECT url_hash, 'deleted' AS state, round FROM d0 WHERE round % 3 = 0),
+    latest AS (
+        SELECT url_hash, state FROM (
+            SELECT url_hash, state,
+                   row_number() OVER (PARTITION BY url_hash
+                       ORDER BY round DESC,
+                                (CASE WHEN state='deleted' THEN 2 ELSE 1 END) DESC,
+                                state DESC) AS rn
+            FROM d) WHERE rn = 1)
+    SELECT b.url_hash, coalesce(l.state, b.state) AS state
+    FROM base b LEFT JOIN latest l USING (url_hash)
+"""
+
+
 def q_char_ngrams(spark, sf_dir):
     """Character 5-gram shingles (near-dup unit beside the word-shingle
     family), JVM-side sequence/transform/substring — no UDF
@@ -920,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stub_embedding": q_stub_embedding,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
+        "frontier_state_merge": q_frontier_state_merge,
         "char_ngrams": q_char_ngrams,
         "lsh_bucketed_topk": q_lsh_bucketed_topk,
         "backoff_rounds": q_backoff_rounds,
@@ -957,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,
         "embedding_near_dup": _Q_EMBEDDING_NEAR_DUP_SQL,
         "ivf_topk": _Q_IVF_TOPK_SQL,
+        "frontier_state_merge": _Q_FRONTIER_STATE_MERGE_SQL,
         "char_ngrams": _Q_CHAR_NGRAMS_SQL,
         "lsh_bucketed_topk": _Q_LSH_TOPK_SQL,
         "backoff_rounds": _Q_BACKOFF_SQL,

@@ -100,14 +100,27 @@ def read_frontier_view(spark: SparkSession, io: ParquetSnapshotIO) -> DataFrame:
         return io.frontier_view(spark)
     base = io.read(spark, "frontier")
     deltas = io.read(spark, "frontier_state")
+    return merge_frontier_states(base, deltas).select(
+        *[f.name for f in S.FRONTIER.fields]
+    )
+
+
+def merge_frontier_states(base: DataFrame, deltas: DataFrame) -> DataFrame:
+    """The latest-wins merge as a pure (base, deltas) -> effective-state
+    function: per url_hash, the max (round, prio, state) delta wins,
+    falling back to the base's inserted state. prio makes a same-round
+    delete-cascade transition beat a fetch transition (schemas.state_prio).
+    Driver-pinned against a DuckDB oracle (entry query
+    frontier_state_merge)."""
     latest = deltas.groupBy("url_hash").agg(
-        F.max(F.struct(F.col("round"), _state_prio().alias("prio"), F.col("state"))).alias("_rs")
+        F.max(
+            F.struct(F.col("round"), _state_prio().alias("prio"), F.col("state"))
+        ).alias("_rs")
     )
     return (
         base.join(latest, "url_hash", "left")
         .withColumn("state", F.coalesce(F.col("_rs.state"), F.col("state")))
         .drop("_rs")
-        .select(*[f.name for f in S.FRONTIER.fields])
     )
 
 
