@@ -469,6 +469,37 @@ _Q_SIMHASH_SQL = f"""
 """
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """Simhash near-dup PAIRS (Hamming <= 3), Manku-blocked: 4-bit
+    signature blocks bucket the candidates (pigeonhole: any pair within
+    Hamming 3 shares a block), exact Hamming prunes — never all-pairs."""
+    from crawler_spark.operators.textdedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs_wide(spark, sf_dir), max_hamming=3)
+
+
+_Q_SIMHASH_NEAR_DUP_SQL = f"""
+    WITH {_TOKENS_SQL},
+    sig AS (SELECT doc_id, {_SIMHASH_BITS_SQL} AS s FROM tokens GROUP BY doc_id),
+    blocks AS (
+        SELECT doc_id, s, i AS block_idx, substr(s, i*4 + 1, 4) AS block_val
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        FROM blocks a JOIN blocks b
+          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b,
+               CAST(list_sum([CASE WHEN sa[i] <> sb[i] THEN 1 ELSE 0 END
+                              for i in generate_series(1, 16)]) AS INT) AS hamming
+        FROM cand
+    ) WHERE hamming <= 3
+"""
+
+
 def q_jaccard_pairs(spark, sf_dir):
     from crawler_spark.operators.textdedup import jaccard_pairs
 
@@ -972,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_buckets": q_lsh_buckets,
         "ann_topk": q_ann_topk,
@@ -1010,6 +1042,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _Q_MINHASH_SQL,
         "minhash_lsh_pairs": _Q_LSH_PAIRS_SQL,
         "simhash": _Q_SIMHASH_SQL,
+        "simhash_near_dup": _Q_SIMHASH_NEAR_DUP_SQL,
         "jaccard_pairs": _Q_JACCARD_SQL,
         "lsh_buckets": _Q_LSH_BUCKETS_SQL,
         "ann_topk": _Q_ANN_TOPK_SQL,

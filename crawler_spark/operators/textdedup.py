@@ -151,6 +151,78 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     return sums.select("doc_id", F.concat(*bits_cols).alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    bits: int = 16,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_hamming,
+    blocked the Manku/Charikar way: split the signature into n_blocks
+    contiguous blocks — any pair within Hamming <= n_blocks-1 shares at
+    least one identical (block_idx, block_value) by pigeonhole, so
+    candidates form only INSIDE those buckets (|bucket|², never
+    all-pairs) and the exact Hamming check prunes the rest. Same
+    one-groupBy bucket shape as minhash_lsh_pairs, so the signature
+    pipeline evaluates once."""
+    assert max_hamming < n_blocks, "pigeonhole guarantee needs max_hamming < n_blocks"
+    w = bits // n_blocks
+    sig = simhash(docs, text_col, bits)
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.substring("simhash", i * w + 1, w).alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.block_idx", "b.block_val")
+    buckets = (
+        blocks.groupBy("block_idx", "block_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["simhash"].alias("sig_a"),
+                    y["simhash"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
+    pairs = buckets.select(F.explode(pair_arr).alias("p")).select("p.*").distinct()
+    ham = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: F.when(
+                F.col("sig_a").substr(i, F.lit(1)) != F.col("sig_b").substr(i, F.lit(1)),
+                1,
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -446,3 +446,31 @@ def test_engine_priority_modes_equal_oracle(spark, tmp_path):
         make_world(seed=37, n_hosts=3, n_urls=24, budget=2, burst=False)
     ).run(max_rounds=14)
     assert orders["depth"] != fifo.crawl_order  # priorities actually bite
+
+
+def test_simhash_near_dup_blocking_is_exact(spark):
+    """For max_hamming < n_blocks the Manku block filter is LOSSLESS
+    (pigeonhole): blocked pairs == brute-force all-pairs Hamming<=k."""
+    from crawler_spark.operators.textdedup import simhash, simhash_near_dup_pairs
+
+    rows = [
+        (i, f"alpha beta gamma delta {w}")
+        for i, w in enumerate(
+            ["x", "x", "y", "zq", "alpha", "beta beta", "gamma x", "delta y"] * 4
+        )
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if h <= 3:
+                want.add((a, b, h))
+    assert got == want and len(want) > 0
