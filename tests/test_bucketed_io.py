@@ -207,3 +207,25 @@ def test_bucketed_dedup_plan_has_no_seen_exchange(spark, tmp_path):
         assert "Exchange rangepartitioning" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_io_with_cuckoo_filter_equals_oracle(spark, tmp_path):
+    """Combined scale configuration — bucketed snapshot IO (co-located
+    storage) + cuckoo seen-filter (probabilistic prefilter): still
+    byte-equal to the oracle crawl."""
+    world = make_world(seed=43, n_hosts=3, n_urls=20, budget=3, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(
+        spark, str(tmp_path), embed_dim=0,
+        bucketed_io=8, bucketed_min_bytes=0, seen_filter="cuckoo",
+    )
+    eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+    eng.run(t, max_rounds=10)
+    ora = Oracle(world).run(max_rounds=10)
+    got = [
+        (r.round, r.seq, r.site, r.url, r.status)
+        for r in eng.io.read(spark, "crawl_order").orderBy("seq").collect()
+    ]
+    assert got == ora.crawl_order
+    gs = {(r.url_hash, r.url) for r in eng.io.read(spark, "seen").collect()}
+    assert gs == set(ora.seen.items())
