@@ -39,6 +39,15 @@ from crawler_spark.operators.dedup import _u64, bucket_col
 
 SLOTS = 4
 _FP_MULT = np.uint64(0x5BD1E995)
+# splitmix64-style mixer for the primary-cell derivation: the partition
+# bucket is pmod(h64, n_buckets), which for power-of-two n_buckets FIXES
+# the low bits of every key in a bucket — deriving c1 straight from the
+# low bits collapsed n_buckets-worth of cells (measured: stash spills
+# from ~0.57 load vs 0.84 for unconstrained keys, and any non-empty
+# stash flags the bucket for a saturation rebuild). Multiplying first
+# mixes every input bit into the output; taking bits 32.. keeps c1
+# independent of both the bucket key (low bits) and fp (high 16 bits).
+_CELL_MULT = np.uint64(0x9E3779B97F4A7C15)
 
 CUCKOO_SCHEMA = T.StructType(
     [
@@ -65,7 +74,7 @@ def _fp_cells(u: np.ndarray, n_cells: int):
     fp = (u >> np.uint64(48)).astype(np.uint16)
     fp = np.where(fp == 0, np.uint16(1), fp)
     mask = np.uint64(n_cells - 1)
-    c1 = (u & mask).astype(np.int64)
+    c1 = (((u * _CELL_MULT) >> np.uint64(32)) & mask).astype(np.int64)
     alt = ((fp.astype(np.uint64) * _FP_MULT) & mask).astype(np.int64)
     c2 = c1 ^ alt
     return fp, c1, c2
@@ -108,7 +117,10 @@ def _insert(table: np.ndarray, stash: list, u: np.ndarray) -> None:
             if empties.size:
                 table[cell, empties[0]] = cur_fp
                 break
-            victim_slot = kick % SLOTS
+            # victim slot pseudo-random from the kicked fingerprint (+kick
+            # so a two-cell A<->B loop cannot replay the same slot choices
+            # and burn all 500 kicks before stashing)
+            victim_slot = (int(cur_fp) + kick) % SLOTS
             victim = int(table[cell, victim_slot])
             table[cell, victim_slot] = cur_fp
             cur_fp = victim
@@ -135,6 +147,10 @@ def _delete(table: np.ndarray, stash: list, u: np.ndarray) -> int:
     fp, c1, c2 = _fp_cells(u, n_cells)
     removed = 0
     stash_arr = np.asarray(stash, dtype=np.uint64)
+    # mark-then-sweep: collect stash victims and apply ONE np.delete at
+    # the end (np.delete inside the loop is an O(|stash|) array copy per
+    # deleted key)
+    stash_dead: set[int] = set()
     for i in range(len(u)):
         f = fp[i]
         hit = False
@@ -147,12 +163,16 @@ def _delete(table: np.ndarray, stash: list, u: np.ndarray) -> int:
         if not hit and stash_arr.size:
             for cell in (int(c1[i]), int(c2[i])):
                 code = (np.uint64(cell) << np.uint64(16)) | np.uint64(f)
-                j = np.flatnonzero(stash_arr == code)
-                if j.size:
-                    stash_arr = np.delete(stash_arr, j[0])
-                    hit = True
+                for j in np.flatnonzero(stash_arr == code):
+                    if int(j) not in stash_dead:
+                        stash_dead.add(int(j))
+                        hit = True
+                        break
+                if hit:
                     break
         removed += int(hit)
+    if stash_dead:
+        stash_arr = np.delete(stash_arr, sorted(stash_dead))
     stash[:] = list(stash_arr)
     return removed
 

@@ -86,14 +86,29 @@ def default_urllib_transport(timeout_s: float = 30.0, user_agent: str = USER_AGE
     span extractor here). Unusable in this sandbox (no network) — tests
     inject a fake transport instead."""
     import re
+    import socket
+    import urllib.error
     import urllib.request
 
     href = re.compile(r"""href=["']([^"'#][^"']*)["']""")
 
     def get(url: str) -> tuple:
         req = urllib.request.Request(url, headers={"User-Agent": user_agent})
-        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-            body = resp.read().decode("utf-8", errors="replace")
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                body = resp.read().decode("utf-8", errors="replace")
+        except urllib.error.HTTPError as e:
+            # non-2xx is a RESPONSE, not a transport failure: surface the
+            # real status so 429 drives O-SCHED4 backoff and 404/5xx land
+            # in the reference's rate_limit/not_found error categories
+            # (crawler.py:978-995 records response.status for non-200s)
+            return int(e.code), None, None
+        except urllib.error.URLError as e:
+            # connect timeouts arrive WRAPPED in URLError — unwrap so
+            # fetch_via_http maps them to TIMEOUT(0), not ERROR(599)
+            if isinstance(e.reason, (TimeoutError, socket.timeout)):
+                raise TimeoutError(str(e.reason)) from e
+            raise
         spans = [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
         return 200, spans, href.findall(body)
 

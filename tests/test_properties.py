@@ -136,3 +136,32 @@ def test_cuckoo_core_invariants(keys, data):
     assert removed == n_del
     if len(keep):
         assert _lookup(table, np.asarray(stash, np.uint64), keep).all()
+
+
+def test_cuckoo_bucket_constrained_keys_no_stash_spill():
+    """Regression (round-2 ADVICE): the engine hands each filter ONLY
+    keys with pmod(h64, n_buckets) == bucket — for power-of-two
+    n_buckets that fixes the low bits of every key, and a primary cell
+    derived from those bits collapsed n_buckets-worth of cells (stash
+    spills from ~0.57 load; any non-empty stash re-flags the bucket for
+    an O(bucket) saturation rebuild forever). With the mixed-hash cell
+    derivation, bucket-constrained keys must behave like unconstrained
+    ones: zero stash at the 0.7 design load."""
+    import numpy as np
+
+    from crawler_spark.operators.cuckoo import SLOTS, _insert, _lookup, cuckoo_sizing
+
+    rng = np.random.default_rng(7)
+    for n_buckets in (16, 64):
+        n_keys = 4000
+        n_cells = cuckoo_sizing(n_keys, 0.7)
+        # uniform u64 keys, then constrain to bucket 3: pmod semantics on
+        # int64 == numpy int64 % for the engine's signed h64
+        raw = rng.integers(0, 2**63 - 1, size=2 * n_buckets * n_keys, dtype=np.int64)
+        u = raw[raw % n_buckets == 3][:n_keys].view(np.uint64)
+        assert len(u) == n_keys
+        table = np.zeros((n_cells, SLOTS), dtype=np.uint16)
+        stash: list = []
+        _insert(table, stash, u)
+        assert stash == [], f"stash spill at design load (n_buckets={n_buckets})"
+        assert _lookup(table, np.asarray(stash, np.uint64), u).all()

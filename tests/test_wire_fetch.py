@@ -117,3 +117,50 @@ def test_wire_fetch_paces_same_host(spark):
         stamps.sort()
         gaps = [b - a for a, b in zip(stamps, stamps[1:])]
         assert all(g >= 0.045 for g in gaps), (host, gaps)
+
+
+def test_default_transport_maps_http_statuses(monkeypatch):
+    """Round-2 ADVICE: urlopen raises HTTPError for EVERY non-2xx — the
+    transport must return the real status (429 drives O-SCHED4 backoff,
+    404/500 land in the reference's error categories, crawler.py:978-995),
+    and a connect timeout wrapped in URLError must surface as
+    TimeoutError so fetch_via_http maps it to TIMEOUT(0), not ERROR(599)."""
+    import io
+    import socket
+    import urllib.error
+    import urllib.request
+
+    from crawler_spark.operators.fetch import default_urllib_transport
+
+    behaviors = {
+        "https://h/429": urllib.error.HTTPError("https://h/429", 429, "rate", {}, io.BytesIO(b"")),
+        "https://h/404": urllib.error.HTTPError("https://h/404", 404, "nf", {}, io.BytesIO(b"")),
+        "https://h/500": urllib.error.HTTPError("https://h/500", 500, "ise", {}, io.BytesIO(b"")),
+        "https://h/timeout": urllib.error.URLError(socket.timeout("timed out")),
+        "https://h/conn": urllib.error.URLError(OSError("connection refused")),
+    }
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        url = req.full_url
+        if url in behaviors:
+            raise behaviors[url]
+        return FakeResp(b'ok <a href="https://h/next">n</a>')
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    get = default_urllib_transport()
+    assert get("https://h/ok")[0] == 200
+    assert get("https://h/ok")[2] == ["https://h/next"]
+    assert get("https://h/429") == (429, None, None)
+    assert get("https://h/404") == (404, None, None)
+    assert get("https://h/500") == (500, None, None)
+    with pytest.raises(TimeoutError):
+        get("https://h/timeout")  # -> fetch_via_http maps to TIMEOUT(0)
+    with pytest.raises(urllib.error.URLError):
+        get("https://h/conn")  # generic failure -> ERROR(599) via except Exception
