@@ -157,7 +157,15 @@ class CrawlEngine:
         coalesce_writes: int | None = 1,
         embed_dim: int = 16,  # 0 disables the downstream pipeline
         priority: str = "fifo",  # scheduler PRIORITY_ORDERS key
-        bucketed_io: int | None = None,  # n_buckets -> co-located frontier/seen
+        # DEFAULT is the adaptive bucketed layout (round-2 VERDICT: the
+        # flat frontier⋈state merge + seen anti-join shuffle O(|frontier|)
+        # per politeness quantum — the last scale-killer). Adaptive means
+        # tiny tables stay plain parquet (no DDL overhead); past
+        # bucketed_min_bytes each delta is a bucketed table and the hot
+        # round loop (frontier_view merge + anti_join_seen) runs with NO
+        # exchange on the base/seen side (plan-asserted, test_plans).
+        # Pass bucketed_io=None for the legacy flat parquet layout.
+        bucketed_io: int | None = 64,  # n_buckets -> co-located frontier/seen
         bucketed_min_bytes: int = 32 << 20,  # adaptive: plain parquet below this
         upload_transport=None,  # K8 wire sink: transport(points)->statuses
         upload_batch_size: int = 64,
@@ -340,6 +348,7 @@ class CrawlEngine:
                 overwrites = {
                     k: self._w(v) for k, v in self._site_table_overwrites(newly_deleted).items()
                 }
+                overwrites.update(self._site_filter_overwrites(newly_deleted))
                 appends["frontier_state"] = self._w(
                     self._delete_deltas(frontier, newly_deleted, rnd)
                 )
@@ -608,6 +617,40 @@ class CrawlEngine:
             for name in SITE_TABLES
         }
 
+    def _filter_overwrites_after_removal(
+        self, gone_seen: DataFrame, seen_after: DataFrame
+    ) -> dict[str, DataFrame]:
+        """Seen-filter maintenance for any path that REMOVES seen rows,
+        folded by callers into the SAME atomic commit as the removal —
+        otherwise stale fingerprints survive in seen_bloom/seen_cuckoo
+        (false-positive-only, so correctness holds via the exact confirm,
+        but n_keys stays inflated and saturation rebuilds re-flag the
+        buckets forever). Cuckoo: native targeted delete, O(|gone|).
+        Bloom: rebuild from the surviving set (insert-only structure)."""
+        if self.use_bloom:
+            return {
+                "seen_bloom": self._w(
+                    D.build_bloom(seen_after, self.bloom_buckets, self.bloom_expected)
+                )
+            }
+        if self.use_cuckoo:
+            filters = self.io.read(self.spark, "seen_cuckoo")
+            return {
+                "seen_cuckoo": self._w(
+                    CK.delete_from_cuckoos(
+                        filters, gone_seen.select("h64"), self.bloom_buckets
+                    )
+                )
+            }
+        return {}
+
+    def _site_filter_overwrites(self, sites: list[str]) -> dict[str, DataFrame]:
+        seen = self.io.read(self.spark, "seen")
+        return self._filter_overwrites_after_removal(
+            seen.filter(F.col("site").isin(sites)),
+            seen.filter(~F.col("site").isin(sites)),
+        )
+
     def _delete_deltas(self, frontier_view: DataFrame, sites: list[str], rnd: int) -> DataFrame:
         """Deleted-state tombstone deltas for every not-yet-deleted row of
         the given sites (the frontier half of the C4 cascade)."""
@@ -673,6 +716,7 @@ class CrawlEngine:
         overwrites = {
             k: self._w(v) for k, v in self._site_table_overwrites([site]).items()
         }
+        overwrites.update(self._site_filter_overwrites([site]))
         overwrites["engine_control"] = self._w(self._control_df(site, deleted=True))
         self.io.commit(
             rnd,
@@ -730,16 +774,40 @@ class CrawlEngine:
             raw_urls, robots, sitemaps, url_filter
         )
         self.add_sites(pages)
-        rnd = max(self.io.last_round(), 0)
-        sm_errors = unresolved.select(
+        self._log_unresolved_sitemaps(unresolved)
+        return rejected
+
+    def _sitemap_error_rows(self, unresolved: DataFrame, rnd: int) -> DataFrame:
+        """Unresolvable sitemap URLs as fetch_log rows with
+        SITEMAP_ERROR_STATUS — the reference logs every failed sitemap
+        fetch as a SITEMAP error (app.py:704-714); every discovery
+        caller (raw seeds, fixture seeds, refresh) routes through this."""
+        return unresolved.select(
             F.lit(rnd).alias("round"),
             F.col("sitemap_url").alias("url"),
             F.lit(S.SITEMAP_ERROR_STATUS).alias("status"),
             F.lit(0).cast("long").alias("bytes"),
         )
+
+    def _log_unresolved_sitemaps(self, unresolved: DataFrame) -> None:
+        rnd = max(self.io.last_round(), 0)
+        sm_errors = self._sitemap_error_rows(unresolved, rnd)
         if not sm_errors.isEmpty():
             self.io.commit(rnd, appends={"fetch_log": self._w(sm_errors)})
-        return rejected
+
+    def seed_from_world(self, world: dict[str, DataFrame], url_filter: str | None = None) -> None:
+        """Fixture-seeded entry: discover the frontier from the world's
+        seeds/robots/sitemaps, seed it, and log unresolvable sitemap
+        URLs as SITEMAP errors (parity with add_raw_sites — previously
+        only the raw-seed path logged them)."""
+        from crawler_spark.operators.discovery import discover_frontier
+
+        pages, unresolved = discover_frontier(
+            world["seeds"], world["robots"], world["sitemaps"], url_filter,
+            with_unresolved=True,
+        )
+        self.seed(pages)
+        self._log_unresolved_sitemaps(unresolved)
 
     def restart_site(self, site: str, frontier_urls: DataFrame) -> None:
         """C5 (app.py:565-600): purge the site everywhere, clear flags,
@@ -751,6 +819,7 @@ class CrawlEngine:
         overwrites = {
             k: self._w(v) for k, v in self._site_table_overwrites([site]).items()
         }
+        overwrites.update(self._site_filter_overwrites([site]))
         overwrites["frontier"] = self._w(keep)
         overwrites["frontier_state"] = self._empty("frontier_state")
         overwrites["engine_control"] = self._w(
@@ -759,19 +828,33 @@ class CrawlEngine:
         self.io.commit(self.io.last_round(), overwrites=overwrites)
         self.add_sites(frontier_urls)
 
-    def refresh_sitemaps(self, world: dict[str, DataFrame], url_filter: str | None = None) -> None:
+    def refresh_sitemaps(
+        self,
+        world: dict[str, DataFrame],
+        url_filter: str | None = None,
+        prune_embeddings: bool = False,
+    ) -> None:
         """S7 + J5 (app.py:814-848, crawler.py:197-277): re-walk the
         sitemap trees; new URLs join the frontier, sitemap-owned URLs
         (depth 0) that vanished are tombstoned — their rows cascade out
         of frontier/seen/documents/records. Link-discovered pages
         (depth > 0) are not sitemap-owned and are never tombstoned.
-        (The reference also prunes the per-site embeddings file; our
-        embeddings keep history — keyed by entity, not page.)"""
+        Unresolvable sitemap URLs land in fetch_log as SITEMAP errors
+        in the SAME commit (app.py:704-714 parity).
+
+        prune_embeddings=False (default) keeps embeddings history —
+        keyed by entity, not page. prune_embeddings=True is full
+        reference parity (crawler.py:223-248 cascade-deletes removed
+        pages' embeddings): embedding/uploaded rows whose (site, key)
+        came ONLY from removed pages are cascaded out; keys still
+        present on surviving records are kept (they would be instantly
+        re-embedded otherwise)."""
         from crawler_spark.operators.discovery import discover_frontier
 
         spark, io = self.spark, self.io
-        current = discover_frontier(
-            world["seeds"], world["robots"], world["sitemaps"], url_filter
+        current, unresolved = discover_frontier(
+            world["seeds"], world["robots"], world["sitemaps"], url_filter,
+            with_unresolved=True,
         )
         cur_keys = (
             with_url_keys(current.select("url"), mode=self.mode)
@@ -784,18 +867,45 @@ class CrawlEngine:
         )
         removed_keys = removed.select("url_hash")
         removed_urls = removed.select("url")
+        seen = io.read(spark, "seen")
+        records = io.read(spark, "records")
         overwrites = {
             # overwrite folds deltas into the base (states preserved) and
             # clears the chain — tombstoned rows vanish entirely
             "frontier": frontier.join(removed_keys, "url_hash", "left_anti"),
             "frontier_state": self._empty("frontier_state"),
-            "seen": io.read(spark, "seen").join(removed_keys, "url_hash", "left_anti"),
+            "seen": seen.join(removed_keys, "url_hash", "left_anti"),
             "documents": io.read(spark, "documents").join(
                 removed_keys.withColumnRenamed("url_hash", "doc_id"), "doc_id", "left_anti"
             ),
-            "records": io.read(spark, "records").join(removed_urls, "url", "left_anti"),
+            "records": records.join(removed_urls, "url", "left_anti"),
         }
-        io.commit(io.last_round(), overwrites={k: self._w(v) for k, v in overwrites.items()})
+        if prune_embeddings:
+            rec_keys = lambda df: df.select(  # noqa: E731
+                "site", F.coalesce("entity_key", "url").alias("key")
+            ).distinct()
+            gone_keys = rec_keys(
+                records.join(removed_urls, "url", "left_semi")
+            ).join(
+                rec_keys(records.join(removed_urls, "url", "left_anti")),
+                ["site", "key"],
+                "left_anti",
+            )
+            for name in ("embeddings", "uploaded"):
+                overwrites[name] = io.read(spark, name).join(
+                    gone_keys, ["site", "key"], "left_anti"
+                )
+        overwrites = {k: self._w(v) for k, v in overwrites.items()}
+        overwrites.update(
+            self._filter_overwrites_after_removal(
+                seen.join(removed_keys, "url_hash", "left_semi"),
+                seen.join(removed_keys, "url_hash", "left_anti"),
+            )
+        )
+        rnd = io.last_round()
+        sm_errors = self._sitemap_error_rows(unresolved, max(rnd, 0))
+        appends = {} if sm_errors.isEmpty() else {"fetch_log": self._w(sm_errors)}
+        io.commit(rnd, appends=appends, overwrites=overwrites)
         self.add_sites(current)
 
     def maintain(self, max_paths: int = 32) -> None:

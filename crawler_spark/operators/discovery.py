@@ -76,18 +76,26 @@ def discover_frontier(
     sitemaps: DataFrame,
     url_filter: str | None = None,
     max_depth: int = 8,
-) -> DataFrame:
+    with_unresolved: bool = False,
+):
     """Return distinct page URLs (url, site) discovered from the seed
-    hosts' sitemap trees, unioned with the seeds themselves."""
+    hosts' sitemap trees, unioned with the seeds themselves.
+
+    with_unresolved=True returns (pages, unresolved(sitemap_url)) so the
+    caller can log unresolvable sitemap fetches with the reference's
+    SITEMAP error category (app.py:704-714) instead of dropping them —
+    engine.seed_from_world and engine.refresh_sitemaps both do."""
     seed_hosts = seeds.select(host_col("url").alias("host")).distinct()
     worklist = (
         robots.join(seed_hosts, "host")
         .select(F.explode("sitemap_urls").alias("sitemap_url"))
         .distinct()
     )
-    pages, _unresolved = _sitemap_bfs(
+    pages, unresolved = _sitemap_bfs(
         worklist, sitemaps, seeds.select("url", "site"), url_filter, max_depth
     )
+    if with_unresolved:
+        return pages, unresolved
     return pages
 
 

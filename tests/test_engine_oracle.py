@@ -21,9 +21,9 @@ from crawler_spark.oracle import Oracle
 from crawler_spark.world import make_world
 
 
-def crawl_both(spark, tmpdir, world, mode, max_rounds, use_bloom=False, url_filter=None):
+def crawl_both(spark, tmpdir, world, mode, max_rounds, use_bloom=False, url_filter=None, **kw):
     tables = world.to_spark(spark)
-    eng = CrawlEngine(spark, str(tmpdir), mode=mode, use_bloom=use_bloom)
+    eng = CrawlEngine(spark, str(tmpdir), mode=mode, use_bloom=use_bloom, **kw)
     eng.seed(
         discover_frontier(
             tables["seeds"], tables["robots"], tables["sitemaps"], url_filter=url_filter
@@ -76,9 +76,14 @@ def ref_run(spark, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def scaled_run(spark, tmp_path_factory):
+    # bucketed_io=None: the engine DEFAULT is now the adaptive bucketed
+    # layout, so this run pins the legacy flat-parquet path (generic
+    # merge_frontier_states + exact_anti_join) to the oracle — both IO
+    # layouts stay end-to-end covered.
     world = make_world(seed=7, n_hosts=3, n_urls=24, budget=3)
     eng, ora = crawl_both(
-        spark, tmp_path_factory.mktemp("scaled"), world, "scaled", max_rounds=15
+        spark, tmp_path_factory.mktemp("scaled"), world, "scaled", max_rounds=15,
+        bucketed_io=None,
     )
     return world, read_all(spark, eng), ora
 
