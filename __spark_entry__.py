@@ -451,16 +451,34 @@ _Q_LSH_PAIRS_SQL = f"""
 """
 
 
+def q_minhash_lsh_pairs_cached(spark, sf_dir):
+    """The production two-step shape (round-2 NOTES item 5): the
+    signature table is computed ONCE and persisted (here: parquet temp),
+    and the pairs query consumes it — band-explode + one groupBy, no
+    shingle pipeline. Same oracle as minhash_lsh_pairs: caching must not
+    change a single pair."""
+    import tempfile
+
+    from crawler_spark.operators.textdedup import minhash_lsh_pairs, minhash_signatures
+
+    sig_dir = tempfile.mkdtemp(prefix="mh-sigs-")
+    minhash_signatures(_docs_wide(spark, sf_dir)).write.mode("overwrite").parquet(sig_dir)
+    return minhash_lsh_pairs(signatures=spark.read.parquet(sig_dir))
+
+
 def q_simhash(spark, sf_dir):
     from crawler_spark.operators.textdedup import simhash
 
     return simhash(_docs_wide(spark, sf_dir))
 
 
+# 64-bit signature: bits 0-31 from md5(tok)'s hex digits, 32-63 from the
+# seeded md5('1:'||tok) — mirrors textdedup.simhash exactly
+_SIMHASH_SRC = {0: "md5(tok)", 1: "md5('1' || ':' || tok)"}
 _SIMHASH_BITS_SQL = " || ".join(
-    f"(CASE WHEN sum(CASE WHEN substr(md5(tok), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) >= 0"
-    f" THEN '1' ELSE '0' END)"
-    for j in range(16)
+    f"(CASE WHEN sum(CASE WHEN substr({_SIMHASH_SRC[j // 32]}, {j % 32 + 1}, 1) >= '8'"
+    f" THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END)"
+    for j in range(64)
 )
 _Q_SIMHASH_SQL = f"""
     WITH {_TOKENS_SQL}
@@ -470,9 +488,10 @@ _Q_SIMHASH_SQL = f"""
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """Simhash near-dup PAIRS (Hamming <= 3), Manku-blocked: 4-bit
-    signature blocks bucket the candidates (pigeonhole: any pair within
-    Hamming 3 shares a block), exact Hamming prunes — never all-pairs."""
+    """Simhash near-dup PAIRS (Hamming <= 3), Manku-blocked: 8-bit
+    blocks of the 64-bit signature bucket the candidates (pigeonhole:
+    any pair within Hamming 7 shares a block — lossless for the
+    Hamming-3 cut), exact Hamming prunes — never all-pairs."""
     from crawler_spark.operators.textdedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(_docs_wide(spark, sf_dir), max_hamming=3)
@@ -482,8 +501,8 @@ _Q_SIMHASH_NEAR_DUP_SQL = f"""
     WITH {_TOKENS_SQL},
     sig AS (SELECT doc_id, {_SIMHASH_BITS_SQL} AS s FROM tokens GROUP BY doc_id),
     blocks AS (
-        SELECT doc_id, s, i AS block_idx, substr(s, i*4 + 1, 4) AS block_val
-        FROM sig, (SELECT unnest(generate_series(0, 3)) AS i)
+        SELECT doc_id, s, i AS block_idx, substr(s, i*8 + 1, 8) AS block_val
+        FROM sig, (SELECT unnest(generate_series(0, 7)) AS i)
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
@@ -494,7 +513,7 @@ _Q_SIMHASH_NEAR_DUP_SQL = f"""
     SELECT doc_a, doc_b, hamming FROM (
         SELECT doc_a, doc_b,
                CAST(list_sum([CASE WHEN sa[i] <> sb[i] THEN 1 ELSE 0 END
-                              for i in generate_series(1, 16)]) AS INT) AS hamming
+                              for i in generate_series(1, 64)]) AS INT) AS hamming
         FROM cand
     ) WHERE hamming <= 3
 """
@@ -519,6 +538,47 @@ _Q_JACCARD_SQL = """
                                      for i in generate_series(1, len(w) - 2)])) AS tok
         FROM words
     ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tokens GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tokens a JOIN tokens b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.01
+"""
+
+
+def q_jaccard_pairs_guarded(spark, sf_dir):
+    """The scale-safe Jaccard shape: stop-shingle guard ACTIVE (shingles
+    with document frequency > max_df are dropped before the posting-list
+    self-join — the quadratic-blowup protection). q_jaccard_pairs
+    certifies exactness with the guard off; THIS entry certifies the
+    guarded plan that the 100 TB path actually runs."""
+    from crawler_spark.operators.textdedup import jaccard_pairs
+
+    docs = _docs_wide(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return jaccard_pairs(docs, threshold=0.01, max_df=25)
+
+
+_Q_JACCARD_GUARDED_SQL = """
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+        WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3 AND doc_id < 300
+    ),
+    raw_tokens AS (
+        SELECT doc_id,
+               unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     for i in generate_series(1, len(w) - 2)])) AS tok
+        FROM words
+    ),
+    df_cap AS (SELECT tok FROM raw_tokens GROUP BY tok HAVING count(*) <= 25),
+    tokens AS (SELECT t.doc_id, t.tok FROM raw_tokens t JOIN df_cap USING (tok)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM tokens GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -1002,9 +1062,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_pairs_cached": q_minhash_lsh_pairs_cached,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_pairs_guarded": q_jaccard_pairs_guarded,
         "lsh_buckets": q_lsh_buckets,
         "ann_topk": q_ann_topk,
         "text_profile": q_text_profile,
@@ -1041,9 +1103,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "minhash_signatures": _Q_MINHASH_SQL,
         "minhash_lsh_pairs": _Q_LSH_PAIRS_SQL,
+        "minhash_lsh_pairs_cached": _Q_LSH_PAIRS_SQL,
         "simhash": _Q_SIMHASH_SQL,
         "simhash_near_dup": _Q_SIMHASH_NEAR_DUP_SQL,
         "jaccard_pairs": _Q_JACCARD_SQL,
+        "jaccard_pairs_guarded": _Q_JACCARD_GUARDED_SQL,
         "lsh_buckets": _Q_LSH_BUCKETS_SQL,
         "ann_topk": _Q_ANN_TOPK_SQL,
         "text_profile": _Q_TEXT_PROFILE_SQL,

@@ -8,7 +8,8 @@ reproduce them bit-for-bit):
 - minhash+LSH  shingle -> K minhashes -> band keys -> bucket self-join;
                only same-band docs ever meet, so the candidate join is
                |bucket|² not |corpus|²
-- simhash      16-bit sign-sum signature; equal signatures ≈ near-dups
+- simhash      64-bit sign-sum signature (Manku width); near-dups by
+               blocked Hamming search
 - jaccard      token inverted-index join (posting-list intersection),
                with a document-frequency cap that drops stop-tokens
                before the pair join — the classic guard against the
@@ -85,7 +86,11 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = N_MINHA
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, text_col: str = "text", k: int = N_MINHASH, band: int = BAND_SIZE
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band.
 
@@ -94,8 +99,14 @@ def minhash_lsh_pairs(
     (transform+slice — still |bucket|², the LSH contract, but the
     expensive shingle->signature pipeline runs ONCE; the equivalent
     self-join evaluated it per join side because Spark's exchange reuse
-    does not fire across the aliased branches)."""
-    sig = minhash_signatures(docs, text_col, k)
+    does not fire across the aliased branches).
+
+    signatures=: the production pattern — pass a PRECOMPUTED signature
+    table (minhash_signatures written to parquet / cached once) and the
+    pairs query drops to band-explode + one groupBy, skipping the
+    shingle pipeline entirely. Recompute-from-docs remains the
+    single-query default."""
+    sig = signatures if signatures is not None else minhash_signatures(docs, text_col, k)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -134,15 +145,27 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """(doc_id, simhash) — bit j is the sign of sum over distinct tokens
-    of ±1 according to bit j of md5(token). Hex digit >= '8' <=> high
-    bit set (single lowercase hex chars compare like their value)."""
-    t = tokens(docs, text_col).withColumn("h", F.md5(F.col("tok")))
+    of ±1 according to bit j of the token's hash stream. Hex digit >=
+    '8' <=> high bit set (single lowercase hex chars compare like their
+    value), so every bit source is a plain substring test that DuckDB
+    reproduces bit-for-bit. One md5 yields 32 independent sign bits (one
+    per hex digit's high bit); wider signatures chain seeded md5s
+    (md5('1:'||tok), md5('2:'||tok), ...) — 64-bit is the Manku/web-scale
+    default (the round-2 16-bit width stopped discriminating at corpus
+    scale: 59% of all pairs fell within Hamming<=3)."""
+    t = tokens(docs, text_col)
+    n_hashes = (bits + 31) // 32
+    t = t.withColumn("h0", F.md5(F.col("tok")))
+    for s in range(1, n_hashes):
+        t = t.withColumn(f"h{s}", F.md5(F.concat_ws(":", F.lit(str(s)), F.col("tok"))))
     sums = t.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.substring(F.col("h"), j + 1, 1) >= "8", 1).otherwise(-1)
+                F.when(
+                    F.substring(F.col(f"h{j // 32}"), j % 32 + 1, 1) >= "8", 1
+                ).otherwise(-1)
             ).alias(f"s{j}")
             for j in range(bits)
         ]
@@ -155,8 +178,8 @@ def simhash_near_dup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
-    bits: int = 16,
-    n_blocks: int = 4,
+    bits: int = 64,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming,
     blocked the Manku/Charikar way: split the signature into n_blocks
@@ -165,7 +188,8 @@ def simhash_near_dup_pairs(
     candidates form only INSIDE those buckets (|bucket|², never
     all-pairs) and the exact Hamming check prunes the rest. Same
     one-groupBy bucket shape as minhash_lsh_pairs, so the signature
-    pipeline evaluates once."""
+    pipeline evaluates once. Defaults: 64-bit signatures in 8-bit
+    blocks — lossless for Hamming <= 7, selective at corpus scale."""
     assert max_hamming < n_blocks, "pigeonhole guarantee needs max_hamming < n_blocks"
     w = bits // n_blocks
     sig = simhash(docs, text_col, bits)
