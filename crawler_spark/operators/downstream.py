@@ -83,18 +83,25 @@ def embed_new_records(
     prepared = prepare_embed_text(cand)
     # F13 auto-flatten (crawler.py:1243-1247): every TOP-LEVEL PRIMITIVE
     # of the schema dict joins the metadata map; nested objects/arrays
-    # are skipped. JVM-side: from_json to map<string,string> stringifies
-    # every value ('{...}'/'[...]' for non-primitives — filtered out),
-    # and schema keys override the base type/url entries exactly like
-    # the reference's dict-assignment order.
-    prims = F.map_filter(
-        F.coalesce(
-            F.from_json("payload_json", "map<string,string>"),
-            F.expr("map()").cast("map<string,string>"),
+    # are skipped. JVM-side and TYPED: parse_json -> map<string,variant>
+    # keeps the real JSON type of each value, so primitives are selected
+    # by schema_of_variant (OBJECT/ARRAY/VOID dropped) — a genuine
+    # string value that happens to start with '{' or '[' is KEPT, unlike
+    # the earlier text-shape heuristic. Schema keys override the base
+    # type/url entries exactly like the reference's dict-assignment
+    # order. Documented divergence: scalars render Spark/JSON-style
+    # ('true', '1.5') where the reference renders Python-style ('True').
+    prims = F.transform_values(
+        F.map_filter(
+            F.coalesce(
+                F.expr("try_cast(parse_json(payload_json) AS map<string, variant>)"),
+                F.expr("try_cast(parse_json('{}') AS map<string, variant>)"),
+            ),
+            lambda k, v: ~F.schema_of_variant(v).startswith("OBJECT")
+            & ~F.schema_of_variant(v).startswith("ARRAY")
+            & (F.schema_of_variant(v) != "VOID"),
         ),
-        lambda k, v: v.isNotNull()
-        & ~F.ltrim(v).startswith("{")
-        & ~F.ltrim(v).startswith("["),
+        lambda k, v: v.cast("string"),
     )
     base = F.create_map(
         F.lit("type"), F.coalesce(F.element_at("types", 1), F.lit("")),

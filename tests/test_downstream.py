@@ -74,6 +74,8 @@ def test_metadata_auto_flatten_primitives(spark):
             "tags": ["x", "y"],             # array: skipped
             "url": "https://canonical/x",   # primitive override of base url
             "nothing": None,                # null: skipped
+            "brace": "{looks nested}",      # GENUINE string: kept (typed
+            "brack": "[0..9]",              # flatten, not text-shape)
         }
     )
     rows = [("u9", "s1", 1, 1, "single", "k9", ["Article"], "N", payload)]
@@ -85,6 +87,7 @@ def test_metadata_auto_flatten_primitives(spark):
     assert md["score"] == "1.5"
     assert md["free"] == "true"
     assert "author" not in md and "tags" not in md and "nothing" not in md
+    assert md["brace"] == "{looks nested}" and md["brack"] == "[0..9]"
     assert md["url"] == "https://canonical/x"  # schema primitive wins
     assert md["type"] == "Article"  # base entry preserved (no collision)
 
