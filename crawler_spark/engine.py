@@ -169,9 +169,17 @@ class CrawlEngine:
         bucketed_min_bytes: int = 32 << 20,  # adaptive: plain parquet below this
         upload_transport=None,  # K8 wire sink: transport(points)->statuses
         upload_batch_size: int = 64,
+        # pre-built TableIO overrides root/bucketed_io — the cluster entry
+        # point: CrawlEngine(spark, "", io=IcebergTableIO(spark, "crawl",
+        # schemas=ENGINE_SCHEMAS)) runs the identical round loop against
+        # an Iceberg catalog (jar-gated integration suite:
+        # tests/test_iceberg_integration.py)
+        io: ParquetSnapshotIO | None = None,
     ):
         self.spark = spark
-        if bucketed_io:
+        if io is not None:
+            self.io = io
+        elif bucketed_io:
             from crawler_spark.io.bucketed import BucketedSnapshotIO
 
             self.io: ParquetSnapshotIO = BucketedSnapshotIO(

@@ -78,7 +78,14 @@ def table_ddl(name: str, schema, ident: str, n_buckets: int = 64) -> str:
 class IcebergTableIO(TableIO):
     """Round-commit semantics over an Iceberg catalog (docstring above)."""
 
-    def __init__(self, spark: SparkSession, catalog: str, db: str = "crawl", n_buckets: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: str,
+        db: str = "crawl",
+        n_buckets: int = 64,
+        schemas: dict | None = None,
+    ):
         if not iceberg_available(spark):
             raise RuntimeError(
                 "iceberg-spark-runtime not on the classpath; use "
@@ -87,13 +94,24 @@ class IcebergTableIO(TableIO):
         self.spark = spark
         self.prefix = f"{catalog}.{db}"
         self.n_buckets = n_buckets
+        self.schemas = schemas or {}
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.prefix}")
+        # pre-create every declared table (CREATE IF NOT EXISTS — cheap
+        # catalog no-ops after the first run): the engine reads tables
+        # like `seen` before their first commit, which must come back as
+        # empty DataFrames, exactly like ParquetSnapshotIO's
+        # schema-backed empty reads
+        for name, schema in self.schemas.items():
+            self.ensure_schema(name, schema)
 
     def _ident(self, name: str) -> str:
         return f"{self.prefix}.{name}"
 
+    def ensure_schema(self, name: str, schema) -> None:
+        self.spark.sql(table_ddl(name, schema, self._ident(name), self.n_buckets))
+
     def ensure_table(self, name: str, df: DataFrame) -> None:
-        self.spark.sql(table_ddl(name, df.schema, self._ident(name), self.n_buckets))
+        self.ensure_schema(name, df.schema)
 
     # --- manifest ----------------------------------------------------------
     def _latest_manifest(self) -> dict:
@@ -121,7 +139,13 @@ class IcebergTableIO(TableIO):
         round."""
         sid = self._latest_manifest()["snapshots"].get(name)
         if sid is None:
-            return spark.table(self._ident(name))  # table never committed
+            # table never committed: declared-schema tables come back
+            # empty even if a crashed round staged orphan rows into the
+            # live table (pinning discipline extends to the empty case)
+            schema = self.schemas.get(name)
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            return spark.table(self._ident(name))
         return (
             spark.read.format("iceberg")
             .option("snapshot-id", str(sid))
