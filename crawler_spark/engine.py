@@ -169,6 +169,10 @@ class CrawlEngine:
         bucketed_min_bytes: int = 32 << 20,  # adaptive: plain parquet below this
         upload_transport=None,  # K8 wire sink: transport(points)->statuses
         upload_batch_size: int = 64,
+        # post-upload side-effect hook (reference: per-doc permission
+        # grants after upsert, crawler.py:1173-1186); a raising hook
+        # withdraws the ack so upload+grant retry together next round
+        upload_post_ack=None,
         # pre-built TableIO overrides root/bucketed_io — the cluster entry
         # point: CrawlEngine(spark, "", io=IcebergTableIO(spark, "crawl",
         # schemas=ENGINE_SCHEMAS)) runs the identical round loop against
@@ -216,6 +220,7 @@ class CrawlEngine:
         # `uploaded` table as the sink of record with every point acked.
         self.upload_transport = upload_transport
         self.upload_batch_size = upload_batch_size
+        self.upload_post_ack = upload_post_ack
 
     def _w(self, df: DataFrame) -> DataFrame:
         return df.coalesce(self.coalesce_writes) if self.coalesce_writes else df
@@ -420,7 +425,8 @@ class CrawlEngine:
                     )
                 )
                 acked = upload_via_transport(
-                    docs_up, self.upload_transport, self.upload_batch_size
+                    docs_up, self.upload_transport, self.upload_batch_size,
+                    post_ack=self.upload_post_ack,
                 ).filter((F.col("status") >= 200) & (F.col("status") < 300))
                 new_upl = new_upl.join(
                     acked.select(F.col("url").alias("key"), "site"),

@@ -167,7 +167,7 @@ def default_rest_transport(endpoint: str, timeout_s: float = 30.0):
 
 
 def upload_via_transport(
-    upload_docs: DataFrame, transport, batch_size: int = 64
+    upload_docs: DataFrame, transport, batch_size: int = 64, post_ack=None
 ) -> DataFrame:
     """K8 wire sink: push transform_for_upload documents through an
     injectable `transport(points) -> statuses` in deterministic batches.
@@ -182,6 +182,16 @@ def upload_via_transport(
     reference's retry-on-next-poll loop). Task retries can re-send a
     batch (at-least-once, like the reference); vector upserts are
     idempotent by key.
+
+    `post_ack(points)` is the post-upload side-effect hook — the
+    reference grants per-document access permissions on its auth
+    service right after each successful upsert (crawler.py:1173-1186);
+    a real deployment passes that grant call here. It runs once per
+    2xx-acked batch with exactly the acked points. If the hook RAISES,
+    those points' statuses downgrade to 599 so the caller does not mark
+    them uploaded and next round retries upload+grant together —
+    at-least-once for the side effect, never upload-without-grant
+    (both operations are idempotent by key).
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -211,6 +221,21 @@ def upload_via_transport(
                     raise ValueError("transport returned wrong arity")
             except Exception:
                 statuses = [UPLOAD_ERROR_STATUS] * len(buf)
+            else:
+                if post_ack is not None:
+                    acked = [
+                        p for p, st in zip(buf, statuses) if 200 <= int(st) < 300
+                    ]
+                    if acked:
+                        try:
+                            post_ack(acked)
+                        except Exception:
+                            # grant failed: withdraw the ack so these
+                            # points retry upload+grant next round
+                            statuses = [
+                                UPLOAD_ERROR_STATUS if 200 <= int(st) < 300 else st
+                                for st in statuses
+                            ]
             for p, st in zip(buf, statuses):
                 out.append((p["url"], p["site"], int(st), next_idx))
             next_idx += 1

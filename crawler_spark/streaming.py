@@ -62,6 +62,13 @@ def stream_frontier_ingest(
     parsed = parse_url_lines(raw, mode)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # processingTime triggers fire on a clock, data or not: an
+            # empty batch must NOT commit — each commit is a snapshot
+            # version + an (empty) pending_ingest delta + a turn of the
+            # cross-process flock, i.e. pure manifest churn that starves
+            # the round loop's commits under a fast trigger
+            return
         new_rows = batch_df.dropDuplicates(["url_hash"]).select(
             *[f.name for f in S.FRONTIER.fields]
         )

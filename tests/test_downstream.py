@@ -153,6 +153,53 @@ def test_upload_via_transport_batching_and_failure(spark):
     assert all(got[f"u{i}"][0] == 599 for i in range(5, 8))
 
 
+def test_upload_post_ack_hook(spark, tmp_path):
+    """Post-upload side-effect hook (reference: per-doc permission
+    grants after upsert, crawler.py:1173-1186): runs once per 2xx batch
+    with exactly the acked points; a RAISING hook withdraws the ack
+    (599) so upload+grant retry together next round."""
+    import json
+    import os
+
+    from crawler_spark.operators.downstream import upload_via_transport
+
+    rows = [(f"u{i}", "s1" if i < 4 else "s2") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["url", "site"]).select(
+        "url",
+        F.array(F.lit(0.1)).cast("array<float>").alias("vector"),
+        "site",
+        F.create_map(F.lit("k"), F.lit("v")).alias("metadata"),
+        F.lit("{}").alias("schema_json"),
+    )
+    grant_dir = str(tmp_path / "grants")
+    os.makedirs(grant_dir, exist_ok=True)
+
+    def transport(points):
+        # s2's second point is rejected by the DB (not acked)
+        return [503 if p["url"] == "u5" else 200 for p in points]
+
+    def grant(points):
+        # the hook runs in the executor's Python worker: record grants
+        # via the filesystem (a real deployment calls the auth service)
+        if points[0]["site"] == "s2":
+            raise RuntimeError("auth service down")
+        name = f"{points[0]['site']}-{points[0]['url']}.json"
+        with open(os.path.join(grant_dir, name), "w") as f:
+            json.dump(sorted(p["url"] for p in points), f)
+
+    res = upload_via_transport(docs, transport, batch_size=2, post_ack=grant).collect()
+    got = {r.url: r.status for r in res}
+    # s1: uploaded AND granted -> stays 200
+    assert all(got[f"u{i}"] == 200 for i in range(4))
+    granted = sorted(
+        u for fn in os.listdir(grant_dir) for u in json.load(open(os.path.join(grant_dir, fn)))
+    )
+    assert granted == ["u0", "u1", "u2", "u3"]  # exactly the acked s1 points
+    # s2: grant raised -> acks withdrawn (599) so the caller retries;
+    # the DB-rejected point keeps its real status
+    assert got["u4"] == 599 and got["u5"] == 503
+
+
 def test_engine_upload_transport_acks_gate_uploaded(spark, tmp_path):
     """Engine + wire sink: only 2xx-acked points are marked uploaded;
     a rejecting site's points stay pending (reference retry-on-next-
