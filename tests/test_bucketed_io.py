@@ -9,6 +9,24 @@ from crawler_spark.oracle import Oracle
 from crawler_spark.world import make_world
 
 
+def _scans_under_shuffles(df) -> list[str]:
+    """Leaf-scan descriptions sitting beneath any shuffle Exchange in the
+    executed plan (broadcasts excluded; AQE is off in the test session,
+    so the static plan tree is the real one)."""
+    out: list[str] = []
+
+    def walk(node, under: bool) -> None:
+        under = under or node.nodeName() == "Exchange"
+        kids = node.children()
+        if kids.size() == 0 and under:
+            out.append(node.toString())
+        for i in range(kids.size()):
+            walk(kids.apply(i), under)
+
+    walk(df._jdf.queryExecution().executedPlan(), False)
+    return out
+
+
 def test_bucketed_engine_equals_oracle(spark, tmp_path):
     world = make_world(seed=19, n_hosts=3, n_urls=20, budget=3, burst=False)
     t = world.to_spark(spark)
@@ -182,6 +200,51 @@ def test_bucketed_frontier_view_plan_no_shuffle(spark, tmp_path):
     assert view.count() == 300
 
 
+def test_frontier_view_plan_size_is_linear_in_deltas(spark, tmp_path):
+    """frontier_view must stay O(bases + states): ONE join per base
+    against a single reduced `latest`, however many state deltas exist.
+    The earlier chain was O(bases × states) joins — between compactions
+    both grow one per round, so round wall time grew superlinearly with
+    crawl age (15s→60s over 8 rounds at FIXED data size in the soak)."""
+    from crawler_spark import schemas as S
+    from crawler_spark.engine import ENGINE_SCHEMAS
+    from crawler_spark.io.bucketed import BucketedSnapshotIO
+
+    io = BucketedSnapshotIO(
+        str(tmp_path), schemas=ENGINE_SCHEMAS, n_buckets=4, min_bucket_bytes=0
+    )
+    n_bases, n_states = 3, 5
+    v = 0
+    for i in range(n_bases):
+        io.commit(v, appends={"frontier": _frontier_rows(spark, 40 * i, 40 * i + 40)})
+        v += 1
+    ks = [r.url_hash for r in io.read(spark, "frontier").limit(60).collect()]
+    for j in range(n_states):
+        st = spark.createDataFrame(
+            [(k, "fetched", j + 1) for k in ks[j::n_states]], S.FRONTIER_STATE
+        )
+        io.commit(v, appends={"frontier_state": st})
+        v += 1
+
+    def n_joins(df):
+        count = 0
+        stack = [df._jdf.queryExecution().executedPlan()]
+        while stack:
+            node = stack.pop()
+            if "Join" in node.nodeName():
+                count += 1
+            kids = node.children()
+            stack.extend(kids.apply(i) for i in range(kids.size()))
+        return count
+
+    view = io.frontier_view(spark)
+    assert n_joins(view) == n_bases  # NOT n_bases * n_states
+    # and the merge is still latest-wins correct
+    got = {r.url: r.state for r in view.collect()}
+    assert sum(1 for s in got.values() if s == "fetched") == len(ks)
+    assert sum(1 for s in got.values() if s == "pending") == 40 * n_bases - len(ks)
+
+
 def test_bucketed_dedup_plan_has_no_seen_exchange(spark, tmp_path):
     """The chained anti-join must not shuffle either side (both scans
     are co-bucketed on url_hash)."""
@@ -233,9 +296,14 @@ def test_default_engine_round_plan_is_exchange_free(spark, tmp_path):
         view = read_frontier_view(spark, eng.io)  # via the engine dispatch
         vplan = view._jdf.queryExecution().executedPlan().toString()
         assert "Bucketed: true" in vplan
-        assert "Exchange hashpartitioning" not in vplan
         assert "Exchange rangepartitioning" not in vplan
         assert "Exchange SinglePartition" not in vplan
+        # two rounds committed two frontier_state deltas: their union's
+        # groupBy is allowed ONE O(|delta|)-sized hash exchange (computed
+        # once via exchange reuse); the frontier BASE must never sit
+        # under a shuffle — that's the O(|frontier|)-per-round killer
+        for scan in _scans_under_shuffles(view):
+            assert "frontier_state" in scan, scan
         cand = gate_candidates(
             eng.io.read(spark, "frontier"), t["control"],
             eng.io.read(spark, "host_state"), t["robots"], 3,
