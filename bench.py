@@ -302,8 +302,18 @@ def main():
         head = bench_headline(spark, root)
         fpath, spath = os.path.join(root, "frontier"), os.path.join(root, "seen")
 
-        def best_of(fn, n=2):
-            fn()  # warm
+        def best_of(fn, n=5):
+            # warm to the JIT plateau first: whole-stage-codegen takes
+            # several runs to reach the steady state a long-lived engine
+            # session actually operates at (measured: 5.9s cold -> 2.0s
+            # plateau for the identical bucketed job). Stop warming when
+            # a run stops improving by >5%, cap at 6 warm passes.
+            prev = _timed(fn)
+            for _ in range(5):
+                cur = _timed(fn)
+                if cur >= prev * 0.95:
+                    break
+                prev = cur
             return round(min(_timed(fn) for _ in range(n)), 3)
 
         def _timed(fn):

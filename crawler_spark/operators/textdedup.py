@@ -175,24 +175,37 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFram
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     max_hamming: int = 3,
     text_col: str = "text",
     bits: int = 64,
-    n_blocks: int = 8,
+    n_blocks: int = 4,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming,
     blocked the Manku/Charikar way: split the signature into n_blocks
     contiguous blocks — any pair within Hamming <= n_blocks-1 shares at
     least one identical (block_idx, block_value) by pigeonhole, so
-    candidates form only INSIDE those buckets (|bucket|², never
-    all-pairs) and the exact Hamming check prunes the rest. Same
-    one-groupBy bucket shape as minhash_lsh_pairs, so the signature
-    pipeline evaluates once. Defaults: 64-bit signatures in 8-bit
-    blocks — lossless for Hamming <= 7, selective at corpus scale."""
+    candidates form only INSIDE those buckets and the exact Hamming
+    check prunes the rest. Defaults: 64-bit signatures in 4 blocks of
+    16 bits — lossless for Hamming <= 3.
+
+    Block width is the selectivity lever: 8-bit blocks have only 256
+    values, so at any real corpus size every bucket saturates to ~N/256
+    docs and the candidate set goes quadratic (measured at sf0.1: 8-bit
+    blocks put 4161 of 5000 docs in ONE bucket -> 25.3M candidate
+    pairs; 16-bit blocks -> 3.8M). Candidates come from a streamed
+    self-join of the exploded block table — never a per-bucket
+    collect_list: one hot bucket of B docs would otherwise materialize
+    B^2 structs inside a single row, and AQE's skew split can't cut a
+    row. The Hamming check XORs the signature halves as 32-bit ints
+    (bit_count), not per-character compares.
+
+    signatures=: pass a precomputed simhash() table (cached/parquet) to
+    skip the token pipeline; the default recomputes from docs."""
     assert max_hamming < n_blocks, "pigeonhole guarantee needs max_hamming < n_blocks"
     w = bits // n_blocks
-    sig = simhash(docs, text_col, bits)
+    sig = signatures if signatures is not None else simhash(docs, text_col, bits)
     blocks = sig.select(
         "doc_id",
         "simhash",
@@ -208,38 +221,26 @@ def simhash_near_dup_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.block_idx", "b.block_val")
-    buckets = (
-        blocks.groupBy("block_idx", "block_val")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    ds = F.col("ds")
-    pair_arr = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["simhash"].alias("sig_a"),
-                    y["simhash"].alias("sig_b"),
-                ),
-            ),
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
         )
+        .distinct()  # a pair may share up to n_blocks equal blocks
     )
-    pairs = buckets.select(F.explode(pair_arr).alias("p")).select("p.*").distinct()
-    ham = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(bits)),
-            lambda i: F.when(
-                F.col("sig_a").substr(i, F.lit(1)) != F.col("sig_b").substr(i, F.lit(1)),
-                1,
-            ).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    halves = [(i * 32 + 1) for i in range(bits // 32)] + ([] if bits % 32 == 0 else [bits - bits % 32 + 1])
+    ham = None
+    for pos in halves:
+        n = min(32, bits - pos + 1)
+        x = F.conv(F.col("sig_a").substr(pos, n), 2, 10).cast("long")
+        y = F.conv(F.col("sig_b").substr(pos, n), 2, 10).cast("long")
+        term = F.bit_count(x.bitwiseXOR(y))
+        ham = term if ham is None else ham + term
     return (
         pairs.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
