@@ -659,18 +659,26 @@ def crossover():
         ratio_lo = round(lo["exact"] / min(lo["bloom"], lo["cuckoo"]), 2)
         ratio_hi = round(hi["exact"] / min(hi["bloom"], hi["cuckoo"]), 2)
         conclusion = (
-            f"Trend: exact/prefilter wall ratio moves {ratio_lo} -> {ratio_hi} as seen grows "
-            f"{lo['n_seen']:,} -> {hi['n_seen']:,} (fixed candidates). "
+            f"Measured: exact/prefilter wall ratio moves {ratio_lo} -> {ratio_hi} as seen "
+            f"grows {lo['n_seen']:,} -> {hi['n_seen']:,} (fixed candidates). "
             + (
-                "The prefilter wins outright at the largest in-sandbox point — on "
-                "network storage at >=10^9 keys the gap widens (the exact path "
-                "re-shuffles every seen key per politeness quantum; the prefilter "
-                "ships ~1 byte/key once)."
+                "The prefilter wins outright at the largest in-sandbox point."
                 if pre_wins
-                else "In-sandbox the exact path still wins at the largest point "
-                "(page-cached local scan + memory-speed shuffle); the measured "
-                "per-key trend is what extrapolates to the >=10^9-key crossover "
-                "claimed for network storage."
+                else "In this regime the EXACT path wins at every point and the gap "
+                "WIDENS with the seen set — the round-2 crossover hypothesis does "
+                "NOT hold on page-cached local storage. Why: the probe re-ships "
+                "O(filter bytes) (~1-2.5 B/key) into the Arrow probe workers every "
+                "job, growing linearly in seen, while the exact anti-join's seen "
+                "scan is page-cached and its shuffle is memory-speed. "
+                "Consequently the ENGINE DEFAULT is the exact bucketed path "
+                "(seen_filter=None); bloom/cuckoo stay opt-in for the regime they "
+                "exist for — seen on cold/remote object storage, where the exact "
+                "path re-reads O(seen) over the network every politeness quantum "
+                "but resident per-executor filters are read once and probed in "
+                "memory, with cogroup mode keeping filters partitioned past the "
+                "broadcast budget. That regime is not constructible in-sandbox; "
+                "deployments should measure with this same --crossover sweep "
+                "before opting in."
             )
         )
         data = {"n_urls": N_URLS, "rows": rows, "conclusion": conclusion}
