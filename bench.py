@@ -479,9 +479,9 @@ buckets, so the anti-join is co-located sort-merge with NO exchange.
 | local[{hi}] (4N) | {flat[hi]['sec']} | {flat[hi]['urls_per_sec']:,} |
 
 efficiency = {eff_flat:.3f} — the flat layout also scales in-sandbox
-(page-cached local disk absorbs the exchange; a value slightly above
-1.0 means the low-parallelism run paid extra memory pressure on the
-shuffle). The bucketed layout is {results[hi]['urls_per_sec'] / flat[hi]['urls_per_sec']:.1f}x
+(page-cached local disk absorbs the exchange; run-to-run values near
+or above 1.0 reflect memory-pressure noise at low parallelism, not
+super-linear scaling). The bucketed layout is {results[hi]['urls_per_sec'] / flat[hi]['urls_per_sec']:.1f}x
 faster in absolute terms at 4N because the exchange work (hash,
 serialize, spill, merge both sides every round) is gone entirely. On a real cluster that exchange crosses the network and
 grows with the seen set; the co-located bucketed join (Iceberg
