@@ -488,13 +488,30 @@ _Q_SIMHASH_SQL = f"""
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """Simhash near-dup PAIRS (Hamming <= 3), Manku-blocked: 8-bit
-    blocks of the 64-bit signature bucket the candidates (pigeonhole:
-    any pair within Hamming 7 shares a block — lossless for the
-    Hamming-3 cut), exact Hamming prunes — never all-pairs."""
+    """Simhash near-dup PAIRS (Hamming <= 3), Manku-blocked: 4 blocks
+    of 16 bits bucket the candidates (pigeonhole: any pair within
+    Hamming 3 shares a block — lossless; 16-bit values keep buckets
+    selective where 8-bit ones saturated at 256 values), streamed
+    block self-join + exact bit_count Hamming prune — never all-pairs."""
     from crawler_spark.operators.textdedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(_docs_wide(spark, sf_dir), max_hamming=3)
+
+
+def q_simhash_near_dup_cached(spark, sf_dir):
+    """Production two-step shape (mirrors minhash_lsh_pairs_cached):
+    the simhash signature table persists once, the near-dup query pays
+    only block-join + Hamming cost. Same oracle as simhash_near_dup:
+    caching must not change a single pair."""
+    import tempfile
+
+    from crawler_spark.operators.textdedup import simhash, simhash_near_dup_pairs
+
+    sig_dir = tempfile.mkdtemp(prefix="sh-sigs-")
+    simhash(_docs_wide(spark, sf_dir)).write.mode("overwrite").parquet(sig_dir)
+    return simhash_near_dup_pairs(
+        max_hamming=3, signatures=spark.read.parquet(sig_dir)
+    )
 
 
 _Q_SIMHASH_NEAR_DUP_SQL = f"""
@@ -1065,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_cached": q_minhash_lsh_pairs_cached,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
+        "simhash_near_dup_cached": q_simhash_near_dup_cached,
         "jaccard_pairs": q_jaccard_pairs,
         "jaccard_pairs_guarded": q_jaccard_pairs_guarded,
         "lsh_buckets": q_lsh_buckets,
@@ -1106,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs_cached": _Q_LSH_PAIRS_SQL,
         "simhash": _Q_SIMHASH_SQL,
         "simhash_near_dup": _Q_SIMHASH_NEAR_DUP_SQL,
+        "simhash_near_dup_cached": _Q_SIMHASH_NEAR_DUP_SQL,
         "jaccard_pairs": _Q_JACCARD_SQL,
         "jaccard_pairs_guarded": _Q_JACCARD_GUARDED_SQL,
         "lsh_buckets": _Q_LSH_BUCKETS_SQL,

@@ -291,6 +291,21 @@ def bench_queries(spark) -> dict[str, float]:
         out["minhash_lsh_pairs_cached"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(sig_dir, ignore_errors=True)
+    # same production shape for simhash: signature table persisted once,
+    # the near-dup query pays only block-join + hamming cost
+    from crawler_spark.operators.textdedup import simhash, simhash_near_dup_pairs
+
+    sig_dir = tempfile.mkdtemp(prefix="bench-sh-sigs-")
+    try:
+        simhash(entrymod._docs_wide(spark, SF_DIR)).write.mode("overwrite").parquet(
+            sig_dir
+        )
+        sig = spark.read.parquet(sig_dir)
+        t0 = time.time()
+        simhash_near_dup_pairs(max_hamming=3, signatures=sig).count()
+        out["simhash_near_dup_cached"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(sig_dir, ignore_errors=True)
     return out
 
 

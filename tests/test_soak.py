@@ -16,7 +16,8 @@ tests/test_soak.py -q
 """
 
 import os
-from statistics import mean
+import time
+from statistics import mean, median
 
 from pyspark.sql import functions as F
 
@@ -71,9 +72,10 @@ def test_long_horizon_soak(spark, tmp_path):
         spark, urls_dir, eng.io, str(tmp_path / "ckpt"), trigger_seconds=2
     )
 
-    per_round_bytes, path_list_high, rebuilds = [], 0, 0
+    per_round_bytes, per_round_wall, path_list_high, rebuilds = [], [], 0, 0
     try:
         for rnd in range(1, SOAK_ROUNDS + 1):
+            _t0 = time.time()
             if rnd % FEED_EVERY == 0 and rnd // FEED_EVERY < len(chunks):
                 write_urls_file(
                     urls_dir, f"chunk{rnd // FEED_EVERY:04d}.txt",
@@ -83,6 +85,7 @@ def test_long_horizon_soak(spark, tmp_path):
                 eng.io.table_rels("frontier_state")
             )
             eng.run_round(rnd, t)
+            per_round_wall.append(time.time() - _t0)
             after = set(eng.io.table_rels("frontier")) | set(
                 eng.io.table_rels("frontier_state")
             )
@@ -110,6 +113,16 @@ def test_long_horizon_soak(spark, tmp_path):
     early = mean(per_round_bytes[2 : max(12, len(per_round_bytes) // 5)])
     late = mean(per_round_bytes[-10:])
     assert late <= 3 * early + 16384, (early, late)
+    # per-round WALL: crawl age must not leak into round time either.
+    # Compare the last compaction window against the second (the first
+    # is JIT warm-up); generous 3x slack absorbs CI noise, but the
+    # O(bases x states) frontier_view plan bug this guards against grew
+    # monotonically ACROSS windows (25s -> 45s+ by round 8 at fixed
+    # data) and trips it immediately.
+    if SOAK_ROUNDS >= 3 * MAINTAIN_EVERY:
+        w2 = median(per_round_wall[MAINTAIN_EVERY : 2 * MAINTAIN_EVERY])
+        w_last = median(per_round_wall[-MAINTAIN_EVERY:])
+        assert w_last <= 3 * w2 + 2.0, (w2, w_last)
     # saturation maintenance actually exercised (16 keys/bucket budget
     # vs hundreds of seen keys)
     assert rebuilds >= 1
