@@ -110,12 +110,17 @@ class BucketedSnapshotIO(ParquetSnapshotIO):
             )
         return tbl
 
-    def read_deltas(self, spark: SparkSession, name: str) -> list[DataFrame]:
+    def read_deltas(
+        self, spark: SparkSession, name: str, bucketed: bool = True
+    ) -> list[DataFrame]:
         """The table as a list of delta scans (oldest first): bucketed
-        catalog scans for b-prefix rels, plain parquet for v-prefix."""
+        catalog scans for b-prefix rels, plain parquet for v-prefix.
+        bucketed=False reads every rel as a plain parquet scan (bucketed
+        dirs are ordinary parquet files underneath) — the scan carries
+        NO partitioning claim, see the read() warning."""
         out = []
         for rel in self.manifest()["tables"].get(name, []):
-            if os.path.basename(rel).startswith("b"):
+            if bucketed and os.path.basename(rel).startswith("b"):
                 out.append(spark.table(self._register(spark, name, rel)))
             else:
                 out.append(
@@ -124,13 +129,31 @@ class BucketedSnapshotIO(ParquetSnapshotIO):
         return out
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
+        """Full-scan read. A union of >1 deltas deliberately uses PLAIN
+        parquet scans, never the bucketed catalog tables: Spark 4.1
+        propagates the children's common HashPartitioning(url_hash, N)
+        through the Union even though the union physically concatenates
+        partitions (k children x N partitions, two partitions per
+        bucket), so a downstream url_hash groupBy/join SKIPS its
+        exchange — measured: groupBy over a union of two same-bucketed
+        scans returned every key TWICE (split groups), and a sort-merge
+        join crashed with 'Can't zip RDDs with unequal numbers of
+        partitions'. Plain scans carry no partitioning claim, so
+        EnsureRequirements inserts the correct exchange. Single-delta
+        reads keep the bucketed scan — one catalog scan's claim is true.
+        Co-located operators (anti_join_seen, frontier_view) use
+        read_deltas() and join each bucketed scan SINGLY, never through
+        a union."""
         if name not in BUCKETED_TABLES:
             return super().read(spark, name)
         deltas = self.read_deltas(spark, name)
         if not deltas:
             return spark.createDataFrame([], self.schemas[name])
-        out = deltas[0]
-        for d in deltas[1:]:
+        if len(deltas) == 1:
+            return deltas[0]
+        plain = self.read_deltas(spark, name, bucketed=False)
+        out = plain[0]
+        for d in plain[1:]:
             out = out.unionByName(d)
         return out
 
@@ -176,7 +199,13 @@ class BucketedSnapshotIO(ParquetSnapshotIO):
         bases = self.read_deltas(spark, "frontier")
         if not bases:
             return spark.createDataFrame([], self.schemas["frontier"])
+        # >1 state deltas: union PLAIN scans (see read() — a union of
+        # bucketed scans makes Spark 4.1 skip the groupBy exchange and
+        # split groups). A single bucketed delta keeps its (true) claim
+        # and aggregates exchange-free.
         states = self.read_deltas(spark, "frontier_state")
+        if len(states) > 1:
+            states = self.read_deltas(spark, "frontier_state", bucketed=False)
         latest = None
         if states:
             union = states[0]

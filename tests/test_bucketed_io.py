@@ -10,16 +10,18 @@ from crawler_spark.world import make_world
 
 
 def _scans_under_shuffles(df) -> list[str]:
-    """Leaf-scan descriptions sitting beneath any shuffle Exchange in the
-    executed plan (broadcasts excluded; AQE is off in the test session,
-    so the static plan tree is the real one)."""
+    """Full (untruncated) schema strings of leaf scans sitting beneath
+    any shuffle Exchange in the executed plan (broadcasts excluded; AQE
+    is off in the test session, so the static plan tree is the real
+    one). Schema identifies the table — node.toString() truncates the
+    file path."""
     out: list[str] = []
 
     def walk(node, under: bool) -> None:
         under = under or node.nodeName() == "Exchange"
         kids = node.children()
         if kids.size() == 0 and under:
-            out.append(node.toString())
+            out.append(node.schema().catalogString())
         for i in range(kids.size()):
             walk(kids.apply(i), under)
 
@@ -264,10 +266,15 @@ def test_bucketed_dedup_plan_has_no_seen_exchange(spark, tmp_path):
         plan = deduped._jdf.queryExecution().executedPlan().toString()
         assert "LeftAnti" in plan
         assert "Bucketed: true" in plan
-        # gate dims may BroadcastExchange (tiny); neither join side may
-        # SHUFFLE — no hash/range repartitioning anywhere in the chain
-        assert "Exchange hashpartitioning" not in plan
         assert "Exchange rangepartitioning" not in plan
+        # the SEEN side must never shuffle (that's the O(|seen|)-per-
+        # round killer); the candidate side may exchange ONCE —
+        # O(|round delta|). (The earlier no-exchange-anywhere assertion
+        # was satisfied only by Spark 4.1's bogus partitioning claim on
+        # unions of bucketed scans — see BucketedSnapshotIO.read.)
+        # Seen scans are identified by their fetched_round column.
+        for scan in _scans_under_shuffles(deduped):
+            assert "fetched_round" not in scan, scan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
@@ -301,20 +308,22 @@ def test_default_engine_round_plan_is_exchange_free(spark, tmp_path):
         # two rounds committed two frontier_state deltas: their union's
         # groupBy is allowed ONE O(|delta|)-sized hash exchange (computed
         # once via exchange reuse); the frontier BASE must never sit
-        # under a shuffle — that's the O(|frontier|)-per-round killer
+        # under a shuffle — that's the O(|frontier|)-per-round killer.
+        # (state-delta scans carry (url_hash, state, round); base scans
+        # are identified by their discovered_round column)
         for scan in _scans_under_shuffles(view):
-            assert "frontier_state" in scan, scan
+            assert "discovered_round" not in scan, scan
         cand = gate_candidates(
             eng.io.read(spark, "frontier"), t["control"],
             eng.io.read(spark, "host_state"), t["robots"], 3,
         )
-        dplan = (
-            eng.io.anti_join_seen(spark, cand)
-            ._jdf.queryExecution().executedPlan().toString()
-        )
+        deduped = eng.io.anti_join_seen(spark, cand)
+        dplan = deduped._jdf.queryExecution().executedPlan().toString()
         assert "LeftAnti" in dplan and "Bucketed: true" in dplan
-        assert "Exchange hashpartitioning" not in dplan
         assert "Exchange rangepartitioning" not in dplan
+        # seen never shuffles; candidates may exchange once (see above)
+        for scan in _scans_under_shuffles(deduped):
+            assert "fetched_round" not in scan, scan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     # and the default config still crawls correctly
