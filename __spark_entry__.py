@@ -823,10 +823,33 @@ def q_ivf_kmeans_topk(spark, sf_dir):
     return ivf_topk(emb, [0, 1, 2, 3, 4], k=5, n_centroids=16, nprobe=2, centroids=cent)
 
 
+_Q_MULTIMODAL_SQL = """
+WITH h AS (
+  SELECT 'img://doc/' || CAST(doc_id AS VARCHAR) AS media_ref,
+         CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+         sha256(coalesce(text, '')) AS hx
+  FROM documents
+)
+SELECT media_ref, doc_id, n_bytes,
+  CAST(64 + (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS INTEGER) AS width,
+  CAST(64 + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS INTEGER) AS height,
+  CAST(1000 + ((strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1)) * 16
+       AS INTEGER) AS duration_ms
+FROM h
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media decode plumbing (stubbed decoder): documents ->
-    fake media payloads -> mapInPandas feature extraction. Rows-only
-    (digest-derived features aren't SQL-expressible)."""
+    fake media payloads -> mapInPandas feature extraction. The stub
+    digest is sha256, so the scalar features ARE SQL-expressible: the
+    DuckDB oracle recomputes width/height/duration from the same hex
+    digest (the float feature vector stays Python-side, exercised by
+    tests/test_wire_discovery.py)."""
     from crawler_spark.operators.multimodal import decode_media
     from crawler_spark.session import ship_package
 
@@ -1138,5 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucketed_topk": _Q_LSH_TOPK_SQL,
         "backoff_rounds": _Q_BACKOFF_SQL,
         "seed_dispatch": _Q_SEED_DISPATCH_SQL,
-        # crawl_round / ivf_kmeans_topk / multimodal_features: rows-only by design
+        "multimodal_features": _Q_MULTIMODAL_SQL,
+        # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
+        # engine state / iterative k-means)
     }

@@ -70,8 +70,11 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 def _fake_decode(payload: bytes, dim: int) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for a real decoder: digest-derived dims
-    and a unit-norm-ish feature vector."""
-    d = hashlib.blake2b(payload or b"", digest_size=32).digest()
+    and a unit-norm-ish feature vector. sha256 (not an arbitrary hash)
+    so the scalar outputs are reproducible in plain SQL — the driver's
+    DuckDB oracle recomputes width/height/duration from the same digest
+    (see __spark_entry__ `multimodal_features`)."""
+    d = hashlib.sha256(payload or b"").digest()
     width = 64 + d[0]
     height = 64 + d[1]
     duration = 1000 + d[2] * 16
