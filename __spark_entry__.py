@@ -1073,6 +1073,144 @@ _Q_SEED_DISPATCH_SQL = """
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): k-gram hash + rightmost-min window selection, all
+    JVM-side array ops. Substring-level fingerprinting for the
+    training-data pipeline (boilerplate / plagiarism detection),
+    complementary to set-similarity (minhash/jaccard)."""
+    from crawler_spark.operators.textdedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs_wide(spark, sf_dir), k=8, w=4)
+
+
+_Q_WINNOW_FP_SQL = r"""
+    WITH base AS (
+        SELECT doc_id,
+               substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 8192) AS s
+        FROM documents
+    ),
+    base2 AS (SELECT * FROM base WHERE length(s) >= 11),
+    grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               md5(substr(s, CAST(i AS INT), 8))
+                   || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0') AS key
+        FROM base2, unnest(generate_series(1, length(s) - 7)) AS t(i)
+    ),
+    wins AS (
+        SELECT doc_id, i,
+               min(key) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM grams
+    ),
+    selected AS (SELECT DISTINCT doc_id, sel FROM wins WHERE i <= n - 3)
+    SELECT doc_id,
+           1000000000 - CAST(substr(sel, 33, 10) AS BIGINT) AS pos,
+           substr(sel, 1, 32) AS fp
+    FROM selected
+"""
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """Substring-overlap pairs via shared winnowing fingerprints:
+    inverted-index equi-join on fp with the stop-fingerprint max_df
+    guard active (boilerplate fingerprints shared by >10 docs are
+    dropped before the self-join — the scale-safe shape). k=16/w=8
+    keeps the pair set selective (146 of 124,750 at sf0.01)."""
+    from crawler_spark.operators.textdedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _docs_wide(spark, sf_dir), k=16, w=8, min_shared=3, max_df=10
+    )
+
+
+_Q_WINNOW_OVERLAP_SQL = r"""
+    WITH base AS (
+        SELECT doc_id,
+               substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 8192) AS s
+        FROM documents
+    ),
+    base2 AS (SELECT * FROM base WHERE length(s) >= 23),
+    grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               md5(substr(s, CAST(i AS INT), 16))
+                   || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0') AS key
+        FROM base2, unnest(generate_series(1, length(s) - 15)) AS t(i)
+    ),
+    wins AS (
+        SELECT doc_id, i,
+               min(key) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM grams
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, substr(sel, 1, 32) AS fp
+        FROM wins WHERE i <= n - 7
+    ),
+    keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 10),
+    fpk AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 3
+"""
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: transitive closure of the minhash-LSH pairs
+    via alternating large-star/small-star connected components
+    (Kiveris et al., SoCC'14) — O(log n) DataFrame rounds, no
+    driver-side union-find, giant components stay distributed. Oracle:
+    DuckDB recursive-CTE reachability over the same pair set."""
+    from crawler_spark.operators.graph import connected_components
+    from crawler_spark.operators.textdedup import minhash_lsh_pairs
+
+    return connected_components(minhash_lsh_pairs(_docs_wide(spark, sf_dir)))
+
+
+_Q_CC_CORE_SQL = f"""
+    pairs AS ({_Q_LSH_PAIRS_SQL}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ),
+    clusters AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    )
+"""
+
+_Q_DUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_Q_CC_CORE_SQL}
+    SELECT doc_id, cluster_id FROM clusters
+"""
+
+
+def q_canonical_corpus(spark, sf_dir):
+    """End-to-end dedup pass: documents minus every non-canonical
+    near-dup (one doc — the min id — survives per LSH cluster). The
+    loser set is the duplication rate of the corpus, so it broadcasts;
+    the corpus side never shuffles (left_anti on a broadcast)."""
+    from crawler_spark.operators.graph import canonical_corpus
+    from crawler_spark.operators.textdedup import minhash_lsh_pairs
+
+    docs = _docs_wide(spark, sf_dir)
+    return canonical_corpus(
+        docs.select("doc_id", "lang", "source", "n_chars"), minhash_lsh_pairs(docs)
+    )
+
+
+_Q_CANONICAL_CORPUS_SQL = f"""
+    WITH RECURSIVE {_Q_CC_CORE_SQL}
+    SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1122,6 +1260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_round": q_crawl_round,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "multimodal_features": q_multimodal_features,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_overlap": q_winnow_overlap,
+        "dup_clusters": q_dup_clusters,
+        "canonical_corpus": q_canonical_corpus,
     }
 
 
@@ -1162,6 +1304,10 @@ def oracle_sql() -> dict[str, str]:
         "backoff_rounds": _Q_BACKOFF_SQL,
         "seed_dispatch": _Q_SEED_DISPATCH_SQL,
         "multimodal_features": _Q_MULTIMODAL_SQL,
+        "winnow_fingerprints": _Q_WINNOW_FP_SQL,
+        "winnow_overlap": _Q_WINNOW_OVERLAP_SQL,
+        "dup_clusters": _Q_DUP_CLUSTERS_SQL,
+        "canonical_corpus": _Q_CANONICAL_CORPUS_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

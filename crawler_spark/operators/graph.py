@@ -1,0 +1,124 @@
+"""Duplicate-cluster resolution: distributed connected components.
+
+Near-dup detection (minhash-LSH / simhash / winnowing) emits PAIRS;
+an actual dedup pass needs CLUSTERS — the transitive closure of those
+pairs — so each group keeps exactly one canonical document. At corpus
+scale the closure cannot be a driver-side union-find: it has to be a
+bounded number of DataFrame jobs.
+
+`connected_components` implements the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — public): each iteration is two
+groupBy+join rounds over the edge set, and the edge set converges in
+O(log n) iterations to per-component stars rooted at the component
+minimum. No step ever materializes a component in one task, so skewed
+(giant) components stay distributed; `localCheckpoint` truncates the
+growing lineage each round (on a real cluster, a reliable checkpoint
+dir works the same way).
+
+Reference tie-in: the reference crawler dedups entities by exact key
+only (crawler.py ~1137-1170, seen-key anti-join); cluster-level near-dup
+canonicalization is part of the training-data-pipeline surface this
+engine adds on top (SURVEY.md LLM-data ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ITERS = 40  # ≥ log2(n) for any conceivable corpus; loop asserts convergence
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Undirected canonical form: (min, max), no self-loops, distinct."""
+    return (
+        e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every STRICTLY LARGER neighbor to
+    min(N(u) ∪ {u}). Processes the symmetric edge list, so every edge
+    is re-emitted from its smaller endpoint's perspective."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
+    )
+    out = (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return _canon(out)
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Direct each edge to its smaller endpoint; for each node u,
+    connect all smaller neighbors AND u itself to min(N⁻(u))."""
+    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    members = d.union(d.select("u", F.col("u").alias("v"))).distinct()
+    out = members.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    return _canon(out)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = MAX_ITERS,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every node that appears in `pairs`,
+    cluster_id = the component's minimum node id.
+
+    Alternating star rounds until the edge set's (count, hash-sum)
+    signature is stable — at the fixpoint the edges ARE the answer:
+    per-component stars rooted at the minimum. Callers union in
+    singleton docs themselves if they need total coverage
+    (see canonical_corpus, which doesn't: absent == canonical).
+    """
+    e = _canon(
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+        )
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # decimal sum: an order-free set signature that can't overflow
+        # under ANSI mode (xxhash64 sums past +/-2^63 on big edge sets)
+        sig = tuple(
+            e.agg(
+                F.count("*"), F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iters} iters")
+    return (
+        e.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id"))
+        .union(e.select(F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")))
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+
+
+def canonical_corpus(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", **cc_kwargs
+) -> DataFrame:
+    """Drop every non-canonical near-dup: keep one doc (the min id) per
+    cluster plus all unpaired docs. The loser set is tiny relative to
+    the corpus (it IS the duplication rate), so the anti-join broadcasts;
+    the corpus side never shuffles."""
+    clusters = connected_components(pairs, **cc_kwargs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")

@@ -301,3 +301,94 @@ def char_ngrams(docs: DataFrame, n: int = 5, text_col: str = "text") -> DataFram
     return docs.select("doc_id", F.explode(grams).alias("gram")).filter(
         F.length("gram") == n
     )
+
+
+# --- winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+# --- MOSS local fingerprinting scheme): hash every k-char gram of the
+# --- normalized text, then keep, for each window of w consecutive gram
+# --- hashes, the RIGHTMOST minimal hash. Guarantees: any shared substring
+# --- of length >= k + w - 1 produces at least one shared fingerprint
+# --- (detection), and at most 2/(w+1) of positions are kept (density).
+# --- All JVM-side array ops; md5-hex compares like the number it encodes,
+# --- so the same construction runs verbatim in the DuckDB oracle.
+
+POS_BASE = 1_000_000_000  # lexicographic trick: key = hash || (BASE - pos)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    max_len: int = 8192,
+) -> DataFrame:
+    """(doc_id, pos, fp) selected winnowing fingerprints.
+
+    Normalization: lower + collapse whitespace + truncate to max_len
+    (bounds per-row array memory; production callers chunk longer docs).
+    Selection key for window j is min over i in [j, j+w-1] of
+    md5(gram_i) || zeropad(POS_BASE - i): the suffix makes ties pick the
+    RIGHTMOST minimal hash (standard winnowing), and one array_min per
+    window does it without a UDF. Docs shorter than k+w-1 normalized
+    chars are dropped (too short to own a full window; mirrored in SQL).
+    """
+    norm = F.substring(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), 1, max_len
+    )
+    base = docs.select("doc_id", norm.alias("s")).filter(
+        F.length("s") >= k + w - 1
+    )
+    keys = F.transform(
+        F.sequence(F.lit(1), F.length("s") - F.lit(k - 1)),
+        lambda i: F.concat(
+            F.md5(F.substring(F.col("s"), i, F.lit(k))),
+            F.lpad((F.lit(POS_BASE) - i).cast("string"), 10, "0"),
+        ),
+    )
+    with_keys = base.select("doc_id", keys.alias("ks"))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ks") - F.lit(w - 1)),
+            lambda j: F.array_min(F.slice(F.col("ks"), j, w)),
+        )
+    )
+    return (
+        with_keys.select("doc_id", F.explode(sel).alias("key"))
+        .select(
+            "doc_id",
+            (F.lit(POS_BASE) - F.substring("key", 33, 10).cast("long")).alias("pos"),
+            F.substring("key", 1, 32).alias("fp"),
+        )
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    text_col: str = "text",
+    max_len: int = 8192,
+) -> DataFrame:
+    """(doc_a, doc_b, shared) pairs sharing >= min_shared distinct
+    fingerprint hashes — substring-level overlap detection (plagiarism /
+    boilerplate), complementary to set-similarity (jaccard/minhash).
+    Inverted-index join on fp with the same stop-fp document-frequency
+    guard as jaccard_pairs: hot fingerprints (shared boilerplate in more
+    than max_df docs) are dropped before the self-join."""
+    fp = winnow_fingerprints(docs, k, w, text_col, max_len).select(
+        "doc_id", "fp"
+    ).distinct()
+    keep = fp.groupBy("fp").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_df
+    )
+    fp = fp.join(keep.select("fp"), "fp")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -474,3 +474,132 @@ def test_simhash_near_dup_blocking_is_exact(spark):
             if h <= 3:
                 want.add((a, b, h))
     assert got == want and len(want) > 0
+
+
+def test_connected_components_vs_union_find(spark):
+    """CC over a seeded random graph (+ a 60-node chain, the large-star
+    worst case) equals a driver-side union-find."""
+    import random
+
+    from crawler_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    edges += [(1000 + i, 1000 + i + 1) for i in range(60)]  # long chain
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs).collect()
+    }
+    assert got == want
+    # cluster ids are component minima
+    assert all(got[c] == c for c in set(got.values()))
+
+
+def test_canonical_corpus_keeps_min_and_singletons(spark):
+    from crawler_spark.operators.graph import canonical_corpus
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(8)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(3, 1), (5, 3), (6, 7)], ["doc_a", "doc_b"])
+    kept = sorted(r.doc_id for r in canonical_corpus(docs, pairs).collect())
+    # {1,3,5} -> keep 1; {6,7} -> keep 6; 0,2,4 untouched singletons
+    assert kept == [0, 1, 2, 4, 6]
+
+
+def _winnow_reference(text, k, w):
+    """Pure-python winnowing (SIGMOD'03 semantics: rightmost minimal
+    hash per window), same normalization/keys as the operator."""
+    import hashlib
+    import re
+
+    s = re.sub(r"\s+", " ", text.strip().lower())[:8192]
+    if len(s) < k + w - 1:
+        return set()
+    keys = []
+    for i in range(1, len(s) - k + 2):  # 1-based, matches SQL/Spark
+        h = hashlib.md5(s[i - 1 : i - 1 + k].encode()).hexdigest()
+        keys.append((h, -i))  # -i: ties pick the RIGHTMOST min
+    out = set()
+    for j in range(len(keys) - w + 1):
+        h, negi = min(keys[j : j + w])
+        out.add((-negi, h))
+    return out
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    from crawler_spark.operators.textdedup import winnow_fingerprints
+
+    texts = [
+        "The quick   Brown fox jumps over the lazy dog's tail repeatedly.",
+        "aaaaaaaaaaaaaaaaaaaaaaaa",  # all-equal grams: rightmost-min tie rule
+        "short",  # below k+w-1: dropped
+        "  MIXED Case\twith\nwhitespace   runs and punctuation!!! ok?  ",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {}
+    for r in winnow_fingerprints(docs, k=8, w=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    want = {
+        i: ref for i, t in enumerate(texts) if (ref := _winnow_reference(t, 8, 4))
+    }
+    assert got == want
+    assert 2 not in got  # too-short doc owns no window
+
+
+def test_winnow_detection_guarantee(spark):
+    """Any shared substring of length >= k+w-1 yields a shared
+    fingerprint HASH, so winnow_overlap_pairs finds the planted pair;
+    the max_df guard then drops corpus-wide boilerplate."""
+    from crawler_spark.operators.textdedup import winnow_overlap_pairs
+
+    shared = "this exact sentence was lifted verbatim from document zero"
+    boiler = "all rights reserved contact us terms of service apply here"
+    rows = [
+        (0, f"unique preamble zero. {shared}. {boiler}."),
+        (1, f"totally different opening text. {shared}. {boiler}. extra tail."),
+    ] + [(i, f"filler document number {i} {'x' * i}. {boiler}.") for i in range(2, 14)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_overlap_pairs(
+            docs, k=8, w=4, min_shared=2, max_df=4
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    # boilerplate appears in all 14 docs > max_df=4: its fingerprints are
+    # stopped, so filler docs (whose only overlap is the boilerplate)
+    # never pair with anything
+    assert all(a in (0, 1) and b in (0, 1) for a, b in pairs)
+
+
+def test_winnow_density_bound(spark):
+    """Expected selected density is 2/(w+1); assert a loose upper bound
+    on real text so w actually thins the fingerprint set."""
+    from crawler_spark.operators.textdedup import winnow_fingerprints
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(30)
+    )
+    import pyspark.sql.functions as F
+
+    n_fp = winnow_fingerprints(docs, k=8, w=8).count()
+    n_chars = docs.select(F.sum(F.length("text"))).first()[0]
+    assert n_fp <= 0.5 * n_chars  # 2/(w+1)=0.22 expected; 0.5 is lenient
