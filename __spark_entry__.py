@@ -322,6 +322,23 @@ _Q_SESSIONIZE_SQL = """
 """
 
 
+def q_event_windows(spark, sf_dir):
+    """Event-time tumbling-window aggregation (ST5 extension): the batch
+    twin of the watermarked streaming fetch-rate windows."""
+    from crawler_spark.operators.windows import event_tumbling_agg
+
+    return event_tumbling_agg(_t(spark, sf_dir, "events"), "10 minutes")
+
+
+_Q_EVENT_WINDOWS_SQL = """
+    SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS w_start,
+           event_type, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1 shape: the classic pricing summary (decimal-exact)."""
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
@@ -1235,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_categorize": q_error_categorize,
         "json_extract": q_json_extract,
         "sessionize": q_sessionize,
+        "event_windows": q_event_windows,
         "tpch_q1": q_tpch_q1,
         "rollup_summary": q_rollup_summary,
         "dedup_exact": q_dedup_exact,
@@ -1281,6 +1299,7 @@ def oracle_sql() -> dict[str, str]:
         "error_categorize": _Q_ERROR_CATEGORIZE_SQL,
         "json_extract": _Q_JSON_EXTRACT_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
+        "event_windows": _Q_EVENT_WINDOWS_SQL,
         "tpch_q1": _Q_TPCH_Q1_SQL,
         "rollup_summary": _Q_ROLLUP_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
