@@ -51,6 +51,7 @@ ENGINE_SCHEMAS = {
     "seen_bloom": D.BLOOM_SCHEMA,
     "seen_cuckoo": CK.CUCKOO_SCHEMA,
     "documents": S.DOCUMENTS,
+    "doc_signatures": S.DOC_SIGNATURES,  # incremental near-dup index (opt-in)
     "records": S.RECORDS,
     "entity_seen": S.ENTITY_SEEN,
     "host_state": S.HOST_STATE,
@@ -73,7 +74,15 @@ ENGINE_SCHEMAS = {
 
 # cascade-delete targets (crawler.py:557-589 removes docs/json/keys/
 # embeddings files per site)
-SITE_TABLES = ["seen", "documents", "records", "entity_seen", "embeddings", "uploaded"]
+SITE_TABLES = [
+    "seen",
+    "documents",
+    "doc_signatures",
+    "records",
+    "entity_seen",
+    "embeddings",
+    "uploaded",
+]
 
 
 def _state_prio():
@@ -173,6 +182,12 @@ class CrawlEngine:
         # grants after upsert, crawler.py:1173-1186); a raising hook
         # withdraws the ack so upload+grant retry together next round
         upload_post_ack=None,
+        # incremental near-dup index: append per-doc minhash+simhash
+        # signatures (doc_signatures table) for each round's NEW docs —
+        # O(|delta|) per round, union of deltas == batch recompute
+        # (exactly-once by the seen anti-join; pinned in
+        # test_dedup_index). near_dup_pairs() queries it.
+        dedup_index: bool = False,
         # pre-built TableIO overrides root/bucketed_io — the cluster entry
         # point: CrawlEngine(spark, "", io=IcebergTableIO(spark, "crawl",
         # schemas=ENGINE_SCHEMAS)) runs the identical round loop against
@@ -221,6 +236,7 @@ class CrawlEngine:
         self.upload_transport = upload_transport
         self.upload_batch_size = upload_batch_size
         self.upload_post_ack = upload_post_ack
+        self.dedup_index = dedup_index
 
     def _w(self, df: DataFrame) -> DataFrame:
         return df.coalesce(self.coalesce_writes) if self.coalesce_writes else df
@@ -545,6 +561,10 @@ class CrawlEngine:
         if self.embed_dim:
             appends["embeddings"] = new_emb
             appends["uploaded"] = new_upl
+        if self.dedup_index:
+            from crawler_spark.operators.textdedup import document_signatures
+
+            appends["doc_signatures"] = document_signatures(docs)
         overwrites: dict[str, DataFrame] = {}
         if self.use_bloom:
             # OR the new seen keys into the bucket filters (no rebuild);
@@ -892,6 +912,9 @@ class CrawlEngine:
             "documents": io.read(spark, "documents").join(
                 removed_keys.withColumnRenamed("url_hash", "doc_id"), "doc_id", "left_anti"
             ),
+            "doc_signatures": io.read(spark, "doc_signatures").join(
+                removed_keys.withColumnRenamed("url_hash", "doc_id"), "doc_id", "left_anti"
+            ),
             "records": records.join(removed_urls, "url", "left_anti"),
         }
         if prune_embeddings:
@@ -922,6 +945,26 @@ class CrawlEngine:
         io.commit(rnd, appends=appends, overwrites=overwrites)
         self.add_sites(current)
 
+    def near_dup_pairs(self, method: str = "minhash", **kwargs) -> DataFrame:
+        """Near-dup candidate pairs over the incremental signature index
+        (dedup_index=True): the expensive text->signature pipeline was
+        already paid, one delta per round at fetch time, so this is
+        join-only — minhash: band-explode + bucket join; simhash:
+        blocked Hamming search. Unsignable docs (NULL signatures — too
+        short to shingle) can't near-dup and are filtered here."""
+        sigs = self.io.read(self.spark, "doc_signatures")
+        if method == "minhash":
+            from crawler_spark.operators.textdedup import minhash_lsh_pairs
+
+            return minhash_lsh_pairs(signatures=sigs.filter(F.col("mh0").isNotNull()), **kwargs)
+        if method == "simhash":
+            from crawler_spark.operators.textdedup import simhash_near_dup_pairs
+
+            return simhash_near_dup_pairs(
+                signatures=sigs.filter(F.col("simhash").isNotNull()), **kwargs
+            )
+        raise ValueError(f"unknown near-dup method: {method!r}")
+
     def maintain(self, max_paths: int = 32) -> None:
         """Snapshot maintenance (Iceberg rewrite_data_files analog):
         compact append tables whose delta-path lists grew past
@@ -931,7 +974,14 @@ class CrawlEngine:
         the base (one MERGE-shaped rewrite, amortized over max_paths
         rounds) and clear the delta chain. host_state collapses to its
         latest-wins view."""
-        for name in ("seen", "documents", "records", "entity_seen", "fetch_log"):
+        for name in (
+            "seen",
+            "documents",
+            "doc_signatures",
+            "records",
+            "entity_seen",
+            "fetch_log",
+        ):
             if len(self.io.table_paths(name)) > max_paths:
                 self.io.compact(self.spark, name, self.io.last_round())
         if len(self.io.table_rels("frontier_state")) + len(

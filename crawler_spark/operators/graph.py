@@ -110,15 +110,27 @@ def connected_components(
     )
 
 
+BROADCAST_LOSERS_MAX = 20_000_000  # ~300 MB of long ids — safe executor broadcast
+
+
 def canonical_corpus(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", **cc_kwargs
 ) -> DataFrame:
     """Drop every non-canonical near-dup: keep one doc (the min id) per
-    cluster plus all unpaired docs. The loser set is tiny relative to
-    the corpus (it IS the duplication rate), so the anti-join broadcasts;
-    the corpus side never shuffles."""
+    cluster plus all unpaired docs.
+
+    The loser set is the duplication rate times the corpus — at web
+    scale that is 30-50% of ALL docs, far too big to broadcast
+    unconditionally. Auto-select: count the losers (cheap — the CC
+    output is already materialized via localCheckpoint) and broadcast
+    only under BROADCAST_LOSERS_MAX; above it, a plain shuffled
+    left_anti on the id — one exchange of the corpus, the honest cost
+    of deduplicating it (same shape as the engine's J1 seen anti-join,
+    which the bucketed layout removes when ids are co-located)."""
     clusters = connected_components(pairs, **cc_kwargs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    if losers.count() <= BROADCAST_LOSERS_MAX:
+        losers = F.broadcast(losers)
+    return docs.join(losers, id_col, "left_anti")

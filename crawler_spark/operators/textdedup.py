@@ -248,6 +248,46 @@ def simhash_near_dup_pairs(
     )
 
 
+def doc_text(spans_col: str = "spans") -> F.Column:
+    """Visible text of an interleaved document: the text-kind spans,
+    space-joined in span order (offsets are strictly increasing by
+    construction, schemas.py:17-19). Title/meta/jsonld spans are
+    structure, not prose — they go through the entity pipeline, not the
+    dedup index."""
+    return F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(F.col(spans_col), lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"],
+        ),
+    )
+
+
+def document_signatures(docs: DataFrame, k: int = N_MINHASH, bits: int = 64) -> DataFrame:
+    """Per-document dedup signatures for the engine's incremental index:
+    (doc_id, site, round, mh0..mh{k-1}, simhash) from the text-kind
+    spans. One row per INPUT doc — docs too short for a signature
+    (< 3 words for minhash, zero tokens for simhash) keep NULL columns
+    so the index row-count always equals the corpus row-count and
+    consumers can see (and count) the unsignable tail instead of
+    silently losing it.
+
+    The engine appends this frame once per round over that round's NEW
+    docs only (exactly-once by the seen anti-join), so the union of the
+    per-round deltas is bit-identical to a batch recompute over the
+    whole documents table — pinned by test_dedup_index."""
+    base = docs.select(
+        "doc_id", "site", F.col("fetched_round").alias("round"), doc_text().alias("text")
+    )
+    mh = minhash_signatures(base, "text", k)
+    sim = simhash(base, "text", bits)
+    return (
+        base.drop("text")
+        .join(mh, "doc_id", "left")
+        .join(sim, "doc_id", "left")
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -245,3 +245,17 @@ LINEAGE = T.StructType(
         T.StructField("rows", T.LongType(), False),
     ]
 )
+
+# incremental near-dup index (engine dedup_index=True): one row per
+# document, appended per round over that round's NEW docs only; NULL
+# signature columns mark docs too short to sign (see
+# textdedup.document_signatures)
+DOC_SIGNATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("site", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        *[T.StructField(f"mh{i}", T.StringType(), True) for i in range(8)],
+        T.StructField("simhash", T.StringType(), True),
+    ]
+)
