@@ -474,13 +474,23 @@ def q_minhash_lsh_pairs_cached(spark, sf_dir):
     and the pairs query consumes it — band-explode + one groupBy, no
     shingle pipeline. Same oracle as minhash_lsh_pairs: caching must not
     change a single pair."""
-    import tempfile
-
     from crawler_spark.operators.textdedup import minhash_lsh_pairs, minhash_signatures
 
-    sig_dir = tempfile.mkdtemp(prefix="mh-sigs-")
+    sig_dir = _sig_cache_dir("mh-sigs", sf_dir)
     minhash_signatures(_docs_wide(spark, sf_dir)).write.mode("overwrite").parquet(sig_dir)
     return minhash_lsh_pairs(signatures=spark.read.parquet(sig_dir))
+
+
+def _sig_cache_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic signature-cache location: one dir per (kind,
+    sf_dir), overwritten on each run — repeated certification runs
+    reuse it instead of leaking a fresh mkdtemp every invocation."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"{tag}-{key}")
 
 
 def q_simhash(spark, sf_dir):
@@ -520,11 +530,9 @@ def q_simhash_near_dup_cached(spark, sf_dir):
     the simhash signature table persists once, the near-dup query pays
     only block-join + Hamming cost. Same oracle as simhash_near_dup:
     caching must not change a single pair."""
-    import tempfile
-
     from crawler_spark.operators.textdedup import simhash, simhash_near_dup_pairs
 
-    sig_dir = tempfile.mkdtemp(prefix="sh-sigs-")
+    sig_dir = _sig_cache_dir("sh-sigs", sf_dir)
     simhash(_docs_wide(spark, sf_dir)).write.mode("overwrite").parquet(sig_dir)
     return simhash_near_dup_pairs(
         max_hamming=3, signatures=spark.read.parquet(sig_dir)

@@ -318,16 +318,34 @@ class CrawlEngine:
             )
         elif self.use_cuckoo:
             filters = io.read(spark, "seen_cuckoo")
-            total_bytes = (
-                filters.agg(F.sum(F.length("table") + F.length("stash"))).collect()[0][0]
-                or 0
-            )
-            mode = (
-                "broadcast" if total_bytes <= self.bloom_broadcast_budget else "cogroup"
-            )
-            deduped = CK.cuckoo_prefilter(
-                cand, filters, seen, self.bloom_buckets, probe_mode=mode
-            )
+            # one aggregate pays for both the broadcast-vs-cogroup probe
+            # sizing AND the layout-version check (a store persisted
+            # under an older (fp, cell) derivation probes with false
+            # NEGATIVES — missed dups — so it must not be trusted)
+            szrow = filters.agg(
+                F.sum(F.length("table") + F.length("stash")),
+                F.count("*"),
+                F.min(F.coalesce(F.col("layout"), F.lit(-1))),
+            ).collect()[0]
+            total_bytes = szrow[0] or 0
+            self._cuckoo_stale = bool(szrow[1]) and szrow[2] != CK.CUCKOO_LAYOUT
+            if self._cuckoo_stale:
+                # exact dedup this round; the commit below rebuilds the
+                # filters from the full seen set (one-time migration)
+                deduped = (
+                    io.anti_join_seen(spark, cand)
+                    if hasattr(io, "anti_join_seen")
+                    else D.exact_anti_join(cand, seen)
+                )
+            else:
+                mode = (
+                    "broadcast"
+                    if total_bytes <= self.bloom_broadcast_budget
+                    else "cogroup"
+                )
+                deduped = CK.cuckoo_prefilter(
+                    cand, filters, seen, self.bloom_buckets, probe_mode=mode
+                )
         elif hasattr(io, "anti_join_seen"):
             # bucketed IO: chained co-located anti-joins, seen never shuffles
             deduped = io.anti_join_seen(spark, cand)
@@ -584,6 +602,24 @@ class CrawlEngine:
                     self.bloom_buckets,
                     self.bloom_expected,
                 )
+        elif self.use_cuckoo and getattr(self, "_cuckoo_stale", False):
+            # layout migration: rebuild every bucket from the exact seen
+            # set (post-cascade, plus this round's keys) under the
+            # current (fp, cell) derivation — one O(|seen|) pass, once
+            # per upgrade, the same cost shape as a saturation rebuild
+            base = io.read(spark, "seen")
+            adds = new_seen
+            if newly_deleted:
+                base = base.filter(~F.col("site").isin(newly_deleted))
+                adds = new_seen.filter(~F.col("site").isin(newly_deleted))
+            overwrites["seen_cuckoo"] = self._w(
+                CK.build_cuckoo(
+                    base.select("h64").unionByName(adds.select("h64")),
+                    self.bloom_buckets,
+                    expected_per_bucket=self.bloom_expected,
+                )
+            )
+            self._cuckoo_stale = False
         elif self.use_cuckoo:
             filters = io.read(spark, "seen_cuckoo")
             if newly_deleted:

@@ -110,51 +110,72 @@ class BucketedSnapshotIO(ParquetSnapshotIO):
             )
         return tbl
 
+    def _rels(self, name: str) -> list[str]:
+        return self.manifest()["tables"].get(name, [])
+
+    def _largest_bucketed_rel(self, rels: list[str]) -> int:
+        """Index of the biggest b-prefix rel (-1 if none): the one scan
+        worth keeping bucketed when a union caps bucketed leaves at one."""
+        best, best_bytes = -1, -1
+        for i, rel in enumerate(rels):
+            if not os.path.basename(rel).startswith("b"):
+                continue
+            p = os.path.join(self.root, rel)
+            n = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+            )
+            if n > best_bytes:
+                best, best_bytes = i, n
+        return best
+
+    def _read_rel(
+        self, spark: SparkSession, name: str, rel: str, bucketed: bool = True
+    ) -> DataFrame:
+        """One delta scan: bucketed catalog scan for a b-prefix rel,
+        plain parquet otherwise. bucketed=False reads a bucketed dir as
+        a plain parquet scan (ordinary parquet files underneath) — the
+        scan then carries NO partitioning claim, see the read() warning."""
+        if bucketed and os.path.basename(rel).startswith("b"):
+            return spark.table(self._register(spark, name, rel))
+        return spark.read.schema(self.schemas[name]).parquet(os.path.join(self.root, rel))
+
     def read_deltas(
         self, spark: SparkSession, name: str, bucketed: bool = True
     ) -> list[DataFrame]:
-        """The table as a list of delta scans (oldest first): bucketed
-        catalog scans for b-prefix rels, plain parquet for v-prefix.
-        bucketed=False reads every rel as a plain parquet scan (bucketed
-        dirs are ordinary parquet files underneath) — the scan carries
-        NO partitioning claim, see the read() warning."""
-        out = []
-        for rel in self.manifest()["tables"].get(name, []):
-            if bucketed and os.path.basename(rel).startswith("b"):
-                out.append(spark.table(self._register(spark, name, rel)))
-            else:
-                out.append(
-                    spark.read.schema(self.schemas[name]).parquet(os.path.join(self.root, rel))
-                )
-        return out
+        """The table as a list of delta scans (oldest first)."""
+        return [self._read_rel(spark, name, rel, bucketed) for rel in self._rels(name)]
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         """Full-scan read. A union of >1 deltas deliberately uses PLAIN
         parquet scans, never the bucketed catalog tables: Spark 4.1
-        propagates the children's common HashPartitioning(url_hash, N)
-        through the Union even though the union physically concatenates
-        partitions (k children x N partitions, two partitions per
-        bucket), so a downstream url_hash groupBy/join SKIPS its
-        exchange — measured: groupBy over a union of two same-bucketed
-        scans returned every key TWICE (split groups), and a sort-merge
-        join crashed with 'Can't zip RDDs with unequal numbers of
-        partitions'. Plain scans carry no partitioning claim, so
-        EnsureRequirements inserts the correct exchange. Single-delta
-        reads keep the bucketed scan — one catalog scan's claim is true.
-        Co-located operators (anti_join_seen, frontier_view) use
-        read_deltas() and join each bucketed scan SINGLY, never through
-        a union."""
+        aligns MULTIPLE same-bucketed scans under a Union and keeps the
+        HashPartitioning(url_hash, N) claim even though the union
+        physically concatenates partitions (k children x N partitions,
+        two partitions per bucket), so a downstream url_hash groupBy/
+        join SKIPS its exchange — measured: groupBy over a union of two
+        same-bucketed scans returned every key TWICE (split groups), and
+        a sort-merge join crashed with 'Can't zip RDDs with unequal
+        numbers of partitions'. The poisoning needs >= 2 DISTINCT
+        bucketed scans among the union's leaves: a single bucketed
+        child, or one shared by every child (e.g. a common join side),
+        is measured-safe — pinned by test_bucketed_io. Plain scans carry
+        no partitioning claim, so EnsureRequirements inserts the correct
+        exchange. Single-delta reads keep the bucketed scan — one
+        catalog scan's claim is true. Co-located operators
+        (anti_join_seen, frontier_view) join each bucketed scan SINGLY,
+        never unioning two of them."""
         if name not in BUCKETED_TABLES:
             return super().read(spark, name)
-        deltas = self.read_deltas(spark, name)
-        if not deltas:
+        rels = self._rels(name)
+        if not rels:
             return spark.createDataFrame([], self.schemas[name])
-        if len(deltas) == 1:
-            return deltas[0]
-        plain = self.read_deltas(spark, name, bucketed=False)
-        out = plain[0]
-        for d in plain[1:]:
-            out = out.unionByName(d)
+        if len(rels) == 1:
+            return self._read_rel(spark, name, rels[0])
+        out = self._read_rel(spark, name, rels[0], bucketed=False)
+        for rel in rels[1:]:
+            out = out.unionByName(self._read_rel(spark, name, rel, bucketed=False))
         return out
 
     # --- the exchange-free frontier merge ----------------------------------
@@ -187,25 +208,43 @@ class BucketedSnapshotIO(ParquetSnapshotIO):
         15s→60s over 8 rounds at fixed data size — pure plan/launch
         cost).
 
-        Exchange budget: the BASE side never shuffles (bucketed scan ⋈
-        left join preserves its partitioning). The state side is
-        exchange-free while there is ≤1 state delta; with several, the
-        union costs ONE hash exchange of the deltas — O(|transitions
+        Exchange budget: the COMPACTED base (the first, largest rel)
+        never shuffles — bucketed scan ⋈ left join preserves its
+        partitioning. Later base rels are the small per-round discovery
+        deltas; they are read PLAIN (their join exchange is O(|delta|))
+        because a union holding >= 2 distinct bucketed scans triggers
+        Spark 4.1's bogus partitioning claim (see read()) — with exactly
+        one bucketed leaf per side the union claims nothing and
+        downstream url_hash grouping stays correct (measured; pinned by
+        test_frontier_view_union_groups_correctly). The state side is
+        exchange-free while there is ≤1 state delta (its bucketed scan
+        is SHARED by every union child — the safe shape); with several,
+        the union costs ONE hash exchange of the deltas — O(|transitions
         since compaction|), i.e. the same delta-sized quantum the commit
         path already writes, never O(|frontier|) — and exchange reuse
         (spark.sql.exchangeReuseEnabled) computes it once across all B
         joins. Small delta aggregates broadcast instead under AQE.
         maintain() keeps both chains short."""
-        bases = self.read_deltas(spark, "frontier")
-        if not bases:
+        base_rels = self._rels("frontier")
+        if not base_rels:
             return spark.createDataFrame([], self.schemas["frontier"])
-        # >1 state deltas: union PLAIN scans (see read() — a union of
-        # bucketed scans makes Spark 4.1 skip the groupBy exchange and
-        # split groups). A single bucketed delta keeps its (true) claim
-        # and aggregates exchange-free.
-        states = self.read_deltas(spark, "frontier_state")
-        if len(states) > 1:
-            states = self.read_deltas(spark, "frontier_state", bucketed=False)
+        # only the LARGEST bucketed base keeps its bucketed scan when
+        # several rels exist — co-location where it pays, one bucketed
+        # leaf where it must (the compacted base holds ~all the bytes;
+        # the rest are per-round discovery deltas)
+        keep = self._largest_bucketed_rel(base_rels)
+        bases = [
+            self._read_rel(spark, "frontier", rel, bucketed=(i == keep))
+            for i, rel in enumerate(base_rels)
+        ]
+        # >1 state deltas: union PLAIN scans (see read()). A single
+        # bucketed delta keeps its (true) claim and aggregates
+        # exchange-free.
+        state_rels = self._rels("frontier_state")
+        states = [
+            self._read_rel(spark, "frontier_state", rel, bucketed=len(state_rels) == 1)
+            for rel in state_rels
+        ]
         latest = None
         if states:
             union = states[0]

@@ -49,6 +49,16 @@ _FP_MULT = np.uint64(0x5BD1E995)
 # independent of both the bucket key (low bits) and fp (high 16 bits).
 _CELL_MULT = np.uint64(0x9E3779B97F4A7C15)
 
+# Version stamp of the (fp, cell) derivation. A cuckoo filter only
+# guarantees no-false-negatives under a FIXED cell function: a store
+# persisted under an older derivation (e.g. the pre-mixer low-bits c1)
+# probed with a newer one silently misses seen keys — and the prefilter
+# treats a miss as definitively-unseen, breaking exactly-once dedup.
+# Bump this whenever _fp_cells/_alt_cell change; the engine rebuilds
+# stamped-stale (or unstamped legacy) filters from the exact seen set
+# on the next round (see CrawlEngine, cuckoo_layout_stale).
+CUCKOO_LAYOUT = 2
+
 CUCKOO_SCHEMA = T.StructType(
     [
         T.StructField("bucket", T.IntegerType(), False),
@@ -56,6 +66,9 @@ CUCKOO_SCHEMA = T.StructType(
         T.StructField("n_keys", T.LongType(), False),
         T.StructField("table", T.BinaryType(), False),
         T.StructField("stash", T.BinaryType(), False),
+        # nullable: legacy stores lack the column and read as NULL,
+        # which counts as stale
+        T.StructField("layout", T.IntegerType(), True),
     ]
 )
 
@@ -192,8 +205,21 @@ def _row(bucket: int, table: np.ndarray, stash: list, n_keys: int) -> pd.DataFra
             "n_keys": [n_keys],
             "table": [table.tobytes()],
             "stash": [np.asarray(stash, dtype=np.uint64).tobytes()],
+            "layout": [CUCKOO_LAYOUT],
         }
     )
+
+
+def cuckoo_layout_stale(filters: DataFrame) -> bool:
+    """True when any persisted bucket was written under a different
+    (fp, cell) derivation than this code's — including unstamped legacy
+    rows (NULL layout). Probing such a store gives false NEGATIVES, so
+    the caller must rebuild from the exact seen set before trusting it.
+    Driver-side cost: one tiny aggregate over n_buckets rows."""
+    n = filters.filter(
+        F.coalesce(F.col("layout"), F.lit(-1)) != F.lit(CUCKOO_LAYOUT)
+    ).count()
+    return n > 0
 
 
 def build_cuckoo(

@@ -81,12 +81,14 @@ def connected_components(
     per-component stars rooted at the minimum. Callers union in
     singleton docs themselves if they need total coverage
     (see canonical_corpus, which doesn't: absent == canonical).
+
+    Ids keep their NATIVE type — the algorithm only needs a total
+    order, which least/greatest/min give every orderable Spark type.
+    The engine's ids are md5-hex STRINGS (url_hash/doc_id): a cast to
+    long would crash under ANSI mode on the first hex digit ≥ 'a'
+    (pinned by test_connected_components_hex_string_ids).
     """
-    e = _canon(
-        pairs.select(
-            F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
-        )
-    )
+    e = _canon(pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")))
     prev_sig = None
     for _ in range(max_iters):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

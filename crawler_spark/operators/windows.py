@@ -95,11 +95,25 @@ def fetch_rate_windows(
 
 
 def status_class(status: Column) -> Column:
+    """2xx plus the reference's error taxonomy (app.py:704-714 — the
+    status.error_log categories), refined with real-HTTP 4xx/5xx
+    classes: rate_limit (429) stays its own class — it's the
+    backoff-pressure signal the throughput windows exist to surface —
+    and the synthetic statuses keep their identities (597 sitemap,
+    599 transport, 0 timeout) instead of reading as 5xx."""
+    from crawler_spark.operators.fetch import TRANSPORT_ERROR_STATUS
+    from crawler_spark.schemas import SITEMAP_ERROR_STATUS
+
     return (
-        F.when(status == 0, F.lit("timeout"))
-        .when((status >= 200) & (status < 300), F.lit("ok"))
+        F.when((status >= 200) & (status < 300), F.lit("ok"))
+        .when(status == SITEMAP_ERROR_STATUS, F.lit("sitemap"))
+        .when(status == TRANSPORT_ERROR_STATUS, F.lit("transport"))
+        .when(status == 429, F.lit("rate_limit"))
+        .when(status == 404, F.lit("not_found"))
+        .when(status == 0, F.lit("timeout"))
         .when((status >= 400) & (status < 500), F.lit("client_error"))
-        .otherwise(F.lit("server_error"))
+        .when((status >= 500) & (status < 600), F.lit("server_error"))
+        .otherwise(F.lit("general"))
     )
 
 

@@ -174,9 +174,27 @@ def test_bucketed_frontier_view_matches_generic_merge(spark, tmp_path):
     assert by_url["https://h.com/20"] == "pending"  # untouched base row
 
 
+def _bucketed_leaves_under_shuffles(df) -> list[str]:
+    """toString of bucketed leaf scans sitting beneath any shuffle
+    Exchange — the compacted-base-never-shuffles invariant checker."""
+    out: list[str] = []
+
+    def walk(node, under: bool) -> None:
+        under = under or node.nodeName() == "Exchange"
+        kids = node.children()
+        if kids.size() == 0 and under and "Bucketed: true" in node.toString():
+            out.append(node.toString())
+        for i in range(kids.size()):
+            walk(kids.apply(i), under)
+
+    walk(df._jdf.queryExecution().executedPlan(), False)
+    return out
+
+
 def test_bucketed_frontier_view_plan_no_shuffle(spark, tmp_path):
-    """All-bucketed chain: the state merge shuffles NEITHER the base
-    nor the deltas (groupBy + SMJ both reuse the bucket partitioning)."""
+    """Compacted chain (one base rel) + one state delta: the state
+    merge shuffles NEITHER side (groupBy + SMJ both reuse the bucket
+    partitioning)."""
     from crawler_spark import schemas as S
     from crawler_spark.engine import ENGINE_SCHEMAS
     from crawler_spark.io.bucketed import BucketedSnapshotIO
@@ -184,11 +202,10 @@ def test_bucketed_frontier_view_plan_no_shuffle(spark, tmp_path):
     io = BucketedSnapshotIO(
         str(tmp_path), schemas=ENGINE_SCHEMAS, n_buckets=4, min_bucket_bytes=0
     )
-    io.commit(0, appends={"frontier": _frontier_rows(spark, 0, 200)})
-    io.commit(1, appends={"frontier": _frontier_rows(spark, 200, 300)})
+    io.commit(0, appends={"frontier": _frontier_rows(spark, 0, 300)})
     ks = [r.url_hash for r in io.read(spark, "frontier").limit(50).collect()]
     st = spark.createDataFrame([(k, "fetched", 1) for k in ks], S.FRONTIER_STATE)
-    io.commit(2, appends={"frontier_state": st})
+    io.commit(1, appends={"frontier_state": st})
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         view = io.frontier_view(spark)
@@ -200,6 +217,54 @@ def test_bucketed_frontier_view_plan_no_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     assert view.count() == 300
+
+
+def test_frontier_view_union_groups_correctly(spark, tmp_path):
+    """Spark 4.1 keeps the HashPartitioning claim on a union whose
+    leaves include >= 2 DISTINCT bucketed scans, so a downstream
+    url_hash groupBy/join skips its exchange and splits groups
+    (measured: every key counted twice). frontier_view with several
+    base rels is exactly that shape — it must cap bucketed leaves at
+    one (the largest rel; co-location where it pays) and read the
+    delta rels plain. Covers both the joined shape (state delta
+    present) and the bare-union shape (no states), and pins that the
+    compacted base still never sits under a shuffle."""
+    from crawler_spark import schemas as S
+    from crawler_spark.engine import ENGINE_SCHEMAS
+    from crawler_spark.io.bucketed import BucketedSnapshotIO
+
+    io = BucketedSnapshotIO(
+        str(tmp_path), schemas=ENGINE_SCHEMAS, n_buckets=4, min_bucket_bytes=0
+    )
+    io.commit(0, appends={"frontier": _frontier_rows(spark, 0, 200)})
+    io.commit(1, appends={"frontier": _frontier_rows(spark, 200, 260)})
+    io.commit(2, appends={"frontier": _frontier_rows(spark, 260, 280)})
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # bare-union shape: no state deltas at all
+        g = io.frontier_view(spark).groupBy("url_hash").count()
+        assert g.count() == 280
+        assert g.filter(F.col("count") != 1).count() == 0
+
+        # joined shape: ONE bucketed state delta shared by every child
+        ks = [r.url_hash for r in io.read(spark, "frontier").limit(90).collect()]
+        st = spark.createDataFrame([(k, "fetched", 1) for k in ks], S.FRONTIER_STATE)
+        io.commit(3, appends={"frontier_state": st})
+        view = io.frontier_view(spark)
+        g = view.groupBy("url_hash").count()
+        assert g.count() == 280
+        assert g.filter(F.col("count") != 1).count() == 0
+        assert view.filter(F.col("state") == "fetched").count() == 90
+        # a downstream url_hash SMJ over the view must also be sound
+        # (this is the anti_join_seen shape run_round feeds)
+        half = io.read(spark, "frontier").limit(140).select("url_hash")
+        assert view.join(half, "url_hash", "left_anti").count() == 140
+        # the big compacted base keeps co-location: never under a shuffle
+        assert _bucketed_leaves_under_shuffles(view) == []
+        plan = view._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan  # ...and it IS a bucketed scan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
 def test_frontier_view_plan_size_is_linear_in_deltas(spark, tmp_path):
@@ -307,12 +372,12 @@ def test_default_engine_round_plan_is_exchange_free(spark, tmp_path):
         assert "Exchange SinglePartition" not in vplan
         # two rounds committed two frontier_state deltas: their union's
         # groupBy is allowed ONE O(|delta|)-sized hash exchange (computed
-        # once via exchange reuse); the frontier BASE must never sit
-        # under a shuffle — that's the O(|frontier|)-per-round killer.
-        # (state-delta scans carry (url_hash, state, round); base scans
-        # are identified by their discovered_round column)
-        for scan in _scans_under_shuffles(view):
-            assert "discovered_round" not in scan, scan
+        # once via exchange reuse), and the per-round frontier DELTAS
+        # (read plain — union bucketed-leaf cap, see frontier_view) may
+        # exchange O(|delta|) each; the COMPACTED base — the one
+        # bucketed leaf, holding ~all the bytes — must never sit under
+        # a shuffle: that's the O(|frontier|)-per-round killer.
+        assert _bucketed_leaves_under_shuffles(view) == []
         cand = gate_candidates(
             eng.io.read(spark, "frontier"), t["control"],
             eng.io.read(spark, "host_state"), t["robots"], 3,

@@ -62,6 +62,23 @@ def test_near_dup_pairs_match_batch_operator(spark, tmp_path):
     ids = {r.doc_id for r in docs.select("doc_id").collect()}
     for r in eng.near_dup_pairs("simhash").take(50):
         assert r.doc_a in ids and r.doc_b in ids
+    # the dedup closure runs on the engine's md5-hex ids end-to-end:
+    # pairs -> clusters -> canonical corpus (this used to ANSI-crash on
+    # the long cast inside connected_components)
+    from crawler_spark.operators.graph import canonical_corpus, connected_components
+
+    losers = {
+        r.doc_id
+        for r in connected_components(eng.near_dup_pairs("minhash")).collect()
+        if r.doc_id != r.cluster_id
+    }
+    canon = {
+        r.doc_id
+        for r in canonical_corpus(
+            docs.select("doc_id"), eng.near_dup_pairs("minhash")
+        ).collect()
+    }
+    assert canon == ids - losers
 
 
 def test_delete_site_cascades_signatures(spark, tmp_path):

@@ -384,6 +384,72 @@ def test_engine_cuckoo_equals_exact_with_delete(spark, tmp_path):
     assert results["cuckoo"] == results["exact"]
 
 
+def test_engine_cuckoo_layout_migration(spark, tmp_path):
+    """A seen_cuckoo store persisted under an OLDER (fp, cell)
+    derivation must not be trusted: probing it yields false NEGATIVES
+    (missed dups -> re-crawled URLs). The engine detects the stale
+    layout stamp (NULL = unstamped legacy), falls back to exact dedup
+    for that round, rebuilds the filters from the exact seen set in the
+    same commit, and the crawl stays bit-identical to an uninterrupted
+    run."""
+    import pandas as pd
+
+    from crawler_spark.engine import CrawlEngine
+    from crawler_spark.operators import cuckoo as CK
+    from crawler_spark.operators.discovery import discover_frontier
+    from crawler_spark.world import make_world
+
+    mk = lambda: make_world(seed=31, n_hosts=3, n_urls=20, budget=3, burst=False)
+
+    def crawl(root, interrupt=False):
+        world = mk()
+        t = world.to_spark(spark)
+        eng = CrawlEngine(spark, root, embed_dim=0, seen_filter="cuckoo")
+        eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+        if not interrupt:
+            eng.run(t, max_rounds=10)
+            return eng
+        eng.run(t, max_rounds=2)
+        # forge a legacy store: zeroed tables (the worst case — every
+        # probe would miss) with NO layout stamp, same sizing metadata
+        rows = eng.io.read(spark, "seen_cuckoo").collect()
+        assert rows
+        forged = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "bucket": [r.bucket for r in rows],
+                    "n_cells": [r.n_cells for r in rows],
+                    "n_keys": [r.n_keys for r in rows],
+                    "table": [b"\x00" * len(bytes(r.table)) for r in rows],
+                    "stash": [b"" for r in rows],
+                    "layout": [None for r in rows],
+                }
+            ),
+            CK.CUCKOO_SCHEMA,
+        )
+        assert CK.cuckoo_layout_stale(forged)
+        eng.io.commit(eng.io.last_round(), overwrites={"seen_cuckoo": forged})
+        # resume over the forged store in a fresh engine
+        eng2 = CrawlEngine(spark, root, embed_dim=0, seen_filter="cuckoo")
+        eng2.run(t, max_rounds=10)
+        return eng2
+
+    ref = crawl(str(tmp_path / "ref"))
+    got = crawl(str(tmp_path / "mig"), interrupt=True)
+    snap = lambda eng: (
+        [
+            (r.round, r.seq, r.site, r.url, r.status)
+            for r in eng.io.read(spark, "crawl_order").orderBy("seq").collect()
+        ],
+        sorted((r.url_hash, r.url) for r in eng.io.read(spark, "seen").collect()),
+    )
+    assert snap(got) == snap(ref)
+    # the store is restamped with the current layout and trusted again
+    final = got.io.read(spark, "seen_cuckoo")
+    assert not CK.cuckoo_layout_stale(final)
+    assert final.count() > 0
+
+
 def test_engine_rebuild_saturated_cuckoos(spark, tmp_path):
     """Growth maintenance: undersized cuckoo buckets get rebuilt bigger
     from the exact seen set, and membership stays false-negative-free."""
@@ -521,6 +587,31 @@ def test_canonical_corpus_keeps_min_and_singletons(spark):
     kept = sorted(r.doc_id for r in canonical_corpus(docs, pairs).collect())
     # {1,3,5} -> keep 1; {6,7} -> keep 6; 0,2,4 untouched singletons
     assert kept == [0, 1, 2, 4, 6]
+
+
+def test_connected_components_hex_string_ids(spark):
+    """The engine's ids are md5-hex STRINGS (url_hash/doc_id) — CC and
+    the canonical-corpus closure must run on them natively; a cast to
+    long crashes under ANSI mode on the first digit >= 'a'. Cluster
+    minima are the LEXICOGRAPHIC minima (the only order the algorithm
+    needs)."""
+    from hashlib import md5
+
+    from crawler_spark.operators.graph import canonical_corpus, connected_components
+
+    h = [md5(str(i).encode()).hexdigest() for i in range(8)]
+    pairs = spark.createDataFrame(
+        [(h[3], h[1]), (h[5], h[3]), (h[6], h[7])], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {
+        x: min(comp) for comp in ({h[1], h[3], h[5]}, {h[6], h[7]}) for x in comp
+    }
+    docs = spark.createDataFrame([(x, "t") for x in h], ["doc_id", "text"])
+    kept = sorted(r.doc_id for r in canonical_corpus(docs, pairs).collect())
+    assert kept == sorted(
+        {h[0], h[2], h[4], min(h[1], h[3], h[5]), min(h[6], h[7])}
+    )
 
 
 def _winnow_reference(text, k, w):

@@ -39,9 +39,13 @@ def test_fetch_rate_windows_batch(spark):
         [
             (0, "u0", 200, 10),
             (1, "u1", 404, 0),
+            (2, "u6", 429, 0),
+            (3, "u7", 597, 0),
             (4, "u2", 200, 5),
             (5, "u3", 0, 0),
             (7, "u4", 503, 1),
+            (8, "u8", 599, 0),
+            (9, "u9", 451, 0),
             (12, "u5", 200, 2),
         ],
         S.FETCH_LOG,
@@ -52,9 +56,14 @@ def test_fetch_rate_windows_batch(spark):
     }
     assert got == {
         (0, "ok"): (2, 15),
-        (0, "client_error"): (1, 0),
+        (0, "not_found"): (1, 0),
+        # 429 must stay distinguishable — it IS the backoff signal
+        (0, "rate_limit"): (1, 0),
+        (0, "sitemap"): (1, 0),
         (5, "timeout"): (1, 0),
         (5, "server_error"): (1, 1),
+        (5, "transport"): (1, 0),
+        (5, "client_error"): (1, 0),
         (10, "ok"): (1, 2),
     }
 
