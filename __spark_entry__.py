@@ -808,6 +808,37 @@ _Q_TEXT_PROFILE_SQL = f"""
 """
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation in one plan: profile -> quality/lang
+    gate -> exact-dup collapse -> per-language stats (the full
+    training-data prep path over the documents table)."""
+    from crawler_spark.functions.text import curate_corpus
+
+    return curate_corpus(_docs_wide(spark, sf_dir))
+
+
+_Q_CORPUS_CURATION_SQL = f"""
+    WITH prof AS (SELECT * FROM ({_Q_TEXT_PROFILE_SQL}) p),
+    kept AS (
+        SELECT * FROM prof
+        WHERE quality >= 0.5 AND n_tokens >= 5 AND pred_lang <> 'und'
+    ),
+    canon AS (
+        SELECT * FROM (
+            SELECT *,
+                   row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+                   count(*) OVER (PARTITION BY fingerprint) AS n_copies
+            FROM kept) WHERE rn = 1
+    )
+    SELECT pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) AS n_kept_total,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CAST(quality AS DECIMAL(27,6))) AS DOUBLE) AS sum_quality
+    FROM canon GROUP BY pred_lang
+"""
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible: full engine round + multimodal decode (rows-only)
 # --------------------------------------------------------------------------
@@ -1275,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": q_lsh_buckets,
         "ann_topk": q_ann_topk,
         "text_profile": q_text_profile,
+        "corpus_curation": q_corpus_curation,
         "stub_embedding": q_stub_embedding,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
@@ -1322,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_buckets": _Q_LSH_BUCKETS_SQL,
         "ann_topk": _Q_ANN_TOPK_SQL,
         "text_profile": _Q_TEXT_PROFILE_SQL,
+        "corpus_curation": _Q_CORPUS_CURATION_SQL,
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,
         "embedding_near_dup": _Q_EMBEDDING_NEAR_DUP_SQL,
         "ivf_topk": _Q_IVF_TOPK_SQL,

@@ -98,6 +98,58 @@ def fingerprint(c: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(c), WS_RE, " "))
 
 
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """End-to-end training-corpus curation in ONE declarative plan:
+    profile -> quality/language gate -> exact-dup collapse (keep the
+    smallest doc_id per fingerprint) -> per-language corpus stats.
+
+    The whole pipeline is builtin-only, so Catalyst fuses the profile
+    expressions into the scan projection and the two groupBys are the
+    only shuffles (fingerprint, then pred_lang) — at 100 TB this is a
+    scan + two exchanges, with the gate applied map-side before either.
+    `sum_quality` aggregates via DECIMAL so parallel summation order
+    can't flip a digit (divide by n_docs downstream for the mean).
+    """
+    prof = text_profile(docs, text_col)
+    kept = prof.filter(
+        (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("pred_lang") != "und")
+    )
+    canon = (
+        kept.groupBy("fingerprint")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("doc_id"),
+                    F.col("n_tokens"),
+                    F.col("quality"),
+                    F.col("pred_lang"),
+                )
+            ).alias("s"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.n_tokens").alias("n_tokens"),
+            F.col("s.quality").alias("quality"),
+            F.col("s.pred_lang").alias("pred_lang"),
+            "n_copies",
+        )
+    )
+    return canon.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_copies").alias("n_kept_total"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("quality").cast("decimal(27,6)")).cast("double").alias("sum_quality"),
+    )
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per doc with all text-analysis columns."""
     c = F.col(text_col)
