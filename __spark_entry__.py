@@ -923,6 +923,53 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+_Q_MULTIMODAL_RESIZE_SQL = """
+WITH h AS (
+  SELECT 'img://doc/' || CAST(doc_id AS VARCHAR) AS media_ref,
+         CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes_in,
+         sha256(coalesce(text, '')) AS hx
+  FROM documents
+), dims AS (
+  SELECT media_ref, doc_id, n_bytes_in,
+         64 + (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS w0,
+         64 + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS h0
+  FROM h
+)
+SELECT media_ref, doc_id,
+       CAST(128 AS INTEGER) AS width, CAST(96 AS INTEGER) AS height,
+       n_bytes_in,
+       CAST(greatest(1, trunc(n_bytes_in * ((128.0 * 96.0) / (w0 * h0)))) AS BIGINT)
+           AS n_bytes_out
+FROM dims
+"""
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Binary media resize plumbing (stubbed kernel): the output byte
+    size scales with the target/source pixel ratio, and the source
+    dims come from the same sha256 digest as `multimodal_features`, so
+    every scalar column is SQL-reproducible; the resized bytes stream
+    stays Python-side (exercised by tests/test_wire_discovery.py)."""
+    from crawler_spark.operators.multimodal import resize_media
+    from crawler_spark.session import ship_package
+
+    ship_package(spark)
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("img://doc/"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+    return resize_media(media, width=128, height=96).select(
+        "media_ref", "doc_id", "width", "height", "n_bytes_in", "n_bytes_out"
+    )
+
+
 def q_frontier_state_merge(spark, sf_dir):
     """Delta-state frontier merge (the engine's read-side core,
     engine.merge_frontier_states): append-only base + state deltas ->
@@ -1318,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_round": q_crawl_round,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_overlap": q_winnow_overlap,
         "dup_clusters": q_dup_clusters,
@@ -1364,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "backoff_rounds": _Q_BACKOFF_SQL,
         "seed_dispatch": _Q_SEED_DISPATCH_SQL,
         "multimodal_features": _Q_MULTIMODAL_SQL,
+        "multimodal_resize": _Q_MULTIMODAL_RESIZE_SQL,
         "winnow_fingerprints": _Q_WINNOW_FP_SQL,
         "winnow_overlap": _Q_WINNOW_OVERLAP_SQL,
         "dup_clusters": _Q_DUP_CLUSTERS_SQL,

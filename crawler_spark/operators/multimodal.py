@@ -112,6 +112,57 @@ def decode_media(media: DataFrame, dim: int = 16, strict: bool = False) -> DataF
     return media.mapInPandas(run, FEATURES)
 
 
+RESIZED = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_bytes_in", T.LongType(), False),
+        T.StructField("n_bytes_out", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int = 224, height: int = 224, strict: bool = False
+) -> DataFrame:
+    """mapInPandas resize over Arrow batches: binary in, binary out.
+
+    Output byte size scales with the (fake-decoded) source dimensions,
+    so the plumbing exercises the real shape — variable-length binary
+    both directions, one output row per input row, deterministic
+    bytes. strict=True raises NotImplementedError at the point where a
+    real PIL/ffmpeg resample plugs in.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real media resize requires PIL/ffmpeg; "
+                    "not available in this environment"
+                )
+            rows = []
+            for ref, doc, kind, payload in zip(
+                pdf["media_ref"], pdf["doc_id"], pdf["kind"], pdf["payload"]
+            ):
+                raw = bytes(payload or b"")
+                w0, h0, _, _ = _fake_decode(raw, dim=1)
+                scale = (width * height) / float(w0 * h0)
+                n_out = max(1, int(len(raw) * scale))
+                seed = hashlib.sha256(raw + f"{width}x{height}".encode()).digest()
+                out = (seed * (n_out // len(seed) + 1))[:n_out]
+                rows.append(
+                    (ref, doc, kind, width, height, len(raw), n_out, out)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED.fields])
+
+    return media.mapInPandas(run, RESIZED)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling *plan*: one row per planned frame grab,
     derived from (stub) duration metadata — demonstrates the explode

@@ -76,6 +76,31 @@ def test_multimodal_media_from_engine_documents(spark, tmp_path):
     assert plan.filter(F.col("frame_at_ms") % 700 != 0).count() == 0
 
 
+def test_multimodal_resize(spark):
+    from crawler_spark.operators.multimodal import MEDIA, resize_media
+
+    media = spark.createDataFrame(
+        [
+            ("m1", "d1", "image", b"x" * 100, {}),
+            ("m2", "d1", "image", b"y" * 50, {}),
+        ],
+        MEDIA,
+    )
+    out = {r.media_ref: r for r in resize_media(media, 128, 96).collect()}
+    assert set(out) == {"m1", "m2"}
+    for r in out.values():
+        assert (r.width, r.height) == (128, 96)
+        assert r.n_bytes_out == len(r.payload) >= 1
+        # output scales with target/source pixel ratio, never empty
+        assert isinstance(r.payload, (bytes, bytearray))
+    # deterministic: same input + target -> identical bytes
+    again = {r.media_ref: r for r in resize_media(media, 128, 96).collect()}
+    assert all(bytes(out[k].payload) == bytes(again[k].payload) for k in out)
+    # different target -> different plumbing output
+    other = {r.media_ref: r for r in resize_media(media, 32, 32).collect()}
+    assert any(bytes(other[k].payload) != bytes(out[k].payload) for k in out)
+
+
 def test_multimodal_strict_stub_raises(spark):
     import pytest
     from crawler_spark.operators.multimodal import MEDIA, decode_media
