@@ -839,6 +839,79 @@ _Q_CORPUS_CURATION_SQL = f"""
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide line dedup: each distinct line survives
+    only at its first global (doc_id, pos) occurrence; docs reassembled
+    from surviving lines."""
+    from crawler_spark.operators.textdedup import line_dedup
+
+    return line_dedup(_docs_wide(spark, sf_dir))
+
+
+_Q_LINE_DEDUP_SQL = """
+    WITH l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+    lines AS (SELECT doc_id, unnest(ls) AS line,
+                     unnest(generate_series(1, len(ls))) AS pos FROM l0),
+    kept AS (SELECT * FROM (
+                SELECT doc_id, line, pos,
+                       row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+                FROM lines) WHERE rn = 1),
+    reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+                   CAST(count(*) AS BIGINT) AS n_lines_kept
+            FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+           coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+           CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines
+    FROM documents d LEFT JOIN reb r USING (doc_id)
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language quota sampling (training-data mixing):
+    md5-hash order stands in for rand() so both engines pick the same
+    sample. zh has no quota -> contributes nothing (the ELSE-0 path)."""
+    from crawler_spark.functions.text import stratified_sample
+
+    return stratified_sample(
+        _docs_wide(spark, sf_dir), {"en": 40, "fr": 30, "de": 20, "es": 10}, "lang"
+    )
+
+
+_Q_STRATIFIED_SAMPLE_SQL = """
+    WITH h AS (SELECT doc_id, lang,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hb
+               FROM documents),
+    r AS (SELECT doc_id, lang,
+                 CAST(row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS INT)
+                   AS sample_rank
+          FROM h)
+    SELECT doc_id, lang AS stratum, sample_rank FROM r
+    WHERE sample_rank <= CASE lang WHEN 'en' THEN 40 WHEN 'fr' THEN 30
+                                   WHEN 'de' THEN 20 WHEN 'es' THEN 10 ELSE 0 END
+"""
+
+
+def q_top_terms(spark, sf_dir):
+    """Corpus vocabulary head: top-50 terms by document frequency with a
+    deterministic total order (df desc, term asc)."""
+    from crawler_spark.functions.text import top_terms
+
+    return top_terms(_docs_wide(spark, sf_dir), k=50)
+
+
+_Q_TOP_TERMS_SQL = r"""
+    WITH toks AS (SELECT DISTINCT doc_id,
+                         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                  FROM documents),
+    agg AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+            FROM toks WHERE tok <> '' GROUP BY tok),
+    top AS (SELECT * FROM agg ORDER BY df DESC, tok LIMIT 50)
+    SELECT CAST(row_number() OVER (ORDER BY df DESC, tok) AS INT) AS rank,
+           tok AS term, df
+    FROM top
+"""
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible: full engine round + multimodal decode (rows-only)
 # --------------------------------------------------------------------------
@@ -1354,6 +1427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "text_profile": q_text_profile,
         "corpus_curation": q_corpus_curation,
+        "line_dedup": q_line_dedup,
+        "stratified_sample": q_stratified_sample,
+        "top_terms": q_top_terms,
         "stub_embedding": q_stub_embedding,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
@@ -1403,6 +1479,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _Q_ANN_TOPK_SQL,
         "text_profile": _Q_TEXT_PROFILE_SQL,
         "corpus_curation": _Q_CORPUS_CURATION_SQL,
+        "line_dedup": _Q_LINE_DEDUP_SQL,
+        "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,
+        "top_terms": _Q_TOP_TERMS_SQL,
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,
         "embedding_near_dup": _Q_EMBEDDING_NEAR_DUP_SQL,
         "ivf_topk": _Q_IVF_TOPK_SQL,

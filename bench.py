@@ -8,8 +8,9 @@ $SPARK_GRAFT_SF_DIR, printing ONE JSON line:
      "urls_per_sec": ..., ...}
 
 `python bench.py --scaling` additionally runs the SAME headline job at
-local[8] and local[32] on the SAME input and writes BENCH/BASELINE.md
-with both throughputs and efficiency = (T8/T32)/4 — the sandbox proxy
+local[N] and local[4N] (SPARK_GRAFT_SCALE_N, default N=4) on the SAME
+input and writes BENCH/BASELINE.md with both throughputs and
+efficiency = (throughput_4N / throughput_N) / 4 — the sandbox proxy
 for the north rule's N->4N executor scaling requirement.
 
 The headline job is the engine's real hot path built from the real
@@ -438,29 +439,56 @@ def scaling():
         write_bucketed_tables(spark, wh, fpath, spath)
         commit_bytes = measure_commit_bytes(spark, root)
         spark.stop()
-        for cpus in (SCALE_N, SCALE_N * 4):
-            spark = get_session(cpus, wh, scaling=True)
-            register_bucketed_tables(spark, wh)
-            # force_two_phase: the scaling claim covers the AT-SCALE
-            # configuration (distributed seq, no serial stage). The
-            # small-round one-job window is a latency fast path whose
-            # single serial task is exactly what the two-phase assigner
-            # removes — timing it here would just measure Amdahl's law
-            # on a stage that never runs at the scale being evidenced.
-            run_schedule_job_bucketed(spark, force_two_phase=True)  # warm
-            runs, runs_flat = [], []
-            for _ in range(3):
-                t0 = time.time()
-                run_schedule_job_bucketed(spark, force_two_phase=True)
-                runs.append(time.time() - t0)
-                t0 = time.time()
-                run_schedule_job(spark, fpath, spath, force_two_phase=True)
-                runs_flat.append(time.time() - t0)
-            dt, dtf = min(runs), min(runs_flat)
-            results[cpus] = {"sec": round(dt, 3), "urls_per_sec": round(N_URLS / dt, 1)}
-            flat[cpus] = {"sec": round(dtf, 3), "urls_per_sec": round(N_URLS / dtf, 1)}
-            spark.stop()
+        # Interleaved protocol (round-3): the levels used to run as one
+        # session each, sequentially (all N runs, then all 4N runs), with
+        # best-of-3 per level. Page-cache/JIT/machine drift between the
+        # two blocks then lands entirely on ONE side of the ratio — a
+        # single anomalously fast N run moved measured efficiency from
+        # 0.90 to 0.66 with zero plan change. Now each level runs in TWO
+        # sessions, in alternating order (N,4N then 4N,N), each session
+        # warms to the JIT plateau and times 2 runs; the headline is the
+        # MEDIAN of the 4 runs per level (min stays reported) and all raw
+        # runs are written to BENCH/BASELINE.md.
         lo, hi = SCALE_N, SCALE_N * 4
+        all_runs: dict = {lo: {"b": [], "f": []}, hi: {"b": [], "f": []}}
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+        for rep in range(reps):
+            for cpus in (lo, hi) if rep % 2 == 0 else (hi, lo):
+                spark = get_session(cpus, wh, scaling=True)
+                register_bucketed_tables(spark, wh)
+                # force_two_phase: the scaling claim covers the AT-SCALE
+                # configuration (distributed seq, no serial stage). The
+                # small-round one-job window is a latency fast path whose
+                # single serial task is exactly what the two-phase assigner
+                # removes — timing it here would just measure Amdahl's law
+                # on a stage that never runs at the scale being evidenced.
+                run_schedule_job_bucketed(spark, force_two_phase=True)  # warm
+                for _ in range(2):
+                    t0 = time.time()
+                    run_schedule_job_bucketed(spark, force_two_phase=True)
+                    all_runs[cpus]["b"].append(round(time.time() - t0, 3))
+                    t0 = time.time()
+                    run_schedule_job(spark, fpath, spath, force_two_phase=True)
+                    all_runs[cpus]["f"].append(round(time.time() - t0, 3))
+                spark.stop()
+
+        def median(xs):
+            s = sorted(xs)
+            n = len(s)
+            return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+        for cpus in (lo, hi):
+            dt, dtf = median(all_runs[cpus]["b"]), median(all_runs[cpus]["f"])
+            results[cpus] = {
+                "sec": round(dt, 3),
+                "urls_per_sec": round(N_URLS / dt, 1),
+                "runs": all_runs[cpus]["b"],
+            }
+            flat[cpus] = {
+                "sec": round(dtf, 3),
+                "urls_per_sec": round(N_URLS / dtf, 1),
+                "runs": all_runs[cpus]["f"],
+            }
         eff = (results[hi]["urls_per_sec"] / results[lo]["urls_per_sec"]) / 4.0
         eff_flat = (flat[hi]["urls_per_sec"] / flat[lo]["urls_per_sec"]) / 4.0
         os.makedirs("BENCH", exist_ok=True)
@@ -472,26 +500,29 @@ Same job, same input ({N_URLS:,} candidate URLs vs {N_SEEN:,}-row seen
 set, {N_HOSTS:,} power-law hosts, 10% re-discovered duplicates): the
 engine's scheduling+dedup hot path — seen anti-join + per-host budget
 window (WindowGroupLimit top-k pushdown) + canonical order + salted
-repartition. Best of 3 after warm-up, same machine, same files.
+repartition. MEDIAN of 4 runs per level from 2 interleaved sessions
+(level order N,4N then 4N,N; each session warmed to the JIT plateau
+first), same machine, same files — interleaving keeps page-cache/JIT
+drift off any single side of the ratio. All raw runs listed below.
 
 ## Headline: bucketed tables (≙ Iceberg `bucket(url_hash, {N_BUCKETS})` partitioning)
 
 frontier and seen are clustered+sorted by url_hash into {N_BUCKETS}
 buckets, so the anti-join is co-located sort-merge with NO exchange.
 
-| parallelism | wall (s) | URLs scheduled+deduped / sec |
-|---|---|---|
-| local[{lo}]  (N)  | {results[lo]['sec']} | {results[lo]['urls_per_sec']:,} |
-| local[{hi}] (4N) | {results[hi]['sec']} | {results[hi]['urls_per_sec']:,} |
+| parallelism | wall median (s) | URLs scheduled+deduped / sec | raw runs (s) |
+|---|---|---|---|
+| local[{lo}]  (N)  | {results[lo]['sec']} | {results[lo]['urls_per_sec']:,} | {results[lo]['runs']} |
+| local[{hi}] (4N) | {results[hi]['sec']} | {results[hi]['urls_per_sec']:,} | {results[hi]['runs']} |
 
 **Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**
 
 ## Comparison: flat parquet (shuffled anti-join)
 
-| parallelism | wall (s) | URLs/sec |
-|---|---|---|
-| local[{lo}]  (N)  | {flat[lo]['sec']} | {flat[lo]['urls_per_sec']:,} |
-| local[{hi}] (4N) | {flat[hi]['sec']} | {flat[hi]['urls_per_sec']:,} |
+| parallelism | wall median (s) | URLs/sec | raw runs (s) |
+|---|---|---|---|
+| local[{lo}]  (N)  | {flat[lo]['sec']} | {flat[lo]['urls_per_sec']:,} | {flat[lo]['runs']} |
+| local[{hi}] (4N) | {flat[hi]['sec']} | {flat[hi]['urls_per_sec']:,} | {flat[hi]['runs']} |
 
 efficiency = {eff_flat:.3f} — the flat layout also scales in-sandbox
 (page-cached local disk absorbs the exchange; run-to-run values near

@@ -6,7 +6,9 @@ Each has a matching ANSI-SQL twin in __spark_entry__.oracle_sql().
 
 Ops: token counting (whitespace + BPE-ish regex), quality scoring
 (length/punct/stopword ratios), language-ID (stopword-hit heuristic),
-document fingerprinting (normalized-text hash).
+document fingerprinting (normalized-text hash), deterministic
+stratified quota sampling (training-data mixing), corpus vocabulary
+top-k by document frequency.
 """
 
 from __future__ import annotations
@@ -147,6 +149,73 @@ def curate_corpus(
         F.sum("n_copies").alias("n_kept_total"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum(F.col("quality").cast("decimal(27,6)")).cast("double").alias("sum_quality"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    quotas: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum quota sampling (training-data mixing).
+
+    Every stratum (language, source, domain) contributes at most
+    quotas[stratum] documents, selected in md5-hash order of the id —
+    uniform-random in effect but fully reproducible, so the engine and
+    the DuckDB oracle pick the SAME sample (no rand()). Strata absent
+    from `quotas` contribute nothing.
+
+    Scale shape: ONE shuffle (the per-stratum window). The rank filter
+    is written `rank <= max(quotas)` (a literal) AND `rank <= quota`,
+    so Catalyst's InferWindowGroupLimit turns the constant bound into a
+    per-partition top-k pushdown — a giant stratum ('en' at 100 TB)
+    never ranks past max-quota rows per task before the final merge.
+    """
+    from pyspark.sql import Window
+
+    pairs: list = []
+    for kq in sorted(quotas):
+        pairs += [F.lit(kq), F.lit(int(quotas[kq]))]
+    qmap = F.create_map(*pairs)
+    max_q = max(quotas.values()) if quotas else 0
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy(strata_col).orderBy(bucket, F.col(id_col))
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.lit(max_q))  # constant -> WindowGroupLimit
+        .filter(F.col("sample_rank") <= F.coalesce(qmap[F.col(strata_col)], F.lit(0)))
+        .select(F.col(id_col), F.col(strata_col).alias("stratum"), "sample_rank")
+    )
+
+
+def top_terms(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary head: top-k terms by document frequency.
+
+    df = number of documents containing the term (distinct per doc, via
+    textdedup.tokens). Integer-only output with a total order (df desc,
+    term asc) so the k-boundary is deterministic in both engines.
+
+    Scale shape: map-side partial count -> one exchange on term ->
+    TakeOrderedAndProject (global top-k never materializes the full
+    vocabulary on one node); the final row_number runs on k rows only.
+    """
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.textdedup import tokens
+
+    top = (
+        tokens(docs, text_col)
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("df"), "tok")  # k rows: single partition is fine
+    return top.select(
+        F.row_number().over(w).alias("rank"), F.col("tok").alias("term"), "df"
     )
 
 

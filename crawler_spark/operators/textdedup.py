@@ -14,6 +14,9 @@ reproduce them bit-for-bit):
                with a document-frequency cap that drops stop-tokens
                before the pair join — the classic guard against the
                hot-token pair explosion at scale
+- line-level   CCNet-style first-global-occurrence line dedup
+               (boilerplate stripping), plus winnowing fingerprints
+               (MOSS) for substring-level overlap
 
 Minhash trick for engine/oracle parity: a minhash is min over tokens of
 md5(seed:token) — and because fixed-width lowercase hex compares
@@ -431,4 +434,61 @@ def winnow_overlap_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
+    )
+
+
+def line_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide line-level dedup (the CCNet / RefinedWeb pass that
+    strips boilerplate headers, nav bars and cookie banners repeated
+    across pages): every distinct LINE is kept only at its first global
+    occurrence — ordered by (doc_id, position) — and removed everywhere
+    else; each document is reassembled from its surviving lines in
+    original order.
+
+    Returns (doc_id, text_dedup, n_lines_kept, n_lines); documents whose
+    every line occurred earlier elsewhere come back with empty text (the
+    caller drops or flags them).
+
+    Scale shape: three exchanges, all key-parallel — row_number per line
+    (the dedup itself; equivalent to a groupBy on the line), a groupBy on
+    doc_id to reassemble, and the hash join back to the corpus. No
+    all-pairs anything; hot lines (the same cookie banner a billion
+    times) are a single window partition of which only rank 1 survives —
+    skew-safe because row_number short-circuits via WindowGroupLimit's
+    rank-limit pushdown when filtered to rn = 1.
+    """
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    kept = (
+        lines.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    return (
+        docs.select(
+            F.col(id_col), F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines")
+        )
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            "n_lines",
+        )
     )

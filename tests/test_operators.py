@@ -694,3 +694,96 @@ def test_winnow_density_bound(spark):
     n_fp = winnow_fingerprints(docs, k=8, w=8).count()
     n_chars = docs.select(F.sum(F.length("text"))).first()[0]
     assert n_fp <= 0.5 * n_chars  # 2/(w+1)=0.22 expected; 0.5 is lenient
+
+
+# --- line dedup / stratified sample / top terms (round 3) --------------------
+
+
+def _py_line_dedup(rows):
+    """Pure-python reference: first global (doc_id, pos) occurrence wins."""
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(rows):
+        kept = []
+        for pos, line in enumerate(text.split("\n")):
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        out[doc_id] = ("\n".join(kept), len(kept), len(text.split("\n")))
+    return out
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from crawler_spark.operators.textdedup import line_dedup
+
+    rows = [
+        (1, "cookie banner\nreal content one\nfooter"),
+        (2, "cookie banner\nreal content two\nfooter"),
+        (3, "real content one\nfresh line"),
+        (4, "cookie banner"),  # every line already seen -> empty doc
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.text_dedup, r.n_lines_kept, r.n_lines)
+        for r in line_dedup(docs).collect()
+    }
+    assert got == _py_line_dedup(rows)
+    assert got[4] == ("", 0, 1)  # fully-deduped doc survives with empty text
+
+
+def test_line_dedup_preserves_duplicate_lines_within_first_doc_order(spark):
+    from crawler_spark.operators.textdedup import line_dedup
+
+    # the FIRST occurrence of each line is kept in original position
+    # order, even when lines sort differently lexicographically
+    rows = [(7, "zebra\nalpha\nzebra\nmango")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = line_dedup(docs).collect()[0]
+    assert out.text_dedup == "zebra\nalpha\nmango"
+    assert (out.n_lines_kept, out.n_lines) == (3, 4)
+
+
+def test_stratified_sample_quotas_and_hash_order(spark):
+    import hashlib
+
+    from crawler_spark.functions.text import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "zh") for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    quotas = {"en": 5, "fr": 7}  # fr absent from data; zh absent from quotas
+    got = stratified_sample(docs, quotas, "lang").collect()
+    assert len(got) == 5 and all(r.stratum == "en" for r in got)
+    assert sorted(r.sample_rank for r in got) == [1, 2, 3, 4, 5]
+    # the sample must be the md5-hash-order prefix of the stratum
+    en_ids = [i for i, l in rows if l == "en"]
+    hkey = lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16), i)
+    expect = set(sorted(en_ids, key=hkey)[:5])
+    assert {r.doc_id for r in got} == expect
+
+
+def test_stratified_sample_plan_has_window_group_limit(spark):
+    from crawler_spark.functions.text import stratified_sample
+
+    docs = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    plan = stratified_sample(docs, {"en": 3}, "lang")._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # constant rank bound pushed down
+
+
+def test_top_terms_matches_counter(spark):
+    from collections import Counter
+
+    from crawler_spark.functions.text import top_terms
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "the dog sat sat"),  # repeated token counts once per doc
+        (3, "THE   cat"),  # case/whitespace normalization
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    df = Counter()
+    for _, text in rows:
+        df.update(set(text.lower().split()))
+    want = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = [(r.term, r.df) for r in top_terms(docs, k=3).orderBy("rank").collect()]
+    assert got == want
