@@ -912,6 +912,114 @@ _Q_TOP_TERMS_SQL = r"""
 """
 
 
+def _link_edges(spark, sf_dir):
+    """Deterministic synthetic link graph over the documents table:
+    each doc links to 3 md5-derived targets (mod n_docs; doc_ids are
+    contiguous 0..n-1 in the test data), self-loops dropped, distinct.
+    Both engines derive the SAME edge list from md5 parity."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count("*").alias("n"))
+    tgt = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.col("j").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.col("n"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(cnt))
+        .select(
+            "doc_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"), "n"
+        )
+        .select(F.col("doc_id").alias("src"), tgt.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_EDGES_SQL = """
+    edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT d.doc_id AS src,
+                   CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                        || CAST(js.j AS VARCHAR)), 1, 8))::UBIGINT
+                        % nn.n AS BIGINT) AS dst
+            FROM documents d
+            CROSS JOIN (SELECT count(*) AS n FROM documents) nn
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) js
+        ) WHERE src <> dst
+    )
+"""
+
+
+def q_link_graph_stats(spark, sf_dir):
+    """Per-node in/out degree over the deterministic link graph (crawl
+    analytics: in-degree ranks pages for OPIC-style prioritization)."""
+    from crawler_spark.operators.graph import link_graph_stats
+
+    return link_graph_stats(_link_edges(spark, sf_dir))
+
+
+_Q_LINK_STATS_SQL = f"""
+    WITH {_EDGES_SQL.strip()},
+    o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY src),
+    i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg FROM edges GROUP BY dst)
+    SELECT coalesce(o.node, i.node) AS node,
+           coalesce(o.out_deg, 0) AS out_deg,
+           coalesce(i.in_deg, 0) AS in_deg
+    FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+_PR_ITERS = 4
+
+
+def q_pagerank(spark, sf_dir):
+    """Integer-arithmetic PageRank (bit-identical on any partitioning
+    and in DuckDB — floor-div contributions, exact integer sums) over
+    the deterministic link graph."""
+    from crawler_spark.operators.graph import pagerank
+
+    return pagerank(_link_edges(spark, sf_dir), iters=_PR_ITERS)
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (DuckDB's
+    recursive CTEs disallow aggregation in the recursive term)."""
+    parts = [
+        f"WITH {_EDGES_SQL.strip()}",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src)",
+        "pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS score FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(p.score // d.out_deg) AS s\n"
+            f"          FROM edges e JOIN pr{i} p ON e.src = p.node\n"
+            f"          JOIN deg d ON e.src = d.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"pr{i + 1} AS (SELECT n.node,\n"
+            f"            CAST(150000000000 + (850 * coalesce(c.s, 0)) // 1000 AS BIGINT) AS score\n"
+            f"            FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT node, score AS score_e12 FROM pr{iters}"
+    )
+
+
+_Q_PAGERANK_SQL = _pagerank_sql(_PR_ITERS)
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible: full engine round + multimodal decode (rows-only)
 # --------------------------------------------------------------------------
@@ -1430,6 +1538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
         "top_terms": q_top_terms,
+        "link_graph_stats": q_link_graph_stats,
+        "pagerank": q_pagerank,
         "stub_embedding": q_stub_embedding,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
@@ -1482,6 +1592,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _Q_LINE_DEDUP_SQL,
         "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,
         "top_terms": _Q_TOP_TERMS_SQL,
+        "link_graph_stats": _Q_LINK_STATS_SQL,
+        "pagerank": _Q_PAGERANK_SQL,
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,
         "embedding_near_dup": _Q_EMBEDDING_NEAR_DUP_SQL,
         "ivf_topk": _Q_IVF_TOPK_SQL,

@@ -787,3 +787,64 @@ def test_top_terms_matches_counter(spark):
     want = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     got = [(r.term, r.df) for r in top_terms(docs, k=3).orderBy("rank").collect()]
     assert got == want
+
+
+# --- link graph: degrees + integer PageRank (round 3) ------------------------
+
+
+def test_link_graph_stats_degrees(spark):
+    from crawler_spark.operators.graph import link_graph_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 1)], ["src", "dst"]
+    )
+    got = {r.node: (r.out_deg, r.in_deg) for r in link_graph_stats(edges).collect()}
+    assert got == {1: (2, 1), 2: (1, 1), 3: (0, 2), 4: (1, 0)}
+
+
+def test_pagerank_matches_float_reference_ranking(spark):
+    """Integer fixed-point PageRank must rank like the float fixpoint
+    and approximate its values (mass leak < out_deg units/node/round)."""
+    import numpy as np
+
+    from crawler_spark.operators.graph import pagerank
+
+    rng = np.random.RandomState(7)
+    n = 40
+    edges = sorted({(int(a), int(b)) for a, b in rng.randint(0, n, (150, 2)) if a != b})
+    got = {
+        r.node: r.score_e12
+        for r in pagerank(
+            spark.createDataFrame(edges, ["src", "dst"]), iters=20
+        ).collect()
+    }
+
+    # float reference: same formula (score0 = 1, dangling mass dropped)
+    nodes = sorted({u for e in edges for u in e})
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    score = {u: 1.0 for u in nodes}
+    for _ in range(20):
+        contrib = {u: 0.0 for u in nodes}
+        for a, targets in out.items():
+            for b in targets:
+                contrib[b] += score[a] / len(targets)
+        score = {u: 0.15 + 0.85 * contrib[u] for u in nodes}
+
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert abs(got[u] / 1e12 - score[u]) < 1e-6, (u, got[u], score[u])
+
+
+def test_pagerank_is_partitioning_invariant(spark):
+    """Exact same integer scores regardless of input partitioning —
+    the property float PageRank cannot give."""
+    from crawler_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 7 + 3) % 23) for i in range(23) if i != (i * 7 + 3) % 23]
+    a = spark.createDataFrame(edges, ["src", "dst"]).repartition(1)
+    b = spark.createDataFrame(edges, ["src", "dst"]).repartition(16, "dst")
+    ra = {(r.node, r.score_e12) for r in pagerank(a, iters=8).collect()}
+    rb = {(r.node, r.score_e12) for r in pagerank(b, iters=8).collect()}
+    assert ra == rb
