@@ -452,6 +452,7 @@ def scaling():
         lo, hi = SCALE_N, SCALE_N * 4
         all_runs: dict = {lo: {"b": [], "f": []}, hi: {"b": [], "f": []}}
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+        flat_on = os.environ.get("SPARK_GRAFT_SCALING_FLAT", "1") != "0"
         for rep in range(reps):
             for cpus in (lo, hi) if rep % 2 == 0 else (hi, lo):
                 spark = get_session(cpus, wh, scaling=True)
@@ -462,14 +463,27 @@ def scaling():
                 # single serial task is exactly what the two-phase assigner
                 # removes — timing it here would just measure Amdahl's law
                 # on a stage that never runs at the scale being evidenced.
-                run_schedule_job_bucketed(spark, force_two_phase=True)  # warm
+                # Warm to the JIT/page-cache PLATEAU (first post-generation
+                # runs at low parallelism measured 3-5x the steady state),
+                # so the timed runs compare steady states at both levels.
+                prev = None
+                for _ in range(4):
+                    t0 = time.time()
+                    run_schedule_job_bucketed(spark, force_two_phase=True)
+                    dt = time.time() - t0
+                    if prev is not None and dt > prev * 0.9:
+                        break
+                    prev = dt
+                if flat_on:
+                    run_schedule_job(spark, fpath, spath, force_two_phase=True)  # warm
                 for _ in range(2):
                     t0 = time.time()
                     run_schedule_job_bucketed(spark, force_two_phase=True)
                     all_runs[cpus]["b"].append(round(time.time() - t0, 3))
-                    t0 = time.time()
-                    run_schedule_job(spark, fpath, spath, force_two_phase=True)
-                    all_runs[cpus]["f"].append(round(time.time() - t0, 3))
+                    if flat_on:
+                        t0 = time.time()
+                        run_schedule_job(spark, fpath, spath, force_two_phase=True)
+                        all_runs[cpus]["f"].append(round(time.time() - t0, 3))
                 spark.stop()
 
         def median(xs):
@@ -478,46 +492,26 @@ def scaling():
             return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
         for cpus in (lo, hi):
-            dt, dtf = median(all_runs[cpus]["b"]), median(all_runs[cpus]["f"])
+            dt = median(all_runs[cpus]["b"])
             results[cpus] = {
                 "sec": round(dt, 3),
                 "urls_per_sec": round(N_URLS / dt, 1),
                 "runs": all_runs[cpus]["b"],
             }
-            flat[cpus] = {
-                "sec": round(dtf, 3),
-                "urls_per_sec": round(N_URLS / dtf, 1),
-                "runs": all_runs[cpus]["f"],
-            }
+            if flat_on:
+                dtf = median(all_runs[cpus]["f"])
+                flat[cpus] = {
+                    "sec": round(dtf, 3),
+                    "urls_per_sec": round(N_URLS / dtf, 1),
+                    "runs": all_runs[cpus]["f"],
+                }
+            else:
+                flat[cpus] = {"sec": None, "urls_per_sec": None, "runs": []}
         eff = (results[hi]["urls_per_sec"] / results[lo]["urls_per_sec"]) / 4.0
-        eff_flat = (flat[hi]["urls_per_sec"] / flat[lo]["urls_per_sec"]) / 4.0
-        os.makedirs("BENCH", exist_ok=True)
-        with open("BENCH/BASELINE.md", "w") as f:
-            f.write(
-                f"""# BENCH — scaling evidence (north rule: efficiency >= 0.8 at N->4N)
-
-Same job, same input ({N_URLS:,} candidate URLs vs {N_SEEN:,}-row seen
-set, {N_HOSTS:,} power-law hosts, 10% re-discovered duplicates): the
-engine's scheduling+dedup hot path — seen anti-join + per-host budget
-window (WindowGroupLimit top-k pushdown) + canonical order + salted
-repartition. MEDIAN of 4 runs per level from 2 interleaved sessions
-(level order N,4N then 4N,N; each session warmed to the JIT plateau
-first), same machine, same files — interleaving keeps page-cache/JIT
-drift off any single side of the ratio. All raw runs listed below.
-
-## Headline: bucketed tables (≙ Iceberg `bucket(url_hash, {N_BUCKETS})` partitioning)
-
-frontier and seen are clustered+sorted by url_hash into {N_BUCKETS}
-buckets, so the anti-join is co-located sort-merge with NO exchange.
-
-| parallelism | wall median (s) | URLs scheduled+deduped / sec | raw runs (s) |
-|---|---|---|---|
-| local[{lo}]  (N)  | {results[lo]['sec']} | {results[lo]['urls_per_sec']:,} | {results[lo]['runs']} |
-| local[{hi}] (4N) | {results[hi]['sec']} | {results[hi]['urls_per_sec']:,} | {results[hi]['runs']} |
-
-**Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**
-
-## Comparison: flat parquet (shuffled anti-join)
+        eff_best = (min(all_runs[lo]["b"]) / min(all_runs[hi]["b"])) / 4.0
+        if flat_on:
+            eff_flat = (flat[hi]["urls_per_sec"] / flat[lo]["urls_per_sec"]) / 4.0
+            flat_md = f"""## Comparison: flat parquet (shuffled anti-join)
 
 | parallelism | wall median (s) | URLs/sec | raw runs (s) |
 |---|---|---|---|
@@ -534,7 +528,44 @@ grows with the seen set; the co-located bucketed join (Iceberg
 `bucket(url_hash, N)`) keeps the hot path exchange-free at any scale —
 which is why frontier/seen are specified hash-bucketed (SURVEY.md §1
 D1/D3).
+"""
+        else:
+            eff_flat = None
+            flat_md = (
+                "## Comparison: flat parquet — skipped this run "
+                "(SPARK_GRAFT_SCALING_FLAT=0); see BENCH/scaling_n4.json "
+                "for the measured flat-vs-bucketed comparison.\n"
+            )
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write(
+                f"""# BENCH — scaling evidence (north rule: efficiency >= 0.8 at N->4N)
 
+Same job, same input ({N_URLS:,} candidate URLs vs {N_SEEN:,}-row seen
+set, {N_HOSTS:,} power-law hosts, 10% re-discovered duplicates): the
+engine's scheduling+dedup hot path — seen anti-join + per-host budget
+window (WindowGroupLimit top-k pushdown) + canonical order + salted
+repartition. MEDIAN of 4 runs per level from 2 interleaved sessions
+(level order N,4N then 4N,N; each session warmed to its wall-time
+plateau first — up to 4 untimed runs until <10% improvement), same
+machine, same files — interleaving keeps page-cache/JIT drift off any
+single side of the ratio. All raw runs listed; the best-of-all-runs
+efficiency is reported next to the median so the spread is visible.
+
+## Headline: bucketed tables (≙ Iceberg `bucket(url_hash, {N_BUCKETS})` partitioning)
+
+frontier and seen are clustered+sorted by url_hash into {N_BUCKETS}
+buckets, so the anti-join is co-located sort-merge with NO exchange.
+
+| parallelism | wall median (s) | URLs scheduled+deduped / sec | raw runs (s) |
+|---|---|---|---|
+| local[{lo}]  (N)  | {results[lo]['sec']} | {results[lo]['urls_per_sec']:,} | {results[lo]['runs']} |
+| local[{hi}] (4N) | {results[hi]['sec']} | {results[hi]['urls_per_sec']:,} | {results[hi]['runs']} |
+
+**Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}
+(median); best-of-all-runs {eff_best:.3f}**
+
+{flat_md}
 ## Delta-state round commits (per-round IO is O(delta), not O(frontier))
 
 Soak run ({len(commit_bytes['per_round_frontier_commit_bytes'])} rounds, 50 hosts x 20k URLs, budget 4): frontier base
@@ -580,8 +611,9 @@ the true-dup + ~fpp false-positive slice, small enough to broadcast
                 {
                     "scaling_bucketed": results,
                     "efficiency": round(eff, 3),
+                    "efficiency_best": round(eff_best, 3),
                     "scaling_flat": flat,
-                    "efficiency_flat": round(eff_flat, 3),
+                    "efficiency_flat": round(eff_flat, 3) if eff_flat else None,
                     "commit_bytes": commit_bytes,
                 }
             )
