@@ -52,6 +52,7 @@ ENGINE_SCHEMAS = {
     "seen_cuckoo": CK.CUCKOO_SCHEMA,
     "documents": S.DOCUMENTS,
     "doc_signatures": S.DOC_SIGNATURES,  # incremental near-dup index (opt-in)
+    "edges": S.EDGES,  # crawl link graph (opt-in, record_edges=True)
     "records": S.RECORDS,
     "entity_seen": S.ENTITY_SEEN,
     "host_state": S.HOST_STATE,
@@ -78,6 +79,7 @@ SITE_TABLES = [
     "seen",
     "documents",
     "doc_signatures",
+    "edges",
     "records",
     "entity_seen",
     "embeddings",
@@ -188,6 +190,12 @@ class CrawlEngine:
         # (exactly-once by the seen anti-join; pinned in
         # test_dedup_index). near_dup_pairs() queries it.
         dedup_index: bool = False,
+        # crawl link graph: append per-round distinct (src_hash ->
+        # dst_hash) edges (edges table, O(|links|)/round) for
+        # link_stats()/pagerank() — crawl analytics over the REAL graph.
+        # `site` = source page's site, so C4 cascade deletes ride the
+        # generic SITE_TABLES path.
+        record_edges: bool = False,
         # pre-built TableIO overrides root/bucketed_io — the cluster entry
         # point: CrawlEngine(spark, "", io=IcebergTableIO(spark, "crawl",
         # schemas=ENGINE_SCHEMAS)) runs the identical round loop against
@@ -237,6 +245,7 @@ class CrawlEngine:
         self.upload_batch_size = upload_batch_size
         self.upload_post_ack = upload_post_ack
         self.dedup_index = dedup_index
+        self.record_edges = record_edges
 
     def _w(self, df: DataFrame) -> DataFrame:
         return df.coalesce(self.coalesce_writes) if self.coalesce_writes else df
@@ -469,13 +478,28 @@ class CrawlEngine:
                 )
 
         # --- link discovery (engine extension; scoped to known hosts) ------
+        edges = None
         if self.follow_links:
             hosts = world["robots"].select("host").distinct()
-            links = (
-                ok.select(F.explode("out_links").alias("url"), (F.col("depth") + 1).alias("depth"))
+            raw_links = (
+                ok.select(
+                    F.col("url_hash").alias("src_hash"),
+                    F.col("site").alias("src_site"),
+                    F.explode("out_links").alias("url"),
+                    (F.col("depth") + 1).alias("depth"),
+                )
                 .transform(lambda df: with_url_keys(df, mode=self.mode))
                 .join(F.broadcast(hosts), "host", "left_semi")
-                .groupBy("url_hash")
+            )
+            if self.record_edges:
+                edges = raw_links.select(
+                    "src_hash",
+                    F.col("url_hash").alias("dst_hash"),
+                    F.col("src_site").alias("site"),
+                    F.lit(rnd).alias("round"),
+                ).distinct()
+            links = (
+                raw_links.groupBy("url_hash")
                 .agg(
                     # ONE struct-min: site/host must come from the same
                     # (depth, url)-minimal twin, not independent column mins
@@ -583,6 +607,8 @@ class CrawlEngine:
             from crawler_spark.operators.textdedup import document_signatures
 
             appends["doc_signatures"] = document_signatures(docs)
+        if edges is not None:
+            appends["edges"] = edges
         overwrites: dict[str, DataFrame] = {}
         if self.use_bloom:
             # OR the new seen keys into the bucket filters (no rebuild);
@@ -1001,6 +1027,28 @@ class CrawlEngine:
             )
         raise ValueError(f"unknown near-dup method: {method!r}")
 
+    def link_edges(self) -> DataFrame:
+        """The crawl's link graph (record_edges=True): distinct
+        (src_hash, dst_hash, site, round) rows, O(|links|) appended per
+        round alongside the frontier links."""
+        return self.io.read(self.spark, "edges")
+
+    def link_stats(self) -> DataFrame:
+        """(node, out_deg, in_deg) over the crawled link graph — the
+        OPIC-ish in-degree signal for crawl prioritization."""
+        from crawler_spark.operators.graph import link_graph_stats
+
+        return link_graph_stats(self.link_edges(), "src_hash", "dst_hash")
+
+    def pagerank(self, iters: int = 5, **kwargs) -> DataFrame:
+        """Integer-arithmetic PageRank over the crawled link graph
+        (partitioning-invariant scores; see operators/graph.py)."""
+        from crawler_spark.operators.graph import pagerank
+
+        return pagerank(
+            self.link_edges(), iters=iters, src_col="src_hash", dst_col="dst_hash", **kwargs
+        )
+
     def maintain(self, max_paths: int = 32) -> None:
         """Snapshot maintenance (Iceberg rewrite_data_files analog):
         compact append tables whose delta-path lists grew past
@@ -1014,6 +1062,7 @@ class CrawlEngine:
             "seen",
             "documents",
             "doc_signatures",
+            "edges",
             "records",
             "entity_seen",
             "fetch_log",

@@ -120,6 +120,19 @@ FRONTIER = T.StructType(
     ]
 )
 
+# crawl link graph (opt-in, CrawlEngine(record_edges=True)): one row per
+# distinct (src_page -> dst_page) link discovered this round, scoped to
+# known hosts like the frontier links. `site` is the SOURCE page's site
+# (cascade-delete key). Feeds graph.link_graph_stats / graph.pagerank.
+EDGES = T.StructType(
+    [
+        T.StructField("src_hash", T.StringType(), False),
+        T.StructField("dst_hash", T.StringType(), False),
+        T.StructField("site", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
 # append-only frontier state transitions (delta-state commits): a base
 # frontier row's effective state = latest delta by (round, prio), falling
 # back to the state it was inserted with. Rewriting the whole frontier per
