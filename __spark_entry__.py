@@ -917,22 +917,14 @@ def _link_edges(spark, sf_dir):
     each doc links to 3 md5-derived targets (mod n_docs; doc_ids are
     contiguous 0..n-1 in the test data), self-loops dropped, distinct.
     Both engines derive the SAME edge list from md5 parity."""
+    from crawler_spark.functions.text import md5_bucket
+
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     cnt = docs.agg(F.count("*").alias("n"))
     tgt = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.col("doc_id").cast("string"), F.col("j").cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long"),
+        md5_bucket(
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.col("j").cast("string"))
+        ),
         F.col("n"),
     )
     return (

@@ -451,7 +451,7 @@ def scaling():
         # runs are written to BENCH/BASELINE.md.
         lo, hi = SCALE_N, SCALE_N * 4
         all_runs: dict = {lo: {"b": [], "f": []}, hi: {"b": [], "f": []}}
-        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2")))
         flat_on = os.environ.get("SPARK_GRAFT_SCALING_FLAT", "1") != "0"
         for rep in range(reps):
             for cpus in (lo, hi) if rep % 2 == 0 else (hi, lo):

@@ -245,6 +245,12 @@ class CrawlEngine:
         self.upload_batch_size = upload_batch_size
         self.upload_post_ack = upload_post_ack
         self.dedup_index = dedup_index
+        if record_edges and not follow_links:
+            raise ValueError(
+                "record_edges=True requires follow_links=True — edges are "
+                "discovered by the link-follow pass; with it off the edges "
+                "table would silently stay empty"
+            )
         self.record_edges = record_edges
 
     def _w(self, df: DataFrame) -> DataFrame:
@@ -492,6 +498,11 @@ class CrawlEngine:
                 .join(F.broadcast(hosts), "host", "left_semi")
             )
             if self.record_edges:
+                # cache the exploded+keyed frame: it is consumed twice
+                # (edges append at commit + links aggregate below) and
+                # recomputing it would redo the canonicalize/hash pass
+                raw_links = raw_links.cache()
+                persists.append(raw_links)
                 edges = raw_links.select(
                     "src_hash",
                     F.col("url_hash").alias("dst_hash"),

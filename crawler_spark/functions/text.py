@@ -152,6 +152,15 @@ def curate_corpus(
     )
 
 
+def md5_bucket(c: Column) -> Column:
+    """Deterministic 32-bit hash bucket: first 8 hex chars of md5 as a
+    long. The ONE canonical spelling of the engine/oracle hash-parity
+    idiom — the DuckDB twin is
+    `('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8))::UBIGINT`; both
+    sides must use exactly 8 hex chars or the oracles break."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+
 def stratified_sample(
     docs: DataFrame,
     quotas: dict[str, int],
@@ -179,10 +188,7 @@ def stratified_sample(
         pairs += [F.lit(kq), F.lit(int(quotas[kq]))]
     qmap = F.create_map(*pairs)
     max_q = max(quotas.values()) if quotas else 0
-    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
-    w = Window.partitionBy(strata_col).orderBy(bucket, F.col(id_col))
+    w = Window.partitionBy(strata_col).orderBy(md5_bucket(F.col(id_col)), F.col(id_col))
     return (
         docs.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= F.lit(max_q))  # constant -> WindowGroupLimit

@@ -89,3 +89,12 @@ def test_edges_survive_resume(spark):
     n = eng.link_edges().count()
     eng2 = CrawlEngine(spark, tmp, embed_dim=0, record_edges=True)
     assert eng2.link_edges().count() == n
+
+
+def test_record_edges_requires_follow_links(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="follow_links"):
+        CrawlEngine(
+            spark, tempfile.mkdtemp(), record_edges=True, follow_links=False
+        )
