@@ -205,13 +205,28 @@ def simhash_near_dup_pairs(
     (bit_count), not per-character compares.
 
     signatures=: pass a precomputed simhash() table (cached/parquet) to
-    skip the token pipeline; the default recomputes from docs."""
+    skip the token pipeline; the default recomputes from docs.
+
+    Plan shape: the bit-string signature is packed ONCE per doc into
+    <=32-bit words (longs) before the block explode, so the self-join
+    payload is doc_id + a tiny long array, not 64-char strings; the
+    Hamming filter (XOR + bit_count per word) runs BEFORE the distinct,
+    so the dedup shuffle sees only the surviving near-dup pairs instead
+    of every block-bucket candidate (candidates outnumber survivors by
+    ~100x at sf0.1 — the distinct was the dominant exchange)."""
     assert max_hamming < n_blocks, "pigeonhole guarantee needs max_hamming < n_blocks"
     w = bits // n_blocks
     sig = signatures if signatures is not None else simhash(docs, text_col, bits)
+    word_spans = [(i * 32 + 1, min(32, bits - i * 32)) for i in range((bits + 31) // 32)]
+    sig_words = F.array(
+        *[
+            F.conv(F.substring("simhash", pos, n), 2, 10).cast("long")
+            for pos, n in word_spans
+        ]
+    )
     blocks = sig.select(
         "doc_id",
-        "simhash",
+        sig_words.alias("sw"),
         F.explode(
             F.array(
                 *[
@@ -223,31 +238,23 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.block_idx", "b.block_val")
+    ).select("doc_id", "sw", "b.block_idx", "b.block_val")
     a, b = blocks.alias("a"), blocks.alias("b")
-    pairs = (
+    ham = None
+    for i in range(len(word_spans)):
+        term = F.bit_count(F.col("a.sw")[i].bitwiseXOR(F.col("b.sw")[i]))
+        ham = term if ham is None else ham + term
+    return (
         a.join(b, ["block_idx", "block_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            "hamming",
         )
         .distinct()  # a pair may share up to n_blocks equal blocks
-    )
-    halves = [(i * 32 + 1) for i in range(bits // 32)] + ([] if bits % 32 == 0 else [bits - bits % 32 + 1])
-    ham = None
-    for pos in halves:
-        n = min(32, bits - pos + 1)
-        x = F.conv(F.col("sig_a").substr(pos, n), 2, 10).cast("long")
-        y = F.conv(F.col("sig_b").substr(pos, n), 2, 10).cast("long")
-        term = F.bit_count(x.bitwiseXOR(y))
-        ham = term if ham is None else ham + term
-    return (
-        pairs.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 
