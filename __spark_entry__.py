@@ -1487,6 +1487,61 @@ _Q_CANONICAL_CORPUS_SQL = f"""
 """
 
 
+def q_score_schedule(spark, sf_dir):
+    """Score-priority scheduling (O-SCHED1 'score' mode, the OPIC /
+    PageRank-prioritized frontier): within each host, highest pr_score
+    first, url tiebreak — through the REAL scheduler.schedule() path
+    (WindowGroupLimit budget + canonical seq), not an inline rebuild.
+    pr_score is derived deterministically from event_id (a Knuth
+    multiplicative hash mod 1000) so DuckDB computes the same scores.
+    salt/round are engine-side (xxhash64) and excluded from the compare.
+    """
+    from crawler_spark.operators.scheduler import schedule
+
+    fr = _frontier_view(spark, sf_dir).select(
+        "event_id",
+        "host",
+        "url",
+        F.substring("host", 1, 4).alias("site"),
+        F.lit(2).alias("crawl_budget"),
+        F.pmod(F.col("event_id").cast("long") * F.lit(2654435761), F.lit(1000)).alias(
+            "pr_score"
+        ),
+    )
+    out = schedule(
+        fr, round_no=1, seq_base=0, max_budget=2, priority="score",
+        expected_rows=100,
+    )
+    return out.select(
+        "seq",
+        F.col("rank_in_host").cast("long").alias("rank_in_host"),
+        "host",
+        "url",
+        F.col("pr_score").cast("long").alias("pr_score"),
+    )
+
+
+_Q_SCORE_SCHEDULE_SQL = f"""
+    WITH frontier AS ({_FRONTIER_SQL}),
+    scored AS (
+        SELECT *, substr(host, 1, 4) AS site,
+               (event_id::BIGINT * 2654435761) % 1000 AS pr_score
+        FROM frontier
+    ),
+    lim AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY host ORDER BY pr_score DESC, url
+        ) AS rank_in_host
+        FROM scored QUALIFY rank_in_host <= 2
+    )
+    SELECT row_number() OVER (
+               ORDER BY rank_in_host, site, pr_score DESC, url
+           ) AS seq,
+           rank_in_host, host, url, pr_score
+    FROM lim
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1500,6 +1555,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_schedule_round": q_frontier_schedule_round,
+        "score_schedule": q_score_schedule,
         "seen_antijoin": q_seen_antijoin,
         "host_budget_window": q_host_budget_window,
         "tombstone_except": q_tombstone_except,
@@ -1554,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "frontier_schedule_round": _Q_FRONTIER_SCHEDULE_SQL,
+        "score_schedule": _Q_SCORE_SCHEDULE_SQL,
         "seen_antijoin": _Q_SEEN_ANTIJOIN_SQL,
         "host_budget_window": _Q_HOST_BUDGET_SQL,
         "tombstone_except": _Q_TOMBSTONE_SQL,

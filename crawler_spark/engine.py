@@ -367,6 +367,9 @@ class CrawlEngine:
         else:
             deduped = D.exact_anti_join(cand, seen)
 
+        if self.priority == "score":
+            deduped = self._join_priority_scores(deduped)
+
         seq_base = int(io.rows_meta("seq_total", 0))
         max_budget = getattr(self, "_max_budget", None)
         if max_budget is None:
@@ -1037,6 +1040,45 @@ class CrawlEngine:
                 signatures=sigs.filter(F.col("simhash").isNotNull()), **kwargs
             )
         raise ValueError(f"unknown near-dup method: {method!r}")
+
+    # ---------------------------------------------------- score priority
+    def set_priority_scores(
+        self, scores: DataFrame, id_col: str = "node", score_col: str | None = None
+    ) -> None:
+        """Install the per-URL score table for priority='score' (OPIC /
+        PageRank-style frontier prioritization): within each host, the
+        highest-scored unseen URLs are crawled first (url tiebreak).
+
+        `scores` is (id_col=url_hash, score_col) — typically the output
+        of `engine.pagerank()` from a previous crawl's recorded link
+        graph (the classic crawl-then-recrawl-by-importance loop).
+        Unscored URLs rank as 0. score_col=None picks the single
+        non-id column (pagerank's score_eN).
+
+        Scale note: candidates join scores on url_hash once per round —
+        an O(|candidates|+|scores|) exchange. At 10^10 URLs store the
+        score table bucketed by url_hash into the engine's layout so
+        the join co-locates (same bucket function as seen), or pass a
+        host-level score table joined on host via broadcast.
+        """
+        if score_col is None:
+            extras = [c for c in scores.columns if c != id_col]
+            assert len(extras) == 1, f"ambiguous score column among {extras}"
+            score_col = extras[0]
+        self._priority_scores = scores.select(
+            F.col(id_col).alias("url_hash"),
+            F.col(score_col).cast("long").alias("pr_score"),
+        )
+
+    def _join_priority_scores(self, deduped: DataFrame) -> DataFrame:
+        scores = getattr(self, "_priority_scores", None)
+        if scores is None:
+            raise ValueError(
+                "priority='score' requires set_priority_scores(...) before run"
+            )
+        return deduped.join(scores, "url_hash", "left").withColumn(
+            "pr_score", F.coalesce("pr_score", F.lit(0).cast("long"))
+        )
 
     def link_edges(self) -> DataFrame:
         """The crawl's link graph (record_edges=True): distinct

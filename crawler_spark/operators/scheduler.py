@@ -128,6 +128,11 @@ PRIORITY_ORDERS = {
     "depth": lambda: [F.asc("depth"), F.asc("discovered_round"), F.asc("url")],
     # freshness recrawl flavor: most recently discovered first
     "recency": lambda: [F.desc("discovered_round"), F.asc("depth"), F.asc("url")],
+    # external-score mode (OPIC/PageRank-style): highest pr_score first,
+    # url tiebreak for determinism. The caller supplies pr_score — the
+    # engine joins it from set_priority_scores (e.g. engine.pagerank()
+    # over the recorded link graph) before scheduling.
+    "score": lambda: [F.desc("pr_score"), F.asc("url")],
 }
 
 

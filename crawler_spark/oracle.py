@@ -54,6 +54,7 @@ class Oracle:
         mode: str = "reference",
         follow_links: bool = True,
         priority: str = "fifo",
+        scores: dict[str, int] | None = None,
     ):
         self.world = world
         self.mode = mode
@@ -61,6 +62,9 @@ class Oracle:
         # python twin of scheduler.PRIORITY_ORDERS: the within-host order
         # AND the canonical cross-host tiebreak (rank, site, *order)
         self.priority = priority
+        # priority='score' twin: url_hash -> integer score (the engine's
+        # set_priority_scores table collected); unscored urls rank 0
+        self.scores = scores or {}
         self.web = world.web_by_url()
         self.robots = {
             r.host: r for r in world.robots.itertuples(index=False)
@@ -83,6 +87,8 @@ class Oracle:
             return (row["depth"], row["disc"], row["url"])
         if self.priority == "recency":
             return (-row["disc"], row["depth"], row["url"])
+        if self.priority == "score":
+            return (-self.scores.get(self.url_hash(row["url"]), 0), row["url"])
         raise ValueError(f"unknown priority: {self.priority}")
 
     # --- discovery (mirrors operators.discovery.discover_frontier) --------

@@ -98,3 +98,78 @@ def test_record_edges_requires_follow_links(spark):
         CrawlEngine(
             spark, tempfile.mkdtemp(), record_edges=True, follow_links=False
         )
+
+
+def test_score_priority_recrawl_orders_by_pagerank(spark):
+    """The crawl-then-recrawl-by-importance loop: crawl once recording
+    the link graph, compute integer PageRank, recrawl a fresh root with
+    priority='score' — within every (round, host) the fetch order must
+    follow (pr_score DESC, url), unscored URLs last, and the final seen
+    set must equal the fifo crawl's (priority changes order, not
+    coverage, once the frontier drains)."""
+    tmp1 = tempfile.mkdtemp(prefix="linkgraph-")
+    eng, t = _crawl(spark, tmp1)
+    scores = eng.pagerank(iters=4)
+
+    tmp2 = tempfile.mkdtemp(prefix="linkgraph-")
+    world = make_world(seed=11, n_hosts=3, n_urls=24, budget=3, burst=False)
+    t2 = world.to_spark(spark)
+    eng2 = CrawlEngine(spark, tmp2, embed_dim=0, priority="score")
+    eng2.set_priority_scores(scores)
+    eng2.seed(discover_frontier(t2["seeds"], t2["robots"], t2["sitemaps"]))
+    eng2._control_rows = t2["control"].collect()
+    eng2.run(t2, max_rounds=12)
+    # drain both fully: different priorities discover links at different
+    # rounds, so equal coverage is only guaranteed at the fixpoint.
+    # max_rounds is an ABSOLUTE round cap — use the same cap as the
+    # oracle below, since intrinsically-429 pages retry until the cap.
+    eng.run(t, max_rounds=42)
+    eng2.run(t2, max_rounds=42)
+
+    seen1 = {r.url_hash for r in eng.io.read(spark, "seen").select("url_hash").collect()}
+    seen2 = {r.url_hash for r in eng2.io.read(spark, "seen").select("url_hash").collect()}
+    assert seen1 == seen2
+
+    pr = {r.node: r.score_e12 for r in scores.collect()}
+    fr = eng2.io.read(spark, "frontier").select("url", "url_hash", "host").distinct()
+    rows = (
+        eng2.io.read(spark, "crawl_order")
+        .join(fr, "url")
+        .select("round", "host", "seq", "url", "url_hash")
+        .collect()
+    )
+    assert rows
+    groups = {}
+    for r in rows:
+        groups.setdefault((r.round, r.host), []).append(r)
+    multi = 0
+    for (_, _), grp in groups.items():
+        grp.sort(key=lambda r: r.seq)
+        want = sorted(grp, key=lambda r: (-pr.get(r.url_hash, 0), r.url))
+        assert [r.url for r in grp] == [r.url for r in want]
+        multi += len(grp) > 1
+    assert multi > 0  # the assertion actually exercised ordering
+
+    # full crawl-order equality vs the python oracle twin of the score
+    # priority (same scores dict, same world)
+    from crawler_spark.oracle import Oracle
+
+    ora = Oracle(world, priority="score", scores=pr).run(max_rounds=42)
+    got = [
+        (r.round, r.seq, r.site, r.url, r.status)
+        for r in eng2.io.read(spark, "crawl_order").orderBy("seq").collect()
+    ]
+    assert got == ora.crawl_order
+    assert seen2 == set(ora.seen.keys())
+
+
+def test_score_priority_without_scores_raises(spark):
+    import pytest as _pytest
+
+    world = make_world(seed=11, n_hosts=2, n_urls=8, budget=2, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(spark, tempfile.mkdtemp(), embed_dim=0, priority="score")
+    eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+    eng._control_rows = t["control"].collect()
+    with _pytest.raises(ValueError, match="set_priority_scores"):
+        eng.run(t, max_rounds=1)
