@@ -1060,14 +1060,33 @@ class CrawlEngine:
         score table bucketed by url_hash into the engine's layout so
         the join co-locates (same bucket function as seen), or pass a
         host-level score table joined on host via broadcast.
+
+        Integral scores keep LONG (engine.pagerank's exact integer
+        units); fractional inputs keep DOUBLE — a cast to long would
+        silently floor a conventional float-PageRank table to all-0s
+        and degrade the mode to plain url order. Duplicate url_hash
+        rows collapse to their max score at install time: a duplicated
+        key would otherwise FAN OUT the candidate row in the per-round
+        left join and double-schedule the URL.
         """
         if score_col is None:
             extras = [c for c in scores.columns if c != id_col]
-            assert len(extras) == 1, f"ambiguous score column among {extras}"
+            if len(extras) != 1:
+                raise ValueError(f"ambiguous score column among {extras}")
             score_col = extras[0]
-        self._priority_scores = scores.select(
-            F.col(id_col).alias("url_hash"),
-            F.col(score_col).cast("long").alias("pr_score"),
+        dtype = dict(scores.dtypes).get(score_col, "")
+        num_t = (
+            "double"
+            if dtype in ("float", "double") or dtype.startswith("decimal")
+            else "long"
+        )
+        self._priority_scores = (
+            scores.select(
+                F.col(id_col).alias("url_hash"),
+                F.col(score_col).cast(num_t).alias("pr_score"),
+            )
+            .groupBy("url_hash")
+            .agg(F.max("pr_score").alias("pr_score"))
         )
 
     def _join_priority_scores(self, deduped: DataFrame) -> DataFrame:

@@ -173,3 +173,32 @@ def test_score_priority_without_scores_raises(spark):
     eng._control_rows = t["control"].collect()
     with _pytest.raises(ValueError, match="set_priority_scores"):
         eng.run(t, max_rounds=1)
+
+
+def test_set_priority_scores_robustness(spark):
+    """Install-time hygiene: duplicate url_hash rows collapse (a dup key
+    would fan out the candidate join and double-schedule the URL),
+    fractional scores keep their value as DOUBLE (a long cast would
+    floor float-PageRank tables to all-0s), and an ambiguous
+    multi-column table raises ValueError even under python -O."""
+    import pytest as _pytest
+
+    eng = CrawlEngine(spark, tempfile.mkdtemp(), embed_dim=0, priority="score")
+
+    dup = spark.createDataFrame(
+        [("h1", 5), ("h1", 9), ("h2", 3)], ["node", "score"]
+    )
+    eng.set_priority_scores(dup)
+    rows = {r.url_hash: r.pr_score for r in eng._priority_scores.collect()}
+    assert rows == {"h1": 9, "h2": 3}
+    assert dict(eng._priority_scores.dtypes)["pr_score"] == "bigint"
+
+    flt = spark.createDataFrame([("h1", 0.25), ("h2", 0.75)], ["node", "score"])
+    eng.set_priority_scores(flt)
+    rows = {r.url_hash: r.pr_score for r in eng._priority_scores.collect()}
+    assert rows == {"h1": 0.25, "h2": 0.75}
+    assert dict(eng._priority_scores.dtypes)["pr_score"] == "double"
+
+    ambig = spark.createDataFrame([("h1", 1, 2)], ["node", "score", "rank"])
+    with _pytest.raises(ValueError, match="ambiguous"):
+        eng.set_priority_scores(ambig)
