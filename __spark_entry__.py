@@ -1487,6 +1487,67 @@ _Q_CANONICAL_CORPUS_SQL = f"""
 """
 
 
+def q_repetition_profile(spark, sf_dir):
+    """Gopher/MassiveText within-document repetition gates: per-doc
+    duplicate word-n-gram fractions + top-bigram fraction. The Spark
+    side is pure per-row array expressions (zero exchanges); the oracle
+    computes the same counts relationally (unnest + groupBy) — value
+    equality certifies the array formulation."""
+    from crawler_spark.functions.text import repetition_profile
+
+    return repetition_profile(_docs_wide(spark, sf_dir))
+
+
+_Q_REPETITION_SQL = r"""
+    WITH words AS (
+        SELECT doc_id,
+               [x for x in string_split_regex(trim(lower(text)), '\s+')
+                if x <> ''] AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(w) AS n_words,
+            CASE WHEN len(w) >= 2 THEN
+                [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]
+            ELSE []::VARCHAR[] END AS g2,
+            CASE WHEN len(w) >= 3 THEN
+                [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w)-2)]
+            ELSE []::VARCHAR[] END AS g3,
+            CASE WHEN len(w) >= 4 THEN
+                [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 for i in generate_series(1, len(w)-3)]
+            ELSE []::VARCHAR[] END AS g4
+        FROM words
+    ),
+    top2 AS (
+        SELECT doc_id, max(c) AS m FROM (
+            SELECT doc_id, gram, count(*) AS c
+            FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+            GROUP BY doc_id, gram
+        ) GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+        CAST(n_words AS BIGINT) AS n_words,
+        CASE WHEN len(g2) > 0
+             THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                  / CAST(len(g2) AS DOUBLE)
+             ELSE 0.0 END AS dup_2gram_frac,
+        CASE WHEN len(g3) > 0
+             THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                  / CAST(len(g3) AS DOUBLE)
+             ELSE 0.0 END AS dup_3gram_frac,
+        CASE WHEN len(g4) > 0
+             THEN CAST(len(g4) - len(list_distinct(g4)) AS DOUBLE)
+                  / CAST(len(g4) AS DOUBLE)
+             ELSE 0.0 END AS dup_4gram_frac,
+        CASE WHEN len(g2) > 0
+             THEN CAST(coalesce(t.m, 0) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+             ELSE 0.0 END AS top_2gram_frac
+    FROM g LEFT JOIN top2 t USING (doc_id)
+"""
+
+
 def q_score_schedule(spark, sf_dir):
     """Score-priority scheduling (O-SCHED1 'score' mode, the OPIC /
     PageRank-prioritized frontier): within each host, highest pr_score
@@ -1582,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": q_lsh_buckets,
         "ann_topk": q_ann_topk,
         "text_profile": q_text_profile,
+        "repetition_profile": q_repetition_profile,
         "corpus_curation": q_corpus_curation,
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
@@ -1637,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_buckets": _Q_LSH_BUCKETS_SQL,
         "ann_topk": _Q_ANN_TOPK_SQL,
         "text_profile": _Q_TEXT_PROFILE_SQL,
+        "repetition_profile": _Q_REPETITION_SQL,
         "corpus_curation": _Q_CORPUS_CURATION_SQL,
         "line_dedup": _Q_LINE_DEDUP_SQL,
         "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,

@@ -238,3 +238,86 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         predict_lang(c).alias("pred_lang"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Word n-grams of a (non-empty-token) word array as 'w1 w2 ...'
+    strings; empty array when the doc has fewer than n words."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_multiplicity(grams: Column) -> Column:
+    """Occurrences of the most frequent element — computed per row as
+    the longest equal-run of the SORTED array (one array_sort + one
+    aggregate scan; no explode, no shuffle). Empty array -> 0."""
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition metrics — the Gopher/MassiveText
+    repetition gates (Rae et al. 2021, public): heavily self-repeating
+    docs (boilerplate loops, keyword stuffing, templated spam) are the
+    curation signal quality/lang scoring misses.
+
+    Per doc: n_words, dup_{2,3,4}gram_frac (fraction of word n-grams
+    that are repeats of an earlier one: 1 - distinct/total; Gopher
+    gates on the character-weighted variant — documented deviation),
+    and top_2gram_frac (occurrences of the most frequent bigram over
+    all bigrams; Gopher's 'top n-gram fraction').
+
+    Scale shape: every metric is a per-row array expression (split ->
+    transform -> array_distinct / sorted-run-scan) — ZERO exchanges,
+    fuses into the scan projection, embarrassingly parallel at 100 TB.
+    Fractions are single divisions of exact integers, so the doubles
+    are bit-identical in any engine (the DuckDB oracle twin computes
+    the same counts relationally via unnest + groupBy).
+    """
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    out = [F.size(words).cast("long").alias("n_words")]
+    for n in (2, 3, 4):
+        g = _word_ngrams(words, n)
+        total = F.size(g)
+        dup = (total - F.size(F.array_distinct(g))).cast("double")
+        out.append(
+            F.when(total > 0, dup / total.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_{n}gram_frac")
+        )
+    g2 = _word_ngrams(words, 2)
+    t2 = F.size(g2)
+    out.append(
+        F.when(t2 > 0, _max_multiplicity(g2).cast("double") / t2.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_frac")
+    )
+    return docs.select("doc_id", *out)

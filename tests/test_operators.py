@@ -848,3 +848,46 @@ def test_pagerank_is_partitioning_invariant(spark):
     ra = {(r.node, r.score_e12) for r in pagerank(a, iters=8).collect()}
     rb = {(r.node, r.score_e12) for r in pagerank(b, iters=8).collect()}
     assert ra == rb
+
+
+def test_repetition_profile_matches_reference(spark):
+    """Per-row array formulation == pure-python Gopher-style counts,
+    incl. the sorted-run max-multiplicity trick and the short/empty-doc
+    guards."""
+    from collections import Counter
+
+    from crawler_spark.functions.text import repetition_profile
+
+    rows = [
+        (0, "a b a b a b"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "x"),
+        (3, ""),
+        (4, "w w w w"),
+        (5, "  spaced   out\ttokens  "),
+        (6, "repeat me repeat me repeat me repeat me"),
+    ]
+
+    def ref(t):
+        ws = [w for w in t.strip().lower().split() if w]
+        out = {"n_words": len(ws)}
+        for n in (2, 3, 4):
+            g = (
+                [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+                if len(ws) >= n
+                else []
+            )
+            out[f"dup_{n}gram_frac"] = (len(g) - len(set(g))) / len(g) if g else 0.0
+        g2 = (
+            [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+            if len(ws) >= 2
+            else []
+        )
+        out["top_2gram_frac"] = max(Counter(g2).values()) / len(g2) if g2 else 0.0
+        return out
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.asDict() for r in repetition_profile(df).collect()}
+    for i, t in rows:
+        want = ref(t)
+        assert {k: got[i][k] for k in want} == want, (i, t)
