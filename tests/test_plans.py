@@ -140,3 +140,31 @@ def test_fetch_join_broadcasts_scheduled_side(spark):
     fetched = simulate_fetch(sched, t["web"], t["bursts"], 1)
     assert fetched.count() == 1
     assert fetched.first().status in (200, 404, 429, 0)
+
+
+def test_score_priority_keeps_window_group_limit(spark):
+    """The scale properties are priority-agnostic (scheduler docstring
+    claim): with priority='score' (desc sort key) the literal rank cap
+    must still trigger the per-partition WindowGroupLimit pushdown, and
+    the two-phase path must still avoid a single-partition exchange."""
+    import pyspark.sql.functions as FN
+
+    deduped = with_url_keys(
+        spark.createDataFrame(
+            [(f"https://h{i % 3}.com/p/{j}",) for i in range(3) for j in range(40)],
+            ["url"],
+        )
+    ).withColumn("crawl_budget", FN.lit(2)).withColumn(
+        "pr_score", FN.pmod(FN.xxhash64("url"), FN.lit(1000))
+    )
+    sched = schedule(deduped, 1, 0, max_budget=2, priority="score")
+    p = plan_of(sched)
+    assert "WindowGroupLimit" in p
+    # scale path: two-phase seq with a desc leading key
+    big = schedule(
+        deduped, 1, 0, max_budget=2, priority="score", expected_rows=2_000_000
+    )
+    assert "Exchange SinglePartition" not in plan_of(big)
+    a = [(r.host, r.url, r.seq) for r in sched.orderBy("seq").collect()]
+    b = [(r.host, r.url, r.seq) for r in big.orderBy("seq").collect()]
+    assert a == b  # both paths produce identical seq under score order
