@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "lsh_buckets",
     "text_profile",
+    "repetition_profile",
 ]
 
 
