@@ -1548,6 +1548,241 @@ _Q_REPETITION_SQL = r"""
 """
 
 
+def _docs_pii_augmented(spark, sf_dir):
+    """documents with deterministic synthetic PII planted from doc_id
+    (the synthetic corpus has none) — CASE-mirrored in _PII_AUG_SQL so
+    both engines scan byte-identical text."""
+    d = _docs_wide(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-6789 tel +14155550"),
+                    (100 + F.col("doc_id") % 900).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" card 4111-1111-1111-1111 desk 415-555-0"),
+                    (100 + F.col("doc_id") % 900).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_profile(spark, sf_dir):
+    """PII scan (emails / IPs / phones / SSNs / card numbers): per-doc
+    per-category counts — pure JVM regexp_count expressions, zero
+    exchanges; regexes written to the Java-regex ∩ RE2 common subset so
+    the DuckDB twin counts identically."""
+    from crawler_spark.functions.pii import pii_profile
+
+    return pii_profile(_docs_pii_augmented(spark, sf_dir))
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrub: typed-placeholder redaction via a fixed
+    regexp_replace chain; byte-identical output certified against the
+    same chain in DuckDB ('g' flag)."""
+    from crawler_spark.functions.pii import redact_pii
+
+    return redact_pii(_docs_pii_augmented(spark, sf_dir))
+
+
+def _pii_sql() -> tuple[str, str]:
+    """Build the two PII oracle twins from PII_PATTERNS (one source of
+    truth for the regexes across engine and oracle)."""
+    from crawler_spark.functions.pii import PII_PATTERNS
+
+    aug = """
+        SELECT doc_id, text
+            || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                 || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.'
+                 || CAST(doc_id % 200 AS VARCHAR) || '.7' ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789 tel +14155550'
+                 || CAST(100 + doc_id % 900 AS VARCHAR) ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                 THEN ' card 4111-1111-1111-1111 desk 415-555-0'
+                 || CAST(100 + doc_id % 900 AS VARCHAR) ELSE '' END
+            AS text
+        FROM documents
+    """
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    profile = f"""
+        WITH aug AS ({aug}),
+        c AS (SELECT doc_id, {counts} FROM aug)
+        SELECT doc_id, {", ".join("n_" + n for n in PII_PATTERNS)},
+               {total} AS n_pii_total, ({total}) > 0 AS has_pii
+        FROM c
+    """
+    chain = "text"
+    for name, pat in PII_PATTERNS.items():
+        chain = f"regexp_replace({chain}, '{pat}', '<PII:{name.upper()}>', 'g')"
+    redact = f"""
+        WITH aug AS ({aug})
+        SELECT doc_id, {chain} AS text_redacted, {total} AS n_redactions
+        FROM (SELECT doc_id, text, {counts} FROM aug)
+    """
+    return profile, redact
+
+
+_Q_PII_PROFILE_SQL, _Q_REDACT_PII_SQL = _pii_sql()
+
+
+def q_gopher_gates(spark, sf_dir):
+    """Full Gopher/MassiveText quality gate (word bounds, mean word
+    length, symbol/bullet/ellipsis ratios, alpha-word fraction,
+    stopword presence + combined verdict). Text is augmented with
+    deterministic bullet lines and ellipsis endings (the synthetic
+    corpus is single-line) — CASE/replace-mirrored in the oracle."""
+    from crawler_spark.functions.text import gopher_gates
+
+    d = _docs_wide(spark, sf_dir)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), " slow ", "\n- slow "),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("\nread more...")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_gates(aug)
+
+
+_Q_GOPHER_SQL = r"""
+    WITH aug AS (
+        SELECT doc_id,
+            regexp_replace(text, ' slow ', chr(10) || '- slow ', 'g')
+            || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'read more...'
+                    ELSE '' END AS text
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, text,
+            [x for x in string_split_regex(trim(text), '\s+')
+             if x <> ''] AS w,
+            string_split(text, chr(10)) AS lines
+        FROM aug
+    ),
+    m AS (
+        SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS n_words,
+            CASE WHEN len(w) > 0 THEN
+                CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                / CAST(len(w) AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+            CASE WHEN len(w) > 0 THEN
+                CAST(len(regexp_extract_all(text, '#'))
+                     + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+                / CAST(len(w) AS DOUBLE) ELSE 0.0 END AS symbol_word_ratio,
+            CAST(len(list_filter(lines, x ->
+                substr(ltrim(x), 1, 1) = '-' OR substr(ltrim(x), 1, 1) = '*'
+                OR substr(ltrim(x), 1, 1) = '•')) AS DOUBLE)
+            / CAST(len(lines) AS DOUBLE) AS bullet_line_frac,
+            CAST(len(list_filter(lines, x ->
+                ends_with(rtrim(x), '...'))) AS DOUBLE)
+            / CAST(len(lines) AS DOUBLE) AS ellipsis_line_frac,
+            CASE WHEN len(w) > 0 THEN
+                CAST(len(list_filter(w, x ->
+                    regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                / CAST(len(w) AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
+            CAST(len(regexp_extract_all(lower(text),
+                '\b(the|a|of|and|to|in)\b')) AS BIGINT) AS stopword_hits
+        FROM base
+    )
+    SELECT doc_id, n_words,
+        round(mean_word_len, 6) AS mean_word_len,
+        round(symbol_word_ratio, 6) AS symbol_word_ratio,
+        round(bullet_line_frac, 6) AS bullet_line_frac,
+        round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+        round(alpha_word_frac, 6) AS alpha_word_frac,
+        stopword_hits,
+        (n_words >= 50 AND n_words <= 100000
+         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         AND symbol_word_ratio <= 0.1
+         AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+         AND alpha_word_frac >= 0.8 AND stopword_hits >= 2) AS passes
+    FROM m
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination scan (8-gram overlap, the public GPT-3 /
+    Lee et al. decontamination recipe). The eval set is synthesized as
+    15-word snippets quoted from every 20th document (simulated
+    benchmark leakage), so the source docs — and their planted
+    near-dups — are genuinely contaminated. The eval gram set
+    BROADCASTS; the corpus never self-joins."""
+    from crawler_spark.operators.textdedup import contamination_check
+
+    d = _docs_wide(spark, sf_dir)
+    eval_docs = d.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 10, 15),
+            " ",
+        ).alias("text"),
+    )
+    return contamination_check(d, eval_docs, n=8)
+
+
+_Q_CONTAMINATION_SQL = (
+    r"""
+    WITH words AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    eval_docs AS (
+        SELECT doc_id, array_to_string(w[10:24], ' ') AS text
+        FROM words WHERE doc_id % 20 = 0
+    ),
+    ew AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM eval_docs
+        WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 8
+    ),
+    eg AS (SELECT DISTINCT unnest(list_distinct([__G8__
+                for i in generate_series(1, len(w) - 7)])) AS tok FROM ew),
+    dg AS (SELECT doc_id, unnest(list_distinct([__G8__
+                for i in generate_series(1, len(w) - 7)])) AS tok
+           FROM words WHERE len(w) >= 8)
+    SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams,
+           count(*) >= 1 AS contaminated
+    FROM dg JOIN eg USING (tok) GROUP BY dg.doc_id
+"""
+).replace(
+    "__G8__",
+    " || ' ' || ".join("w[i]" if j == 0 else f"w[i+{j}]" for j in range(8)),
+)
+
+
 def q_score_schedule(spark, sf_dir):
     """Score-priority scheduling (O-SCHED1 'score' mode, the OPIC /
     PageRank-prioritized frontier): within each host, highest pr_score
@@ -1644,6 +1879,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "text_profile": q_text_profile,
         "repetition_profile": q_repetition_profile,
+        "pii_profile": q_pii_profile,
+        "redact_pii": q_redact_pii,
+        "gopher_gates": q_gopher_gates,
+        "contamination": q_contamination,
         "corpus_curation": q_corpus_curation,
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
@@ -1700,6 +1939,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _Q_ANN_TOPK_SQL,
         "text_profile": _Q_TEXT_PROFILE_SQL,
         "repetition_profile": _Q_REPETITION_SQL,
+        "pii_profile": _Q_PII_PROFILE_SQL,
+        "redact_pii": _Q_REDACT_PII_SQL,
+        "gopher_gates": _Q_GOPHER_SQL,
+        "contamination": _Q_CONTAMINATION_SQL,
         "corpus_curation": _Q_CORPUS_CURATION_SQL,
         "line_dedup": _Q_LINE_DEDUP_SQL,
         "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,

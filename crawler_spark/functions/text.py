@@ -281,6 +281,92 @@ def _max_multiplicity(grams: Column) -> Column:
     )
 
 
+def gopher_gates(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The full Gopher/MassiveText document-quality gate (Rae et al.
+    2021, public): word-count bounds, mean word length, symbol-to-word
+    ratio ('#' and '...'), bullet/ellipsis line fractions, alphabetic
+    word fraction, stopword presence — one row per doc with every
+    metric plus the combined `passes` verdict (repetition gates live in
+    repetition_profile; compose with it for the complete filter).
+
+    Scale shape: per-row array/regexp expressions only — ZERO
+    exchanges, fuses into the scan projection. Every double is a single
+    division of exact integers, so values are bit-identical across
+    engines and the boolean gate comparisons are hash-safe.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(F.trim(c), WS_RE), lambda x: x != "")
+    lines = F.split(c, "\n")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    total_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(
+        n_words > 0, total_word_chars.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit(r"\.\.\."))
+    ).cast("long")
+    symbol_word_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.substring(F.ltrim(ln), 1, 1).isin("-", "*", "•"),
+        )
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).endswith("..."))
+    ).cast("long")
+    bullet_frac = n_bullet.cast("double") / n_lines.cast("double")
+    ellipsis_frac = n_ellipsis.cast("double") / n_lines.cast("double")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    alpha_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.regexp_count(
+        F.lower(c), F.lit(r"\b(" + "|".join(EN_STOPWORDS) + r")\b")
+    ).cast("long")
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_word_ratio <= max_symbol_word_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stopword_hits)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_word_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        passes.alias("passes"),
+    )
+
+
 def repetition_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Within-document repetition metrics — the Gopher/MassiveText
     repetition gates (Rae et al. 2021, public): heavily self-repeating

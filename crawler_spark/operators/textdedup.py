@@ -499,3 +499,38 @@ def line_dedup(
             "n_lines",
         )
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination scan: flag training documents that share
+    word n-grams with an evaluation/benchmark set (the public GPT-3 /
+    Lee et al. decontamination recipe — 8-gram overlap by default).
+
+    Returns (doc_id, n_shared_ngrams, contaminated) for every corpus
+    doc with at least one shared n-gram; n_shared_ngrams counts
+    DISTINCT shared grams (shingles() already dedups per doc).
+
+    Scale shape: benchmarks are tiny next to a 100 TB corpus, so the
+    eval side's distinct gram set BROADCASTS; the corpus side explodes
+    its grams map-side and hash-joins against the broadcast with no
+    corpus shuffle — the only exchange is the final per-doc count agg
+    (keyed by doc_id, pre-aggregated map-side). Never joins corpus
+    against corpus.
+    """
+    eval_grams = shingles(eval_docs, text_col, n).select("tok").distinct()
+    hits = shingles(docs, text_col, n).join(F.broadcast(eval_grams), "tok")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .select(
+            "doc_id",
+            "n_shared_ngrams",
+            (F.col("n_shared_ngrams") >= min_overlap).alias("contaminated"),
+        )
+    )

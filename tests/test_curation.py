@@ -1,0 +1,126 @@
+"""Unit tests for the round-3 curation additions: PII scan/redaction,
+the full Gopher quality gate, and benchmark-contamination checking —
+hand-computed expectations on crafted micro-corpora (the sf-scale
+oracle equality lives in test_entry_oracle.py)."""
+
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.pii import pii_profile, redact_pii
+from crawler_spark.functions.text import gopher_gates
+from crawler_spark.operators.textdedup import contamination_check
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# --- PII ---------------------------------------------------------------
+
+
+def test_pii_profile_counts_each_category(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "mail a.b+c@ex-ample.org and x@y.io end"),
+            (2, "server 192.168.0.1 backs up 10.0.0.255"),
+            (3, "call +14155550123 or 415-555-0123"),
+            (4, "ssn 123-45-6789 card 4111-1111-1111-1111"),
+            (5, "nothing personal here"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in pii_profile(d).collect()}
+    assert (got[1]["n_email"], got[1]["n_pii_total"]) == (2, 2)
+    assert (got[2]["n_ipv4"], got[2]["n_pii_total"]) == (2, 2)
+    assert (got[3]["n_phone"], got[3]["n_pii_total"]) == (2, 2)
+    assert (got[4]["n_ssn"], got[4]["n_credit_card"]) == (1, 1)
+    assert got[4]["n_pii_total"] == 2
+    assert got[5]["n_pii_total"] == 0 and not got[5]["has_pii"]
+    assert got[1]["has_pii"]
+
+
+def test_redact_pii_scrubs_every_span(spark):
+    d = _docs(
+        spark,
+        [(1, "write bob@x.com from 1.2.3.4 re 123-45-6789 at +4915112345678")],
+    )
+    row = redact_pii(d).collect()[0]
+    assert row["text_redacted"] == (
+        "write <PII:EMAIL> from <PII:IPV4> re <PII:SSN> at <PII:PHONE>"
+    )
+    assert row["n_redactions"] == 4
+
+
+def test_redact_pii_email_wins_before_numeric_patterns(spark):
+    # digits+dots inside an email must be swallowed by the email rule,
+    # not partially rewritten by the ipv4 one
+    d = _docs(spark, [(1, "ping 1.2.3.4@mail.example.com ok")])
+    row = redact_pii(d).collect()[0]
+    assert row["text_redacted"] == "ping <PII:EMAIL> ok"
+
+
+# --- Gopher gate -------------------------------------------------------
+
+
+def test_gopher_gates_metrics_and_verdict(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over a lazy dog of note and to win in style"]
+        * 5
+    )  # 16 words x 5 = 80, all alpha, plenty of stopwords
+    bullets = "- one\n- two\n- three\nplain"
+    d = _docs(spark, [(1, good), (2, bullets), (3, "x " * 10 + "...")])
+    got = {r["doc_id"]: r for r in gopher_gates(d).collect()}
+    g = got[1]
+    assert g["n_words"] == 80 and g["alpha_word_frac"] == 1.0
+    assert 3.0 <= g["mean_word_len"] <= 10.0
+    assert g["passes"]
+    b = got[2]
+    assert b["bullet_line_frac"] == 0.75 and not b["passes"]  # too few words
+    e = got[3]
+    # one line ending in '...', one '...' symbol over 11 words
+    assert e["ellipsis_line_frac"] == 1.0
+    assert not e["passes"]  # short + symbol-heavy + too few stopwords
+
+
+def test_gopher_gates_blank_text_is_safe(spark):
+    got = gopher_gates(_docs(spark, [(1, ""), (2, "   ")])).collect()
+    for r in got:
+        assert r["n_words"] == 0 and not r["passes"]
+        assert r["mean_word_len"] == 0.0 and r["alpha_word_frac"] == 0.0
+
+
+# --- contamination -----------------------------------------------------
+
+
+def test_contamination_flags_docs_sharing_eval_ngrams(spark):
+    base = "w%d " * 0  # noqa: F841  (readability anchor)
+    doc_a = " ".join(f"a{i}" for i in range(20))
+    doc_b = " ".join(f"b{i}" for i in range(20))
+    # doc_c quotes 10 consecutive words of doc_a -> 3 shared 8-grams
+    doc_c = "intro " + " ".join(f"a{i}" for i in range(5, 15)) + " outro"
+    corpus = _docs(spark, [(1, doc_a), (2, doc_b), (3, doc_c)])
+    eval_docs = _docs(spark, [(100, doc_a)])
+    got = {r["doc_id"]: r for r in contamination_check(corpus, eval_docs, n=8).collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["n_shared_ngrams"] == 13  # 20-word doc: all 13 8-grams
+    assert got[3]["n_shared_ngrams"] == 3  # 10-word quote: 3 8-grams
+    assert got[1]["contaminated"] and got[3]["contaminated"]
+
+
+def test_contamination_threshold_controls_verdict(spark):
+    doc_a = " ".join(f"a{i}" for i in range(20))
+    doc_c = "intro " + " ".join(f"a{i}" for i in range(5, 15)) + " outro"
+    corpus = _docs(spark, [(1, doc_a), (3, doc_c)])
+    eval_docs = _docs(spark, [(100, doc_a)])
+    got = {
+        r["doc_id"]: r
+        for r in contamination_check(corpus, eval_docs, n=8, min_overlap=5).collect()
+    }
+    assert got[1]["contaminated"] and not got[3]["contaminated"]
+
+
+def test_contamination_plan_broadcasts_eval_side(spark):
+    doc_a = " ".join(f"a{i}" for i in range(20))
+    corpus = _docs(spark, [(1, doc_a)])
+    eval_docs = _docs(spark, [(100, doc_a)])
+    plan = contamination_check(corpus, eval_docs, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
