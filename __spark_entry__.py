@@ -1732,6 +1732,40 @@ _Q_GOPHER_SQL = r"""
 """
 
 
+def q_classifier_score(spark, sf_dir):
+    """fastText-style linear quality classifier (hashing trick): exact
+    integer logits from md5-derived token weights — the execution shape
+    of the CCNet/GPT-3 wiki-vs-random filter with a deterministic
+    stand-in weight function (a trained model broadcasts instead).
+    Pure per-row array aggregate, zero exchanges."""
+    from crawler_spark.functions.text import classifier_score
+
+    return classifier_score(_docs_wide(spark, sf_dir))
+
+
+_Q_CLASSIFIER_SQL = r"""
+    WITH base AS (
+        SELECT doc_id,
+            [x for x in string_split_regex(trim(lower(text)), '\s+')
+             if x <> ''] AS w
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+            CAST(coalesce(list_sum(list_transform(w, x ->
+                CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % 2001
+                     AS BIGINT) - 1000)), 0) AS BIGINT) AS logit
+        FROM base
+    )
+    SELECT doc_id, n_tokens, logit,
+        CASE WHEN n_tokens > 0
+             THEN CAST(logit AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             ELSE 0.0 END AS mean_weight,
+        logit > 0 AS label
+    FROM m
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-contamination scan (8-gram overlap, the public GPT-3 /
     Lee et al. decontamination recipe). The eval set is synthesized as
@@ -1883,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "gopher_gates": q_gopher_gates,
         "contamination": q_contamination,
+        "classifier_score": q_classifier_score,
         "corpus_curation": q_corpus_curation,
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
@@ -1943,6 +1978,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _Q_REDACT_PII_SQL,
         "gopher_gates": _Q_GOPHER_SQL,
         "contamination": _Q_CONTAMINATION_SQL,
+        "classifier_score": _Q_CLASSIFIER_SQL,
         "corpus_curation": _Q_CORPUS_CURATION_SQL,
         "line_dedup": _Q_LINE_DEDUP_SQL,
         "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,

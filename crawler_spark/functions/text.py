@@ -281,6 +281,83 @@ def _max_multiplicity(grams: Column) -> Column:
     )
 
 
+def classifier_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    weights: DataFrame | None = None,
+    n_weight_levels: int = 2001,
+) -> DataFrame:
+    """fastText-style linear document-quality classifier via the
+    hashing trick (the public CCNet / GPT-3 'wiki-vs-random' filter
+    shape): per-token weight lookup -> per-doc logit sum -> verdict.
+
+    With ``weights=None`` the weight of a token is derived from its
+    md5 hash, mapped to the symmetric integer range
+    [-(n_weight_levels//2), +n_weight_levels//2] — a deterministic
+    stand-in with the exact execution shape of a trained model, and
+    (being integer arithmetic) hash-certifiable against the DuckDB
+    oracle. A real trained model drops in as a ``weights`` DataFrame
+    (tok, weight) — benchmarked vocabularies are tiny next to a 100 TB
+    corpus, so it BROADCASTS and the corpus still never shuffles; the
+    only exchange on that path is the per-doc sum re-aggregation.
+
+    Output: (doc_id, n_tokens, logit, mean_weight, label) where logit
+    is the exact integer weight sum over ALL tokens (bag-of-words with
+    multiplicity), mean_weight = logit / n_tokens (single division of
+    exact integers -> bit-identical double), label = logit > 0.
+
+    Scale shape (hash path): per-row array aggregate only — ZERO
+    exchanges, fuses into the scan projection.
+    """
+    half = n_weight_levels // 2
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), WS_RE), lambda x: x != ""
+    )
+    if weights is None:
+        logit = F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + (md5_bucket(w) % n_weight_levels - half),
+        )
+        base = docs.select(
+            "doc_id",
+            F.size(words).cast("long").alias("n_tokens"),
+            logit.alias("logit"),
+        )
+    else:
+        toks = docs.select("doc_id", F.explode(words).alias("tok"))
+        base = (
+            toks.join(F.broadcast(weights), "tok", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_tokens"),
+                F.sum(F.coalesce("weight", F.lit(0))).cast("long").alias("logit"),
+            )
+        )
+        # docs with zero tokens never reach the explode; restore them
+        base = (
+            docs.select("doc_id", F.size(words).cast("long").alias("nt"))
+            .join(base, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+                F.coalesce("logit", F.lit(0)).cast("long").alias("logit"),
+            )
+        )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "logit",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("logit").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_weight"),
+        (F.col("logit") > 0).alias("label"),
+    )
+
+
 def gopher_gates(
     docs: DataFrame,
     text_col: str = "text",

@@ -124,3 +124,43 @@ def test_contamination_plan_broadcasts_eval_side(spark):
     eval_docs = _docs(spark, [(100, doc_a)])
     plan = contamination_check(corpus, eval_docs, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --- classifier --------------------------------------------------------
+
+
+def test_classifier_hash_and_broadcast_paths_agree(spark):
+    from crawler_spark.functions.text import classifier_score, md5_bucket
+
+    d = _docs(
+        spark,
+        [(1, "alpha beta alpha gamma"), (2, "delta"), (3, ""), (4, "beta beta")],
+    )
+    hash_path = {r["doc_id"]: r for r in classifier_score(d).collect()}
+    # materialize the same weights as an explicit broadcast table
+    vocab = spark.createDataFrame(
+        [(t,) for t in ["alpha", "beta", "gamma", "delta"]], ["tok"]
+    ).select("tok", (md5_bucket(F.col("tok")) % 2001 - 1000).alias("weight"))
+    bcast_path = {
+        r["doc_id"]: r for r in classifier_score(d, weights=vocab).collect()
+    }
+    assert set(hash_path) == set(bcast_path) == {1, 2, 3, 4}
+    for k in hash_path:
+        assert hash_path[k]["logit"] == bcast_path[k]["logit"]
+        assert hash_path[k]["n_tokens"] == bcast_path[k]["n_tokens"]
+        assert hash_path[k]["label"] == bcast_path[k]["label"]
+    # multiplicity: doc 1 counts 'alpha' twice
+    a = hash_path[1]
+    assert a["n_tokens"] == 4
+    # zero-token doc survives with neutral score
+    z = hash_path[3]
+    assert (z["n_tokens"], z["logit"], z["mean_weight"], z["label"]) == (0, 0, 0.0, False)
+
+
+def test_classifier_unknown_tokens_get_zero_weight_on_broadcast_path(spark):
+    from crawler_spark.functions.text import classifier_score
+
+    d = _docs(spark, [(1, "known unknown")])
+    vocab = spark.createDataFrame([("known", 7)], ["tok", "weight"])
+    row = classifier_score(d, weights=vocab).collect()[0]
+    assert (row["n_tokens"], row["logit"], row["label"]) == (2, 7, True)
