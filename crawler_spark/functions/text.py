@@ -325,23 +325,18 @@ def classifier_score(
             logit.alias("logit"),
         )
     else:
-        toks = docs.select("doc_id", F.explode(words).alias("tok"))
+        # explode_outer keeps zero-token docs as a single null-tok row
+        # (null never matches the vocab -> weight 0, count(tok) -> 0),
+        # so the whole path is ONE corpus pass: scan -> explode ->
+        # broadcast join -> per-doc agg. No second scan, no
+        # corpus-side sort-merge join.
+        toks = docs.select("doc_id", F.explode_outer(words).alias("tok"))
         base = (
             toks.join(F.broadcast(weights), "tok", "left")
             .groupBy("doc_id")
             .agg(
-                F.count("*").alias("n_tokens"),
+                F.count("tok").alias("n_tokens"),
                 F.sum(F.coalesce("weight", F.lit(0))).cast("long").alias("logit"),
-            )
-        )
-        # docs with zero tokens never reach the explode; restore them
-        base = (
-            docs.select("doc_id", F.size(words).cast("long").alias("nt"))
-            .join(base, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-                F.coalesce("logit", F.lit(0)).cast("long").alias("logit"),
             )
         )
     return base.select(

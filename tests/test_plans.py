@@ -168,3 +168,40 @@ def test_score_priority_keeps_window_group_limit(spark):
     a = [(r.host, r.url, r.seq) for r in sched.orderBy("seq").collect()]
     b = [(r.host, r.url, r.seq) for r in big.orderBy("seq").collect()]
     assert a == b  # both paths produce identical seq under score order
+
+
+def test_curation_profiles_are_exchange_free_scan_projections(spark):
+    """pii_profile / gopher_gates / classifier_score / repetition_profile
+    claim zero-exchange per-row execution — at 100 TB these must fuse
+    into the scan projection with no shuffle and no Python stage."""
+    from crawler_spark.functions.pii import pii_profile, redact_pii
+    from crawler_spark.functions.text import (
+        classifier_score,
+        gopher_gates,
+        repetition_profile,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for op in (pii_profile, redact_pii, gopher_gates, classifier_score,
+               repetition_profile):
+        p = plan_of(op(docs))
+        assert "Exchange" not in p, f"{op.__name__} shuffles:\n{p}"
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, (
+            f"{op.__name__} runs Python:\n{p}"
+        )
+        # column pruning: only doc_id + text reach the scan
+        rs = p.split("ReadSchema:")[1].splitlines()[0]
+        assert "text" in rs and "lang" not in rs and "source" not in rs
+
+
+def test_classifier_broadcast_path_never_shuffles_corpus(spark):
+    """The trained-weights path must broadcast the vocabulary: the only
+    exchange allowed is the per-doc sum re-aggregation (keyed hash
+    exchange), never a SortMergeJoin of the corpus."""
+    from crawler_spark.functions.text import classifier_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = spark.createDataFrame([("the", 5), ("a", -3)], ["tok", "weight"])
+    p = plan_of(classifier_score(docs, weights=vocab))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
