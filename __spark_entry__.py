@@ -1732,6 +1732,115 @@ _Q_GOPHER_SQL = r"""
 """
 
 
+def _redact_chain_sql(col: str) -> str:
+    """DuckDB redaction chain for a text column (PII_PATTERNS order —
+    shared with the engine so both sides rewrite identically)."""
+    from crawler_spark.functions.pii import PII_PATTERNS
+
+    chain = col
+    for name, pat in PII_PATTERNS.items():
+        chain = f"regexp_replace({chain}, '{pat}', '<PII:{name.upper()}>', 'g')"
+    return chain
+
+
+_SQL_HASH_WEIGHT = (
+    "CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % 2001 AS BIGINT) - 1000"
+)
+
+
+def q_bernoulli_sample(spark, sf_dir):
+    """Deterministic per-stratum Bernoulli rate sampling (temperature
+    mixing): keep iff md5_bucket(doc_id) %% 1e6 < rate*1e6 — a pure
+    per-row filter, zero exchanges; 'es' deliberately absent from the
+    rates (absent strata drop)."""
+    from crawler_spark.functions.text import bernoulli_sample
+
+    return bernoulli_sample(
+        _docs_wide(spark, sf_dir),
+        rates={"en": 0.5, "de": 0.3, "zh": 0.1, "fr": 0.05},
+    )
+
+
+_Q_BERNOULLI_SQL = """
+    SELECT doc_id, lang AS stratum FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          % 1000000
+        < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 300000
+                    WHEN 'zh' THEN 100000 WHEN 'fr' THEN 50000
+                    ELSE 0 END
+"""
+
+
+def q_full_curation(spark, sf_dir):
+    """Flagship end-to-end curation in ONE plan: PII redaction ->
+    word-count + repetition (dup-bigram) + classifier + language gates
+    -> exact-dup collapse -> per-language corpus stats. All metrics
+    computed over the redacted text in a single scan projection; only
+    two exchanges (fingerprint, pred_lang), both post-gate. Exact
+    integer aggregates -> hash-certifiable."""
+    from crawler_spark.functions.text import full_curation
+
+    return full_curation(_docs_wide(spark, sf_dir))
+
+
+_Q_FULL_CURATION_SQL = f"""
+    WITH red AS (
+        SELECT doc_id, {_redact_chain_sql("text")} AS text FROM documents
+    ),
+    base AS (
+        SELECT doc_id, text,
+            [x for x in string_split_regex(trim(lower(text)), '\\s+')
+             if x <> ''] AS w,
+            {_LANG_SCORE_SQL['de']} AS s_de, {_LANG_SCORE_SQL['en']} AS s_en,
+            {_LANG_SCORE_SQL['es']} AS s_es, {_LANG_SCORE_SQL['fr']} AS s_fr
+        FROM red
+    ),
+    m AS (
+        SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS n_words,
+            CASE WHEN len(w) >= 2 THEN
+                [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]
+            ELSE []::VARCHAR[] END AS g2,
+            CAST(coalesce(list_sum(list_transform(w, x ->
+                {_SQL_HASH_WEIGHT})), 0) AS BIGINT) AS logit,
+            CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                 WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                 WHEN s_es >= s_fr THEN 'es'
+                 ELSE 'fr' END AS pred_lang,
+            md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+        FROM base
+    ),
+    kept AS (
+        SELECT doc_id, n_words, logit, pred_lang, fingerprint,
+            CASE WHEN len(g2) > 0
+                 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                      / CAST(len(g2) AS DOUBLE)
+                 ELSE 0.0 END AS dup_2gram_frac
+        FROM m
+        WHERE n_words >= 30 AND logit > 0 AND pred_lang <> 'und'
+          AND (CASE WHEN len(g2) > 0
+                    THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                         / CAST(len(g2) AS DOUBLE)
+                    ELSE 0.0 END) <= 0.3
+    ),
+    canon AS (
+        SELECT * FROM (
+            SELECT *,
+                row_number() OVER (PARTITION BY fingerprint
+                                   ORDER BY doc_id) AS rn,
+                count(*) OVER (PARTITION BY fingerprint) AS n_copies
+            FROM kept) WHERE rn = 1
+    )
+    SELECT pred_lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_copies) AS BIGINT) AS n_kept_total,
+        CAST(sum(n_words) AS BIGINT) AS total_words,
+        CAST(sum(logit) AS BIGINT) AS total_logit
+    FROM canon GROUP BY pred_lang
+"""
+
+
 def q_classifier_score(spark, sf_dir):
     """fastText-style linear quality classifier (hashing trick): exact
     integer logits from md5-derived token weights — the execution shape
@@ -1918,6 +2027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_gates": q_gopher_gates,
         "contamination": q_contamination,
         "classifier_score": q_classifier_score,
+        "bernoulli_sample": q_bernoulli_sample,
+        "full_curation": q_full_curation,
         "corpus_curation": q_corpus_curation,
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
@@ -1979,6 +2090,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_gates": _Q_GOPHER_SQL,
         "contamination": _Q_CONTAMINATION_SQL,
         "classifier_score": _Q_CLASSIFIER_SQL,
+        "bernoulli_sample": _Q_BERNOULLI_SQL,
+        "full_curation": _Q_FULL_CURATION_SQL,
         "corpus_curation": _Q_CORPUS_CURATION_SQL,
         "line_dedup": _Q_LINE_DEDUP_SQL,
         "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,

@@ -63,6 +63,14 @@ def pii_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def redact_expr(c: Column) -> Column:
+    """The redaction chain as a reusable column expression (each PII
+    match replaced by its typed placeholder, PII_PATTERNS order)."""
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<PII:{name.upper()}>")
+    return c
+
+
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Replace every PII match with a typed placeholder token.
 
@@ -74,9 +82,7 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     once per category — the scrub itself only rewrites each span once,
     in chain order).
     """
-    redacted = F.col(text_col)
-    for name, pat in PII_PATTERNS.items():
-        redacted = F.regexp_replace(redacted, pat, f"<PII:{name.upper()}>")
+    redacted = redact_expr(F.col(text_col))
     counts = pii_counts(F.col(text_col))
     total = None
     for col in counts.values():

@@ -152,6 +152,81 @@ def curate_corpus(
     )
 
 
+def full_curation(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 30,
+    max_dup_2gram: float = 0.3,
+    min_logit: int = 1,
+) -> DataFrame:
+    """Flagship end-to-end curation: the complete modern pre-training
+    prep path composed in ONE declarative plan —
+
+        PII redaction -> word-count gate -> repetition gate (Gopher
+        dup-bigram fraction) -> linear-classifier gate -> language-ID
+        -> exact-dup collapse -> per-language corpus stats.
+
+    Every per-doc metric is computed over the REDACTED text in a single
+    scan projection (the building blocks are column expressions, not
+    chained DataFrames, so nothing is joined back together); gates
+    apply map-side before either shuffle. The whole pipeline is
+    scan -> filter -> exchange(fingerprint) -> exchange(pred_lang) —
+    two exchanges at 100 TB, both over heavily reduced data. All
+    aggregates are exact integers (counts, word totals, logit sums), so
+    the result is hash-certifiable in any engine at any parallelism.
+    """
+    from crawler_spark.functions.pii import redact_expr
+
+    red = redact_expr(F.col(text_col))
+    words = F.filter(F.split(F.trim(F.lower(red)), WS_RE), lambda x: x != "")
+    g2 = _word_ngrams(words, 2)
+    t2 = F.size(g2)
+    dup2 = (
+        F.when(
+            t2 > 0,
+            (t2 - F.size(F.array_distinct(g2))).cast("double")
+            / t2.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    prof = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        dup2.alias("dup_2gram_frac"),
+        hash_logit(words).alias("logit"),
+        predict_lang(red).alias("pred_lang"),
+        fingerprint(red).alias("fingerprint"),
+    )
+    kept = prof.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("dup_2gram_frac") <= max_dup_2gram)
+        & (F.col("logit") >= min_logit)
+        & (F.col("pred_lang") != "und")
+    )
+    canon = (
+        kept.groupBy("fingerprint")
+        .agg(
+            F.min(
+                F.struct("doc_id", "n_words", "logit", "pred_lang")
+            ).alias("s"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.n_words").alias("n_words"),
+            F.col("s.logit").alias("logit"),
+            F.col("s.pred_lang").alias("pred_lang"),
+            "n_copies",
+        )
+    )
+    return canon.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_copies").alias("n_kept_total"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("logit").alias("total_logit"),
+    )
+
+
 def md5_bucket(c: Column) -> Column:
     """Deterministic 32-bit hash bucket: first 8 hex chars of md5 as a
     long. The ONE canonical spelling of the engine/oracle hash-parity
@@ -194,6 +269,36 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= F.lit(max_q))  # constant -> WindowGroupLimit
         .filter(F.col("sample_rank") <= F.coalesce(qmap[F.col(strata_col)], F.lit(0)))
         .select(F.col(id_col), F.col(strata_col).alias("stratum"), "sample_rank")
+    )
+
+
+def bernoulli_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli rate sampling — the
+    temperature-mixing companion to stratified_sample's quotas: keep a
+    document iff md5_bucket(id) % precision < round(rate * precision)
+    for its stratum's rate. Uniform-random in effect, but the SAME
+    sample in every engine and on every run (no rand()), so downstream
+    corpora are reproducible. Strata absent from `rates` drop.
+
+    Scale shape: a pure per-row filter — zero exchanges, pushes into
+    the scan, trivially parallel at any size (quota sampling needs a
+    window; rate sampling needs nothing).
+    """
+    pairs: list = []
+    for k in sorted(rates):
+        pairs += [F.lit(k), F.lit(int(round(rates[k] * precision)))]
+    thresholds = F.create_map(*pairs) if pairs else F.create_map()
+    keep = md5_bucket(F.col(id_col)) % precision < F.coalesce(
+        thresholds[F.col(strata_col)], F.lit(0)
+    )
+    return docs.filter(keep).select(
+        F.col(id_col), F.col(strata_col).alias("stratum")
     )
 
 
@@ -281,6 +386,18 @@ def _max_multiplicity(grams: Column) -> Column:
     )
 
 
+def hash_logit(words: Column, n_weight_levels: int = 2001) -> Column:
+    """Exact-integer linear-classifier logit over a word array: each
+    token's weight derives from its md5 hash, mapped to the symmetric
+    range [-(n//2), +n//2]. Per-row aggregate — no explode, no shuffle."""
+    half = n_weight_levels // 2
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + (md5_bucket(w) % n_weight_levels - half),
+    )
+
+
 def classifier_score(
     docs: DataFrame,
     text_col: str = "text",
@@ -309,16 +426,11 @@ def classifier_score(
     Scale shape (hash path): per-row array aggregate only — ZERO
     exchanges, fuses into the scan projection.
     """
-    half = n_weight_levels // 2
     words = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), WS_RE), lambda x: x != ""
     )
     if weights is None:
-        logit = F.aggregate(
-            words,
-            F.lit(0).cast("long"),
-            lambda acc, w: acc + (md5_bucket(w) % n_weight_levels - half),
-        )
+        logit = hash_logit(words, n_weight_levels)
         base = docs.select(
             "doc_id",
             F.size(words).cast("long").alias("n_tokens"),

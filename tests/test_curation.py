@@ -164,3 +164,65 @@ def test_classifier_unknown_tokens_get_zero_weight_on_broadcast_path(spark):
     vocab = spark.createDataFrame([("known", 7)], ["tok", "weight"])
     row = classifier_score(d, weights=vocab).collect()[0]
     assert (row["n_tokens"], row["logit"], row["label"]) == (2, 7, True)
+
+
+# --- sampling + full pipeline ------------------------------------------
+
+
+def test_bernoulli_sample_is_deterministic_and_rate_shaped(spark):
+    from crawler_spark.functions.text import bernoulli_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+        ["doc_id", "lang"],
+    )
+    a = sorted(r["doc_id"] for r in bernoulli_sample(docs, {"en": 0.5}).collect())
+    b = sorted(r["doc_id"] for r in bernoulli_sample(docs, {"en": 0.5}).collect())
+    assert a == b  # same sample every run
+    assert all(i % 2 == 0 for i in a)  # absent stratum ('de') drops
+    assert 60 <= len(a) <= 140  # ~50% of 200, hash-uniform
+    # rate monotonicity: a higher rate keeps a superset
+    big = set(r["doc_id"] for r in bernoulli_sample(docs, {"en": 0.9}).collect())
+    assert set(a) <= big
+
+
+def test_full_curation_plan_has_exactly_two_exchanges(spark):
+    from crawler_spark.functions.text import full_curation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = full_curation(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_full_curation_collapses_planted_duplicates(spark):
+    from crawler_spark.functions.text import full_curation
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs off to the "
+        "hills in a hurry to find the rest of the pack and the den "
+    ) * 2  # >30 words, english-marked, low dup-bigram? (x2 repeats!)
+    # craft a corpus: one good doc twice (exact dup), one distinct good doc
+    good = (
+        "the quick brown fox jumps over a lazy dog of note and to win in "
+        "style while the rest of the pack waits and the den stays warm in "
+        "the hills to the north and the east of the old river and the lake"
+    )
+    other = (
+        "a small table of data and the rows of the scan go to the sink in "
+        "order while the query plans of the engine keep the cost low and "
+        "the output of the join stays exact to the last row of the batch"
+    )
+    docs = spark.createDataFrame(
+        [(1, good), (2, good), (3, other)], ["doc_id", "text"]
+    )
+    # min_logit neutralized: hash-derived weights make hand-crafting
+    # positive-logit text a lottery; the gate itself is oracle-covered
+    out = {
+        r["pred_lang"]: r
+        for r in full_curation(docs, min_logit=-(10**9)).collect()
+    }
+    assert set(out) == {"en"}
+    en = out["en"]
+    # 2 canonical docs survive; the dup pair collapsed but counted
+    assert en["n_docs"] == 2 and en["n_kept_total"] == 3
