@@ -783,26 +783,32 @@ class CrawlEngine:
         return drain_pending_ingest(self.spark, self.io, self.coalesce_writes)
 
     # ---------------------------------------------------- lifecycle (C1-C5)
-    def _control_df(self, site: str, paused: bool | None = None, deleted: bool | None = None) -> DataFrame:
-        """Updated lifecycle-flags table for one site's change (tiny
-        table; collect+rewrite). Returned, not committed — callers fold
-        it into the same atomic commit as any cascade."""
+    def _control_df(
+        self,
+        site: str | list[str],
+        paused: bool | None = None,
+        deleted: bool | None = None,
+    ) -> DataFrame:
+        """Updated lifecycle-flags table for one or many sites' change
+        (tiny table; collect+rewrite). Returned, not committed — callers
+        fold it into the same atomic commit as any cascade."""
         rows = {
             r.site: [r.paused, r.deleted]
             for r in self.io.read(self.spark, "engine_control").collect()
         }
-        cur = rows.get(site, [False, False])
-        if paused is not None:
-            cur[0] = paused
-        if deleted is not None:
-            cur[1] = deleted
-        rows[site] = cur
+        for s in [site] if isinstance(site, str) else site:
+            cur = rows.get(s, [False, False])
+            if paused is not None:
+                cur[0] = paused
+            if deleted is not None:
+                cur[1] = deleted
+            rows[s] = cur
         return self.spark.createDataFrame(
             [(s, p, d) for s, (p, d) in sorted(rows.items())],
             ENGINE_SCHEMAS["engine_control"],
         )
 
-    def _write_control(self, site: str, paused: bool | None = None, deleted: bool | None = None):
+    def _write_control(self, site: str | list[str], paused: bool | None = None, deleted: bool | None = None):
         self.io.commit(
             self.io.last_round(),
             overwrites={"engine_control": self._w(self._control_df(site, paused, deleted))},
@@ -1120,6 +1126,73 @@ class CrawlEngine:
         return pagerank(
             self.link_edges(), iters=iters, src_col="src_hash", dst_col="dst_hash", **kwargs
         )
+
+    # ---------------------------------------------------- quality feedback
+    def doc_quality(self) -> DataFrame:
+        """Per-crawled-page curation metrics from the committed
+        documents table: (url_hash, site, n_words, logit) where logit
+        is the exact-integer linear-classifier score of the page's
+        visible text (text-kind spans, functions/text.py::hash_logit; a
+        trained model swaps in via classifier_score(weights=...)).
+
+        Feed straight into set_priority_scores for a quality-first
+        recrawl loop — the classifier analog of the PageRank loop:
+
+            q = eng.doc_quality().select("url_hash", "logit")
+            eng2 = CrawlEngine(..., priority="score")
+            eng2.set_priority_scores(q, id_col="url_hash", score_col="logit")
+
+        Scale shape: per-row expressions over the documents scan — zero
+        exchanges here; the consumer pays one agg or join.
+        """
+        from crawler_spark.functions.text import WS_RE, hash_logit
+        from crawler_spark.operators.textdedup import doc_text
+
+        words = F.filter(
+            F.split(F.trim(F.lower(doc_text())), WS_RE), lambda x: x != ""
+        )
+        return self.io.read(self.spark, "documents").select(
+            F.col("doc_id").alias("url_hash"),
+            "site",
+            F.size(words).cast("long").alias("n_words"),
+            hash_logit(words).alias("logit"),
+        )
+
+    def site_quality(self) -> DataFrame:
+        """Per-site quality aggregates (exact integers — deterministic
+        under any partitioning): the feedback signal for C4/Gopher-style
+        source-level curation of the crawl itself."""
+        return self.doc_quality().groupBy("site").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("logit").alias("total_logit"),
+            F.sum((F.col("logit") > 0).cast("long")).alias("n_pos_docs"),
+        )
+
+    def pause_low_quality_sites(self, min_mean_logit: float = 0.0) -> list[str]:
+        """Quality-driven source filtering wired into the control
+        plane: pause every site whose mean per-document logit is below
+        the threshold (paused sites stay pending and resume_site
+        reverses the decision — pausing, not deleting, is the
+        reference's own soft-block semantic, app.py:497-503).
+
+        One atomic control commit for the whole batch. Site count is a
+        dim (collect is fine); returns the paused sites sorted.
+        """
+        bad = sorted(
+            r["site"]
+            for r in self.site_quality()
+            .filter(
+                F.col("total_logit").cast("double")
+                / F.col("n_docs").cast("double")
+                < F.lit(float(min_mean_logit))
+            )
+            .select("site")
+            .collect()
+        )
+        if bad:
+            self._write_control(bad, paused=True)
+        return bad
 
     def maintain(self, max_paths: int = 32) -> None:
         """Snapshot maintenance (Iceberg rewrite_data_files analog):
