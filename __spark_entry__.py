@@ -1610,6 +1610,17 @@ def q_redact_pii(spark, sf_dir):
     return redact_pii(_docs_pii_augmented(spark, sf_dir))
 
 
+def _redact_chain_sql(col: str) -> str:
+    """DuckDB redaction chain for a text column (PII_PATTERNS order —
+    shared with the engine so both sides rewrite identically)."""
+    from crawler_spark.functions.pii import PII_PATTERNS
+
+    chain = col
+    for name, pat in PII_PATTERNS.items():
+        chain = f"regexp_replace({chain}, '{pat}', '<PII:{name.upper()}>', 'g')"
+    return chain
+
+
 def _pii_sql() -> tuple[str, str]:
     """Build the two PII oracle twins from PII_PATTERNS (one source of
     truth for the regexes across engine and oracle)."""
@@ -1641,9 +1652,7 @@ def _pii_sql() -> tuple[str, str]:
                {total} AS n_pii_total, ({total}) > 0 AS has_pii
         FROM c
     """
-    chain = "text"
-    for name, pat in PII_PATTERNS.items():
-        chain = f"regexp_replace({chain}, '{pat}', '<PII:{name.upper()}>', 'g')"
+    chain = _redact_chain_sql("text")
     redact = f"""
         WITH aug AS ({aug})
         SELECT doc_id, {chain} AS text_redacted, {total} AS n_redactions
@@ -1653,6 +1662,12 @@ def _pii_sql() -> tuple[str, str]:
 
 
 _Q_PII_PROFILE_SQL, _Q_REDACT_PII_SQL = _pii_sql()
+
+# the ONE spelling of the hash-derived classifier weight (DuckDB side of
+# functions/text.py::hash_logit) — shared by every classifier oracle
+_SQL_HASH_WEIGHT = (
+    "CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % 2001 AS BIGINT) - 1000"
+)
 
 
 def q_gopher_gates(spark, sf_dir):
@@ -1730,22 +1745,6 @@ _Q_GOPHER_SQL = r"""
          AND alpha_word_frac >= 0.8 AND stopword_hits >= 2) AS passes
     FROM m
 """
-
-
-def _redact_chain_sql(col: str) -> str:
-    """DuckDB redaction chain for a text column (PII_PATTERNS order —
-    shared with the engine so both sides rewrite identically)."""
-    from crawler_spark.functions.pii import PII_PATTERNS
-
-    chain = col
-    for name, pat in PII_PATTERNS.items():
-        chain = f"regexp_replace({chain}, '{pat}', '<PII:{name.upper()}>', 'g')"
-    return chain
-
-
-_SQL_HASH_WEIGHT = (
-    "CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % 2001 AS BIGINT) - 1000"
-)
 
 
 def q_bernoulli_sample(spark, sf_dir):
@@ -1852,18 +1851,18 @@ def q_classifier_score(spark, sf_dir):
     return classifier_score(_docs_wide(spark, sf_dir))
 
 
-_Q_CLASSIFIER_SQL = r"""
+_Q_CLASSIFIER_SQL = f"""
     WITH base AS (
         SELECT doc_id,
-            [x for x in string_split_regex(trim(lower(text)), '\s+')
+            [x for x in string_split_regex(trim(lower(coalesce(text, ''))),
+                                           '\\s+')
              if x <> ''] AS w
         FROM documents
     ),
     m AS (
         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
             CAST(coalesce(list_sum(list_transform(w, x ->
-                CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % 2001
-                     AS BIGINT) - 1000)), 0) AS BIGINT) AS logit
+                {_SQL_HASH_WEIGHT})), 0) AS BIGINT) AS logit
         FROM base
     )
     SELECT doc_id, n_tokens, logit,

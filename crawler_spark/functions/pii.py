@@ -45,6 +45,14 @@ def pii_counts(c: Column) -> dict[str, Column]:
     }
 
 
+def _total(counts: dict[str, Column]) -> Column:
+    """Sum of the per-category count columns."""
+    total = None
+    for col in counts.values():
+        total = col if total is None else total + col
+    return total
+
+
 def pii_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per doc: per-category PII counts + total + has_pii flag.
 
@@ -52,9 +60,7 @@ def pii_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     scan projection, embarrassingly parallel, no shuffle.
     """
     counts = pii_counts(F.col(text_col))
-    total = None
-    for col in counts.values():
-        total = col if total is None else total + col
+    total = _total(counts)
     return docs.select(
         "doc_id",
         *[col.alias(f"n_{name}") for name, col in counts.items()],
@@ -83,10 +89,7 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     in chain order).
     """
     redacted = redact_expr(F.col(text_col))
-    counts = pii_counts(F.col(text_col))
-    total = None
-    for col in counts.values():
-        total = col if total is None else total + col
+    total = _total(pii_counts(F.col(text_col)))
     return docs.select(
         "doc_id",
         redacted.alias("text_redacted"),

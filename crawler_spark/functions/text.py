@@ -100,6 +100,19 @@ def fingerprint(c: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(c), WS_RE, " "))
 
 
+def _collapse_exact_dups(kept: DataFrame, metric_cols: list[str]) -> DataFrame:
+    """Exact-dup collapse shared by the curation pipelines: keep the
+    min-(doc_id, *metrics) row per fingerprint plus the copy count
+    (one exchange; all group members carry identical text, so their
+    metrics agree and min-by-doc_id is a pure canonical-row choice)."""
+    cols = ["doc_id", *metric_cols]
+    return (
+        kept.groupBy("fingerprint")
+        .agg(F.min(F.struct(*cols)).alias("s"), F.count("*").alias("n_copies"))
+        .select(*[F.col(f"s.{c}").alias(c) for c in cols], "n_copies")
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -123,27 +136,7 @@ def curate_corpus(
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("pred_lang") != "und")
     )
-    canon = (
-        kept.groupBy("fingerprint")
-        .agg(
-            F.min(
-                F.struct(
-                    F.col("doc_id"),
-                    F.col("n_tokens"),
-                    F.col("quality"),
-                    F.col("pred_lang"),
-                )
-            ).alias("s"),
-            F.count("*").alias("n_copies"),
-        )
-        .select(
-            F.col("s.doc_id").alias("doc_id"),
-            F.col("s.n_tokens").alias("n_tokens"),
-            F.col("s.quality").alias("quality"),
-            F.col("s.pred_lang").alias("pred_lang"),
-            "n_copies",
-        )
-    )
+    canon = _collapse_exact_dups(kept, ["n_tokens", "quality", "pred_lang"])
     return canon.groupBy("pred_lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_copies").alias("n_kept_total"),
@@ -203,22 +196,7 @@ def full_curation(
         & (F.col("logit") >= min_logit)
         & (F.col("pred_lang") != "und")
     )
-    canon = (
-        kept.groupBy("fingerprint")
-        .agg(
-            F.min(
-                F.struct("doc_id", "n_words", "logit", "pred_lang")
-            ).alias("s"),
-            F.count("*").alias("n_copies"),
-        )
-        .select(
-            F.col("s.doc_id").alias("doc_id"),
-            F.col("s.n_words").alias("n_words"),
-            F.col("s.logit").alias("logit"),
-            F.col("s.pred_lang").alias("pred_lang"),
-            "n_copies",
-        )
-    )
+    canon = _collapse_exact_dups(kept, ["n_words", "logit", "pred_lang"])
     return canon.groupBy("pred_lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_copies").alias("n_kept_total"),
@@ -290,10 +268,15 @@ def bernoulli_sample(
     the scan, trivially parallel at any size (quota sampling needs a
     window; rate sampling needs nothing).
     """
+    if not rates:
+        # no stratum keeps anything; map()[col] would not even analyze
+        return docs.filter(F.lit(False)).select(
+            F.col(id_col), F.col(strata_col).alias("stratum")
+        )
     pairs: list = []
     for k in sorted(rates):
         pairs += [F.lit(k), F.lit(int(round(rates[k] * precision)))]
-    thresholds = F.create_map(*pairs) if pairs else F.create_map()
+    thresholds = F.create_map(*pairs)
     keep = md5_bucket(F.col(id_col)) % precision < F.coalesce(
         thresholds[F.col(strata_col)], F.lit(0)
     )
@@ -426,8 +409,12 @@ def classifier_score(
     Scale shape (hash path): per-row array aggregate only — ZERO
     exchanges, fuses into the scan projection.
     """
+    # NULL text scores like empty text (0 tokens, neutral logit) on
+    # BOTH paths — without the coalesce the hash path would propagate
+    # NULL while explode_outer yields 0, and the two paths diverge.
     words = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), WS_RE), lambda x: x != ""
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_RE),
+        lambda x: x != "",
     )
     if weights is None:
         logit = hash_logit(words, n_weight_levels)

@@ -226,3 +226,35 @@ def test_full_curation_collapses_planted_duplicates(spark):
     en = out["en"]
     # 2 canonical docs survive; the dup pair collapsed but counted
     assert en["n_docs"] == 2 and en["n_kept_total"] == 3
+
+
+def test_classifier_paths_agree_on_null_text(spark):
+    from pyspark.sql import types as T
+
+    from crawler_spark.functions.text import classifier_score
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    d = spark.createDataFrame([(1, None), (2, "alpha beta")], schema)
+    vocab = spark.createDataFrame([("alpha", 3)], ["tok", "weight"])
+    h = {r["doc_id"]: r for r in classifier_score(d).collect()}
+    b = {r["doc_id"]: r for r in classifier_score(d, weights=vocab).collect()}
+    # NULL text scores like empty text on BOTH paths
+    for got in (h[1], b[1]):
+        assert (got["n_tokens"], got["logit"], got["mean_weight"], got["label"]) == (
+            0, 0, 0.0, False,
+        )
+    assert h[2]["n_tokens"] == b[2]["n_tokens"] == 2
+
+
+def test_bernoulli_sample_empty_rates_returns_empty(spark):
+    from crawler_spark.functions.text import bernoulli_sample
+
+    docs = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    out = bernoulli_sample(docs, {})
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "stratum"]
