@@ -561,6 +561,86 @@ _Q_SIMHASH_NEAR_DUP_SQL = f"""
 """
 
 
+def _media_rows(spark, sf_dir):
+    """Synthetic media table for the pHash entries: one image row per
+    document, payload = utf8 bytes of the text (deterministic stand-in;
+    the engine's real media rows come from crawl span media_refs)."""
+    return _docs_wide(spark, sf_dir).select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+# hex-payload char-8-gram token stream (mirrors multimodal.media_phash:
+# hex -> char_ngrams(n=8) -> distinct), shared by both media oracles
+_MEDIA_TOKENS_SQL = """
+    media AS (
+        SELECT 'm' || CAST(doc_id AS VARCHAR) AS doc_id,
+               regexp_replace(lower(hex(encode(text))), '\\s+', ' ', 'g') AS t
+        FROM documents
+    ),
+    tokens AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(list_distinct([substr(t, i, 8)
+                       for i in generate_series(1, greatest(length(t) - 7, 1))])) AS tok
+            FROM media
+        ) WHERE length(tok) = 8
+    )
+"""
+
+
+def q_media_phash(spark, sf_dir):
+    """Content-defined media fingerprint: 64-bit Charikar simhash over
+    char 8-grams of the hex payload — dedup crawled media WITHOUT
+    decoding it; locality-sensitive on payload bytes. All JVM-side."""
+    from crawler_spark.operators.multimodal import media_phash
+
+    return media_phash(_media_rows(spark, sf_dir))
+
+
+_Q_MEDIA_PHASH_SQL = f"""
+    WITH {_MEDIA_TOKENS_SQL}
+    SELECT doc_id AS media_ref, {_SIMHASH_BITS_SQL} AS phash
+    FROM tokens GROUP BY doc_id
+"""
+
+
+def q_media_near_dup(spark, sf_dir):
+    """Near-duplicate media pairs by payload pHash Hamming <= 6 —
+    the media twin of simhash_near_dup, same Manku block-bucketed
+    join (8 blocks for Hamming<=7 losslessness), never all-pairs."""
+    from crawler_spark.operators.multimodal import media_near_dup_pairs
+
+    return media_near_dup_pairs(
+        _media_rows(spark, sf_dir), max_hamming=6
+    )
+
+
+_Q_MEDIA_NEAR_DUP_SQL = f"""
+    WITH {_MEDIA_TOKENS_SQL},
+    sig AS (SELECT doc_id, {_SIMHASH_BITS_SQL} AS s FROM tokens GROUP BY doc_id),
+    blocks AS (
+        SELECT doc_id, s, i AS block_idx, substr(s, i*8 + 1, 8) AS block_val
+        FROM sig, (SELECT unnest(generate_series(0, 7)) AS i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS ref_a, b.doc_id AS ref_b, a.s AS sa, b.s AS sb
+        FROM blocks a JOIN blocks b
+          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT ref_a, ref_b, hamming FROM (
+        SELECT ref_a, ref_b,
+               CAST(list_sum([CASE WHEN sa[i] <> sb[i] THEN 1 ELSE 0 END
+                              for i in generate_series(1, 64)]) AS INT) AS hamming
+        FROM cand
+    ) WHERE hamming <= 6
+"""
+
+
 def q_jaccard_pairs(spark, sf_dir):
     from crawler_spark.operators.textdedup import jaccard_pairs
 
@@ -2046,6 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
+        "media_phash": q_media_phash,
+        "media_near_dup": q_media_near_dup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_overlap": q_winnow_overlap,
         "dup_clusters": q_dup_clusters,
@@ -2107,6 +2189,8 @@ def oracle_sql() -> dict[str, str]:
         "seed_dispatch": _Q_SEED_DISPATCH_SQL,
         "multimodal_features": _Q_MULTIMODAL_SQL,
         "multimodal_resize": _Q_MULTIMODAL_RESIZE_SQL,
+        "media_phash": _Q_MEDIA_PHASH_SQL,
+        "media_near_dup": _Q_MEDIA_NEAR_DUP_SQL,
         "winnow_fingerprints": _Q_WINNOW_FP_SQL,
         "winnow_overlap": _Q_WINNOW_OVERLAP_SQL,
         "dup_clusters": _Q_DUP_CLUSTERS_SQL,

@@ -52,6 +52,14 @@ BENCH_QUERIES = [
     "lsh_buckets",
     "text_profile",
     "repetition_profile",
+    # round-3 curation additions (new keys — exclude from cross-round
+    # suite-wall comparisons; the pre-existing keys above are the
+    # apples-to-apples set)
+    "pii_profile",
+    "gopher_gates",
+    "classifier_score",
+    "contamination",
+    "full_curation",
 ]
 
 

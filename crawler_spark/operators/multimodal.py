@@ -175,3 +175,70 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_at_ms"),
     )
+
+
+def media_phash(media: DataFrame, n: int = 8, bits: int = 64) -> DataFrame:
+    """Perceptual-hash analog for raw media payloads: a Charikar simhash
+    over character n-grams of the hex-encoded bytes — genuinely
+    locality-sensitive on payload CONTENT (shared byte runs -> shared
+    grams -> nearby signatures), so exact and near-identical payloads
+    land within small Hamming distance. This is the content-defined
+    fingerprint used before any decode (dedup crawled media without
+    decoding 100 TB of it); a true DCT pHash plugs into the same
+    (media_ref, phash) contract once a real decoder exists
+    (decode_media strict=True marks the spot).
+
+    All JVM-side (hex -> char_ngrams -> simhash); zero Python. Scale
+    shape: one exchange (the per-ref bit-sum groupBy).
+    """
+    from crawler_spark.operators.textdedup import char_ngrams, simhash
+
+    grams = char_ngrams(
+        media.select(
+            F.col("media_ref").alias("doc_id"),
+            F.hex(F.col("payload")).alias("text"),
+        ),
+        n=n,
+    )
+    sig = simhash(
+        token_frame=grams.select("doc_id", F.col("gram").alias("tok")),
+        bits=bits,
+    )
+    return sig.select(
+        F.col("doc_id").alias("media_ref"), F.col("simhash").alias("phash")
+    )
+
+
+def media_near_dup_pairs(
+    media: DataFrame | None = None,
+    max_hamming: int = 3,
+    phashes: DataFrame | None = None,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Near-duplicate media pairs by payload pHash Hamming distance —
+    the media twin of text simhash near-dup, reusing the same Manku
+    block-bucketed join (never all-pairs; one hot payload value cannot
+    quadratically blow up a single row). phashes=: pass a persisted
+    media_phash() table to pay only the join. n_blocks defaults to
+    max_hamming + 1 — the pigeonhole minimum for lossless blocking
+    (wider thresholds need more blocks than text simhash's 4)."""
+    from crawler_spark.operators.textdedup import simhash_near_dup_pairs
+
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+
+    sig = (
+        phashes.select(
+            F.col("media_ref").alias("doc_id"), F.col("phash").alias("simhash")
+        )
+        if phashes is not None
+        else media_phash(media).select(
+            F.col("media_ref").alias("doc_id"), F.col("phash").alias("simhash")
+        )
+    )
+    pairs = simhash_near_dup_pairs(
+        signatures=sig, max_hamming=max_hamming, n_blocks=n_blocks
+    )
+    return pairs.select(
+        F.col("doc_a").alias("ref_a"), F.col("doc_b").alias("ref_b"), "hamming"
+    )

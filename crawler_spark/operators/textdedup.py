@@ -148,7 +148,12 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    bits: int = 64,
+    token_frame: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, simhash) — bit j is the sign of sum over distinct tokens
     of ±1 according to bit j of the token's hash stream. Hex digit >=
     '8' <=> high bit set (single lowercase hex chars compare like their
@@ -157,8 +162,11 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFram
     per hex digit's high bit); wider signatures chain seeded md5s
     (md5('1:'||tok), md5('2:'||tok), ...) — 64-bit is the Manku/web-scale
     default (the round-2 16-bit width stopped discriminating at corpus
-    scale: 59% of all pairs fell within Hamming<=3)."""
-    t = tokens(docs, text_col)
+    scale: 59% of all pairs fell within Hamming<=3).
+
+    token_frame=: pass a precomputed (doc_id, tok) frame to hash any
+    unit other than words (char n-grams, media payload grams, ...)."""
+    t = token_frame if token_frame is not None else tokens(docs, text_col)
     n_hashes = (bits + 31) // 32
     t = t.withColumn("h0", F.md5(F.col("tok")))
     for s in range(1, n_hashes):

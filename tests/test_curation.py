@@ -258,3 +258,71 @@ def test_bernoulli_sample_empty_rates_returns_empty(spark):
     out = bernoulli_sample(docs, {})
     assert out.count() == 0
     assert out.columns == ["doc_id", "stratum"]
+
+
+# --- media pHash -------------------------------------------------------
+
+
+def test_media_phash_locality_and_near_dup_pairs(spark):
+    from crawler_spark.operators.multimodal import (
+        media_near_dup_pairs,
+        media_phash,
+    )
+
+    base = ("span payload bytes " * 40).encode()
+    near = (("span payload bytes " * 40)[:-5] + "Xtail").encode()
+    far = bytes(range(256)) * 3
+    media = spark.createDataFrame(
+        [
+            ("a", "1", "image", base, None),
+            ("b", "2", "image", base, None),  # exact dup of a
+            ("c", "3", "image", near, None),  # near dup of a
+            ("d", "4", "image", far, None),  # unrelated
+        ],
+        "media_ref string, doc_id string, kind string, payload binary, "
+        "meta map<string,string>",
+    )
+    ph = {r["media_ref"]: r["phash"] for r in media_phash(media).collect()}
+    assert len(ph) == 4 and all(len(v) == 64 for v in ph.values())
+    assert ph["a"] == ph["b"]  # identical payloads -> identical hash
+    ham_ac = sum(x != y for x, y in zip(ph["a"], ph["c"]))
+    ham_ad = sum(x != y for x, y in zip(ph["a"], ph["d"]))
+    assert ham_ac < ham_ad  # locality: near payload closer than far
+    pairs = {
+        (r["ref_a"], r["ref_b"]): r["hamming"]
+        for r in media_near_dup_pairs(media, max_hamming=max(3, ham_ac)).collect()
+    }
+    assert pairs[("a", "b")] == 0
+    assert ("a", "c") in pairs and ("b", "c") in pairs
+    assert not any("d" in p for p in pairs)
+
+
+def test_media_near_dup_blocking_matches_brute_force(spark):
+    from crawler_spark.operators.multimodal import (
+        media_near_dup_pairs,
+        media_phash,
+    )
+
+    rows = [
+        (f"m{i}", str(i), "image", (f"payload {i % 4} " * 30).encode(), None)
+        for i in range(24)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_ref string, doc_id string, kind string, payload binary, "
+        "meta map<string,string>",
+    )
+    ph = {r["media_ref"]: r["phash"] for r in media_phash(media).collect()}
+    for mh in (0, 3, 6):
+        got = {
+            (r["ref_a"], r["ref_b"], r["hamming"])
+            for r in media_near_dup_pairs(media, max_hamming=mh).collect()
+        }
+        want = set()
+        refs = sorted(ph)
+        for i, a in enumerate(refs):
+            for b in refs[i + 1:]:
+                h = sum(x != y for x, y in zip(ph[a], ph[b]))
+                if h <= mh:
+                    want.add((a, b, h))
+        assert got == want, f"max_hamming={mh}"
