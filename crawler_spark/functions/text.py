@@ -86,12 +86,27 @@ def predict_lang(c: Column) -> Column:
     """argmax over marker-hit counts, 'und' (undetermined) when all 0.
 
     Ties break by language code order (deterministic; mirrored in SQL).
+    Built as ONE greatest() over (score, -index, lang) structs — struct
+    ordering is lexicographic, so max score wins and ties fall to the
+    smallest language index. The obvious chained-when tower is
+    semantically identical but EXPONENTIAL in expression size (each
+    comparison re-embeds every earlier struct), which blew past the
+    codegen size limit once predicate pushdown inlined it into a gate
+    filter (full_curation measured 122 s -> ~3 s at sf0.1 from this
+    rewrite alone: small expression -> codegen succeeds -> CSE dedups
+    the pushed-down copies).
     """
     scores = lang_scores(c)
-    best = None
-    for lang in sorted(scores):
-        s = F.struct(scores[lang].alias("n"), F.lit(lang).alias("l"))
-        best = s if best is None else F.when(scores[lang] > best["n"], s).otherwise(best)
+    best = F.greatest(
+        *[
+            F.struct(
+                scores[lang].alias("n"),
+                F.lit(-i).alias("inv_idx"),
+                F.lit(lang).alias("l"),
+            )
+            for i, lang in enumerate(sorted(scores))
+        ]
+    )
     return F.when(best["n"] == 0, F.lit("und")).otherwise(best["l"])
 
 
@@ -170,26 +185,50 @@ def full_curation(
     """
     from crawler_spark.functions.pii import redact_expr
 
-    red = redact_expr(F.col(text_col))
-    words = F.filter(F.split(F.trim(F.lower(red)), WS_RE), lambda x: x != "")
-    g2 = _word_ngrams(words, 2)
-    t2 = F.size(g2)
+    # STAGE the shared intermediates as named multi-consumer columns:
+    # inlining them would re-run the 5-regex redaction chain + split
+    # inside every _word_ngrams element_at (quadratic per doc —
+    # measured 173 s vs ~1 s at sf0.1). CollapseProject keeps aliases
+    # referenced more than once materialized, so each evaluates ONCE
+    # per row and the plan is still a single scan projection.
+    staged = docs.select(
+        "doc_id", redact_expr(F.col(text_col)).alias("red_text")
+    )
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col("red_text"))), WS_RE), lambda x: x != ""
+    )
+    staged = staged.select("doc_id", "red_text", words.alias("w"))
+    staged = staged.select(
+        "doc_id", "red_text", "w", _word_ngrams(F.col("w"), 2).alias("g2")
+    )
+    t2 = F.size("g2")
     dup2 = (
         F.when(
             t2 > 0,
-            (t2 - F.size(F.array_distinct(g2))).cast("double")
+            (t2 - F.size(F.array_distinct("g2"))).cast("double")
             / t2.cast("double"),
         )
         .otherwise(F.lit(0.0))
     )
-    prof = docs.select(
-        "doc_id",
-        F.size(words).cast("long").alias("n_words"),
-        dup2.alias("dup_2gram_frac"),
-        hash_logit(words).alias("logit"),
-        predict_lang(red).alias("pred_lang"),
-        fingerprint(red).alias("fingerprint"),
+    # explode(array(struct(...))) is a one-row-in/one-row-out GENERATE
+    # barrier: the gate filter below references its output, and
+    # PushDownPredicates cannot move such a predicate under a Generate.
+    # Without it the filter is pushed below the projections, the staged
+    # w/red_text aliases get substituted back in, and the per-element
+    # n-gram lambda re-runs redaction+split PER WORD — O(words^2)
+    # regex work per doc, measured 108 s vs ~2 s at sf0.1.
+    metrics = F.explode(
+        F.array(
+            F.struct(
+                F.size("w").cast("long").alias("n_words"),
+                dup2.alias("dup_2gram_frac"),
+                hash_logit(F.col("w")).alias("logit"),
+                predict_lang(F.col("red_text")).alias("pred_lang"),
+                fingerprint(F.col("red_text")).alias("fingerprint"),
+            )
+        )
     )
+    prof = staged.select("doc_id", metrics.alias("m")).select("doc_id", "m.*")
     kept = prof.filter(
         (F.col("n_words") >= min_words)
         & (F.col("dup_2gram_frac") <= max_dup_2gram)
