@@ -1827,6 +1827,31 @@ _Q_GOPHER_SQL = r"""
 """
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Per-language exact token-length quantiles (p50/p90/p99):
+    percentile() and DuckDB's quantile_cont share the same
+    linear-interpolation definition, so values hash-match; the
+    documented 100 TB path is percentile_approx (t-digest, one pass)."""
+    from crawler_spark.functions.text import length_quantiles
+
+    return length_quantiles(_docs_wide(spark, sf_dir))
+
+
+_Q_LENGTH_QUANTILES_SQL = r"""
+    WITH n AS (
+        SELECT lang AS stratum,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        FROM documents
+    )
+    SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(quantile_cont(nt, 0.5) AS DOUBLE) AS p50,
+        CAST(quantile_cont(nt, 0.9) AS DOUBLE) AS p90,
+        CAST(quantile_cont(nt, 0.99) AS DOUBLE) AS p99
+    FROM n GROUP BY stratum
+"""
+
+
 def q_bernoulli_sample(spark, sf_dir):
     """Deterministic per-stratum Bernoulli rate sampling (temperature
     mixing): keep iff md5_bucket(doc_id) %% 1e6 < rate*1e6 — a pure
@@ -2107,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "classifier_score": q_classifier_score,
         "bernoulli_sample": q_bernoulli_sample,
+        "length_quantiles": q_length_quantiles,
         "full_curation": q_full_curation,
         "corpus_curation": q_corpus_curation,
         "line_dedup": q_line_dedup,
@@ -2172,6 +2198,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _Q_CONTAMINATION_SQL,
         "classifier_score": _Q_CLASSIFIER_SQL,
         "bernoulli_sample": _Q_BERNOULLI_SQL,
+        "length_quantiles": _Q_LENGTH_QUANTILES_SQL,
         "full_curation": _Q_FULL_CURATION_SQL,
         "corpus_curation": _Q_CORPUS_CURATION_SQL,
         "line_dedup": _Q_LINE_DEDUP_SQL,

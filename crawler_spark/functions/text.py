@@ -324,6 +324,45 @@ def bernoulli_sample(
     )
 
 
+def length_quantiles(
+    docs: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "lang",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-stratum token-length quantiles — the corpus length
+    distribution every mixing/truncation decision reads (context-window
+    budgeting, Gopher's length gates, per-language packing factors).
+
+    exact=True uses percentile() (sort-based, oracle-certifiable —
+    DuckDB's quantile_cont shares the same linear-interpolation
+    definition). At 100 TB flip exact=False for percentile_approx
+    (t-digest sketch: one pass, bounded memory, mergeable across
+    partitions — the scale path, but approximate and therefore not
+    hash-certified).
+
+    Scale shape: map-side partial aggregation into one exchange on the
+    stratum key; the exact form's per-group sort is the price of
+    certifiability at test scale.
+    """
+    n = ws_token_count(F.col(text_col))
+    agg = F.percentile(n, F.lit(list(ps))) if exact else F.percentile_approx(
+        n, F.lit(list(ps))
+    )
+    out = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"), agg.alias("q")
+    )
+    return out.select(
+        "stratum",
+        "n_docs",
+        *[
+            F.col("q")[i].cast("double").alias(f"p{int(p * 100)}")
+            for i, p in enumerate(ps)
+        ],
+    )
+
+
 def top_terms(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary head: top-k terms by document frequency.
 

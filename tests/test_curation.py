@@ -326,3 +326,18 @@ def test_media_near_dup_blocking_matches_brute_force(spark):
                 if h <= mh:
                     want.add((a, b, h))
         assert got == want, f"max_hamming={mh}"
+
+
+def test_length_quantiles_hand_values_and_approx_path(spark):
+    from crawler_spark.functions.text import length_quantiles
+
+    rows = [(i, "w " * c, "en") for i, c in enumerate([1, 2, 3, 4, 100])]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], ["doc_id", "text", "lang"]
+    )
+    got = length_quantiles(docs, ps=(0.5, 0.75)).collect()[0]
+    assert got["stratum"] == "en" and got["n_docs"] == 5
+    assert got["p50"] == 3.0  # exact middle of [1,2,3,4,100]
+    assert got["p75"] == 4.0  # idx 0.75*4 = 3.0 -> value 4
+    approx = length_quantiles(docs, ps=(0.5,), exact=False).collect()[0]
+    assert 1.0 <= approx["p50"] <= 100.0  # sketch path runs
