@@ -52,6 +52,7 @@ ENGINE_SCHEMAS = {
     "seen_cuckoo": CK.CUCKOO_SCHEMA,
     "documents": S.DOCUMENTS,
     "doc_signatures": S.DOC_SIGNATURES,  # incremental near-dup index (opt-in)
+    "media_signatures": S.MEDIA_SIGNATURES,  # incremental media pHash index (opt-in)
     "edges": S.EDGES,  # crawl link graph (opt-in, record_edges=True)
     "records": S.RECORDS,
     "entity_seen": S.ENTITY_SEEN,
@@ -79,6 +80,7 @@ SITE_TABLES = [
     "seen",
     "documents",
     "doc_signatures",
+    "media_signatures",
     "edges",
     "records",
     "entity_seen",
@@ -618,9 +620,11 @@ class CrawlEngine:
             appends["embeddings"] = new_emb
             appends["uploaded"] = new_upl
         if self.dedup_index:
+            from crawler_spark.operators.multimodal import media_signatures
             from crawler_spark.operators.textdedup import document_signatures
 
             appends["doc_signatures"] = document_signatures(docs)
+            appends["media_signatures"] = media_signatures(docs)
         if edges is not None:
             appends["edges"] = edges
         overwrites: dict[str, DataFrame] = {}
@@ -997,6 +1001,9 @@ class CrawlEngine:
             "doc_signatures": io.read(spark, "doc_signatures").join(
                 removed_keys.withColumnRenamed("url_hash", "doc_id"), "doc_id", "left_anti"
             ),
+            "media_signatures": io.read(spark, "media_signatures").join(
+                removed_keys.withColumnRenamed("url_hash", "doc_id"), "doc_id", "left_anti"
+            ),
             "records": records.join(removed_urls, "url", "left_anti"),
         }
         if prune_embeddings:
@@ -1045,6 +1052,16 @@ class CrawlEngine:
             return simhash_near_dup_pairs(
                 signatures=sigs.filter(F.col("simhash").isNotNull()), **kwargs
             )
+        if method == "phash":
+            from crawler_spark.operators.multimodal import media_near_dup_pairs
+
+            msigs = (
+                self.io.read(self.spark, "media_signatures")
+                .filter(F.col("phash").isNotNull())
+                .select("media_ref", "phash")
+                .distinct()  # one row per occurrence -> one per ref
+            )
+            return media_near_dup_pairs(phashes=msigs, **kwargs)
         raise ValueError(f"unknown near-dup method: {method!r}")
 
     # ---------------------------------------------------- score priority
@@ -1207,6 +1224,7 @@ class CrawlEngine:
             "seen",
             "documents",
             "doc_signatures",
+            "media_signatures",
             "edges",
             "records",
             "entity_seen",

@@ -242,3 +242,34 @@ def media_near_dup_pairs(
     return pairs.select(
         F.col("doc_a").alias("ref_a"), F.col("doc_b").alias("ref_b"), "hamming"
     )
+
+
+def media_signatures(docs: DataFrame) -> DataFrame:
+    """Per-round MEDIA signature rows for the engine's incremental
+    dedup index (schemas.MEDIA_SIGNATURES): one row per media-span
+    OCCURRENCE of the round's new documents, carrying the payload
+    pHash. Shared refs hash once (media_phash groups by ref) and join
+    back to every occurrence; refs whose payload yields no grams keep
+    a NULL phash (can't near-dup, filtered at query time — mirrors
+    doc_signatures' NULL convention)."""
+    occ = (
+        docs.select(
+            "doc_id",
+            "site",
+            F.col("fetched_round").alias("round"),
+            F.explode("spans").alias("s"),
+        )
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"), "doc_id", "site", "round")
+    )
+    media = occ.select(
+        "media_ref",
+        "doc_id",
+        F.lit("image").alias("kind"),
+        F.encode(F.col("media_ref"), "utf-8").alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    ).dropDuplicates(["media_ref"])
+    ph = media_phash(media)
+    return occ.join(ph, "media_ref", "left").select(
+        "media_ref", "doc_id", "site", "round", "phash"
+    )

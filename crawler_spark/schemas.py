@@ -272,3 +272,15 @@ DOC_SIGNATURES = T.StructType(
         T.StructField("simhash", T.StringType(), True),
     ]
 )
+
+# incremental MEDIA near-dup index (dedup_index=True): one row per media
+# span occurrence; phash NULL when the payload yields no grams
+MEDIA_SIGNATURES = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("site", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("phash", T.StringType(), True),
+    ]
+)

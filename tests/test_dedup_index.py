@@ -118,3 +118,60 @@ def test_refresh_prunes_removed_docs_signatures(spark, tmp_path):
     assert sigs.filter(F.col("doc_id") == victim.url_hash).count() == 0
     # index tracks the pruned documents table exactly
     assert _rows(sigs) == _rows(document_signatures(docs))
+
+
+# --- media pHash index (media_signatures table) --------------------------
+
+
+def test_media_index_incremental_equals_batch_and_covers_spans(spark, tmp_path):
+    from crawler_spark.operators.multimodal import media_signatures
+
+    world = make_world(seed=93, n_hosts=4, n_urls=28, budget=3, burst=False)
+    eng, _ = _run_engine(spark, str(tmp_path / "m"), world)
+    inc = eng.io.read(spark, "media_signatures")
+    docs = eng.io.read(spark, "documents")
+    batch = media_signatures(docs)
+    n_spans = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .count()
+    )
+    assert n_spans > 0
+    assert inc.count() == n_spans  # one index row per media occurrence
+    assert _rows(inc, key="media_ref") == _rows(batch, key="media_ref")
+
+
+def test_media_near_dup_pairs_match_batch_operator(spark, tmp_path):
+    from crawler_spark.operators.multimodal import (
+        media_from_documents,
+        media_near_dup_pairs,
+    )
+
+    world = make_world(seed=94, n_hosts=3, n_urls=20, budget=3, burst=False)
+    eng, _ = _run_engine(spark, str(tmp_path / "n"), world)
+    docs = eng.io.read(spark, "documents")
+    media = media_from_documents(docs).dropDuplicates(["media_ref"])
+    want = {
+        (r.ref_a, r.ref_b)
+        for r in media_near_dup_pairs(media, max_hamming=6).collect()
+    }
+    got = {
+        (r.ref_a, r.ref_b)
+        for r in eng.near_dup_pairs("phash", max_hamming=6).collect()
+    }
+    assert got == want
+
+
+def test_media_index_cascades_on_delete(spark, tmp_path):
+    world = make_world(seed=95, n_hosts=3, n_urls=18, budget=3, burst=False)
+    eng, _ = _run_engine(spark, str(tmp_path / "d"), world)
+    sites = [
+        r.site
+        for r in eng.io.read(spark, "media_signatures").select("site").distinct().collect()
+    ]
+    assert len(sites) > 1
+    victim = sorted(sites)[0]
+    eng.delete_site(victim)
+    left = eng.io.read(spark, "media_signatures")
+    assert left.filter(F.col("site") == victim).count() == 0
+    assert left.count() > 0  # other sites untouched
