@@ -1064,6 +1064,18 @@ class CrawlEngine:
             return media_near_dup_pairs(phashes=msigs, **kwargs)
         raise ValueError(f"unknown near-dup method: {method!r}")
 
+    def media_clusters(self, max_hamming: int = 3, **kwargs) -> DataFrame:
+        """Near-dup media clusters from the incremental pHash index:
+        (media_ref, cluster_id) via the same large-star/small-star
+        connected components that cluster text dups — decode/store ONE
+        ref per cluster instead of every copy of the same image."""
+        from crawler_spark.operators.graph import connected_components
+
+        pairs = self.near_dup_pairs("phash", max_hamming=max_hamming, **kwargs)
+        return connected_components(
+            pairs, a_col="ref_a", b_col="ref_b"
+        ).select(F.col("doc_id").alias("media_ref"), "cluster_id")
+
     # ---------------------------------------------------- score priority
     def set_priority_scores(
         self, scores: DataFrame, id_col: str = "node", score_col: str | None = None

@@ -175,3 +175,20 @@ def test_media_index_cascades_on_delete(spark, tmp_path):
     left = eng.io.read(spark, "media_signatures")
     assert left.filter(F.col("site") == victim).count() == 0
     assert left.count() > 0  # other sites untouched
+
+
+def test_media_clusters_group_identical_payloads(spark, tmp_path):
+    world = make_world(seed=96, n_hosts=3, n_urls=18, budget=3, burst=False)
+    eng, _ = _run_engine(spark, str(tmp_path / "c"), world)
+    pairs = eng.near_dup_pairs("phash", max_hamming=3)
+    clusters = eng.media_clusters(max_hamming=3)
+    refs_in_pairs = {
+        r for p in pairs.collect() for r in (p.ref_a, p.ref_b)
+    }
+    got = {r.media_ref: r.cluster_id for r in clusters.collect()}
+    assert set(got) == refs_in_pairs  # every paired ref is clustered
+    # cluster_id is the member minimum and every pair is co-clustered
+    for p in pairs.collect():
+        assert got[p.ref_a] == got[p.ref_b]
+    for ref, cid in got.items():
+        assert cid <= ref
