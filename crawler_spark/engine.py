@@ -1187,6 +1187,33 @@ class CrawlEngine:
             hash_logit(words).alias("logit"),
         )
 
+    def pii_report(self) -> DataFrame:
+        """Per-site PII exposure from the committed documents' visible
+        text: one row per site with per-category match counts plus the
+        number of affected pages — the signal for gating uploads or
+        routing a site's pages through redact_pii before the vector
+        sink. Pure per-row regexp counts + one site agg exchange.
+        """
+        from crawler_spark.functions.pii import _total, pii_counts
+        from crawler_spark.operators.textdedup import doc_text
+
+        counts = pii_counts(doc_text())
+        total = _total(counts)
+        per_doc = self.io.read(self.spark, "documents").select(
+            "site",
+            *[col.alias(f"n_{name}") for name, col in counts.items()],
+            total.alias("n_total"),
+        )
+        return per_doc.groupBy("site").agg(
+            F.count("*").alias("n_docs"),
+            *[
+                F.sum(f"n_{name}").alias(f"n_{name}")
+                for name in counts
+            ],
+            F.sum("n_total").alias("n_pii_total"),
+            F.sum((F.col("n_total") > 0).cast("long")).alias("n_docs_with_pii"),
+        )
+
     def site_quality(self) -> DataFrame:
         """Per-site quality aggregates (exact integers — deterministic
         under any partitioning): the feedback signal for C4/Gopher-style
