@@ -192,6 +192,11 @@ class CrawlEngine:
         # (exactly-once by the seen anti-join; pinned in
         # test_dedup_index). near_dup_pairs() queries it.
         dedup_index: bool = False,
+        # media pHash index (media_signatures table): None follows
+        # dedup_index; False opts a text-only user out of the per-round
+        # hex/8-gram/simhash job over media payloads; True enables it
+        # alone. near_dup_pairs('phash') / media_clusters() query it.
+        media_index: bool | None = None,
         # crawl link graph: append per-round distinct (src_hash ->
         # dst_hash) edges (edges table, O(|links|)/round) for
         # link_stats()/pagerank() — crawl analytics over the REAL graph.
@@ -247,6 +252,7 @@ class CrawlEngine:
         self.upload_batch_size = upload_batch_size
         self.upload_post_ack = upload_post_ack
         self.dedup_index = dedup_index
+        self.media_index = dedup_index if media_index is None else media_index
         if record_edges and not follow_links:
             raise ValueError(
                 "record_edges=True requires follow_links=True — edges are "
@@ -620,10 +626,12 @@ class CrawlEngine:
             appends["embeddings"] = new_emb
             appends["uploaded"] = new_upl
         if self.dedup_index:
-            from crawler_spark.operators.multimodal import media_signatures
             from crawler_spark.operators.textdedup import document_signatures
 
             appends["doc_signatures"] = document_signatures(docs)
+        if self.media_index:
+            from crawler_spark.operators.multimodal import media_signatures
+
             appends["media_signatures"] = media_signatures(docs)
         if edges is not None:
             appends["edges"] = edges
@@ -1194,24 +1202,18 @@ class CrawlEngine:
         routing a site's pages through redact_pii before the vector
         sink. Pure per-row regexp counts + one site agg exchange.
         """
-        from crawler_spark.functions.pii import _total, pii_counts
+        from crawler_spark.functions.pii import PII_PATTERNS, pii_profile
         from crawler_spark.operators.textdedup import doc_text
 
-        counts = pii_counts(doc_text())
-        total = _total(counts)
-        per_doc = self.io.read(self.spark, "documents").select(
-            "site",
-            *[col.alias(f"n_{name}") for name, col in counts.items()],
-            total.alias("n_total"),
+        flat = self.io.read(self.spark, "documents").select(
+            F.col("doc_id"), F.col("site"), doc_text().alias("text")
         )
-        return per_doc.groupBy("site").agg(
+        prof = pii_profile(flat, extra_cols=("site",))
+        return prof.groupBy("site").agg(
             F.count("*").alias("n_docs"),
-            *[
-                F.sum(f"n_{name}").alias(f"n_{name}")
-                for name in counts
-            ],
-            F.sum("n_total").alias("n_pii_total"),
-            F.sum((F.col("n_total") > 0).cast("long")).alias("n_docs_with_pii"),
+            *[F.sum(f"n_{name}").alias(f"n_{name}") for name in PII_PATTERNS],
+            F.sum("n_pii_total").alias("n_pii_total"),
+            F.sum(F.col("has_pii").cast("long")).alias("n_docs_with_pii"),
         )
 
     def site_quality(self) -> DataFrame:

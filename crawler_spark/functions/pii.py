@@ -53,8 +53,12 @@ def _total(counts: dict[str, Column]) -> Column:
     return total
 
 
-def pii_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def pii_profile(
+    docs: DataFrame, text_col: str = "text", extra_cols: tuple = ()
+) -> DataFrame:
     """One row per doc: per-category PII counts + total + has_pii flag.
+    extra_cols pass through untouched (e.g. 'site' for a per-site
+    rollup — see engine.pii_report).
 
     Scale shape: per-row regexp_count expressions only — fuses into the
     scan projection, embarrassingly parallel, no shuffle.
@@ -63,6 +67,7 @@ def pii_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     total = _total(counts)
     return docs.select(
         "doc_id",
+        *extra_cols,
         *[col.alias(f"n_{name}") for name, col in counts.items()],
         total.alias("n_pii_total"),
         (total > 0).alias("has_pii"),

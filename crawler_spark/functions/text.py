@@ -357,7 +357,7 @@ def length_quantiles(
         "stratum",
         "n_docs",
         *[
-            F.col("q")[i].cast("double").alias(f"p{int(p * 100)}")
+            F.col("q")[i].cast("double").alias(f"p{round(p * 100)}")
             for i, p in enumerate(ps)
         ],
     )

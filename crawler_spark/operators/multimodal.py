@@ -224,8 +224,17 @@ def media_near_dup_pairs(
     (wider thresholds need more blocks than text simhash's 4)."""
     from crawler_spark.operators.textdedup import simhash_near_dup_pairs
 
+    if media is None and phashes is None:
+        raise ValueError("pass media or phashes")
     if n_blocks is None:
         n_blocks = max_hamming + 1
+    if n_blocks > 64:
+        raise ValueError(
+            f"n_blocks={n_blocks} > signature width 64: zero-width blocks "
+            "would bucket everything together (all-pairs join). Thresholds "
+            "past Hamming 63 mean 'any pair' — that is a cross join, not a "
+            "near-dup query."
+        )
 
     sig = (
         phashes.select(
@@ -262,13 +271,11 @@ def media_signatures(docs: DataFrame) -> DataFrame:
         .filter(F.col("s.kind") == "media")
         .select(F.col("s.media_ref").alias("media_ref"), "doc_id", "site", "round")
     )
-    media = occ.select(
-        "media_ref",
-        "doc_id",
-        F.lit("image").alias("kind"),
-        F.encode(F.col("media_ref"), "utf-8").alias("payload"),
-        F.lit(None).cast("map<string,string>").alias("meta"),
-    ).dropDuplicates(["media_ref"])
+    # payload derivation lives ONLY in media_from_documents — the batch
+    # operator and this index must hash the same bytes or the
+    # incremental==batch invariant breaks when the real fetch-media
+    # stage replaces the stand-in
+    media = media_from_documents(docs).dropDuplicates(["media_ref"])
     ph = media_phash(media)
     return occ.join(ph, "media_ref", "left").select(
         "media_ref", "doc_id", "site", "round", "phash"

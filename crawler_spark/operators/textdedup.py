@@ -166,6 +166,8 @@ def simhash(
 
     token_frame=: pass a precomputed (doc_id, tok) frame to hash any
     unit other than words (char n-grams, media payload grams, ...)."""
+    if docs is None and token_frame is None:
+        raise ValueError("pass docs or token_frame")
     t = token_frame if token_frame is not None else tokens(docs, text_col)
     n_hashes = (bits + 31) // 32
     t = t.withColumn("h0", F.md5(F.col("tok")))
@@ -222,7 +224,13 @@ def simhash_near_dup_pairs(
     so the dedup shuffle sees only the surviving near-dup pairs instead
     of every block-bucket candidate (candidates outnumber survivors by
     ~100x at sf0.1 — the distinct was the dominant exchange)."""
+    if docs is None and signatures is None:
+        raise ValueError("pass docs or signatures")
     assert max_hamming < n_blocks, "pigeonhole guarantee needs max_hamming < n_blocks"
+    assert bits // n_blocks >= 1, (
+        f"n_blocks={n_blocks} > bits={bits}: zero-width blocks bucket "
+        "everything together (all-pairs join)"
+    )
     w = bits // n_blocks
     sig = signatures if signatures is not None else simhash(docs, text_col, bits)
     word_spans = [(i * 32 + 1, min(32, bits - i * 32)) for i in range((bits + 31) // 32)]

@@ -138,7 +138,12 @@ def test_media_index_incremental_equals_batch_and_covers_spans(spark, tmp_path):
     )
     assert n_spans > 0
     assert inc.count() == n_spans  # one index row per media occurrence
-    assert _rows(inc, key="media_ref") == _rows(batch, key="media_ref")
+    # composite key: media_ref repeats across docs (one row/occurrence),
+    # so a single-column sort would leave tied rows in collect() order
+    key = lambda r: (r["media_ref"], r["doc_id"])  # noqa: E731
+    assert sorted((r.asDict() for r in inc.collect()), key=key) == sorted(
+        (r.asDict() for r in batch.collect()), key=key
+    )
 
 
 def test_media_near_dup_pairs_match_batch_operator(spark, tmp_path):

@@ -156,18 +156,43 @@ def test_pause_low_quality_sites_noop_below_threshold(spark):
 
 
 def test_pii_report_counts_planted_pii(spark):
-    """Synthetic pages have no PII; verify via a crafted documents
-    table written through the engine's own IO."""
+    """The synthetic corpus is PII-free (negative case), then PII is
+    PLANTED into two sites' documents through the engine's own IO and
+    the per-site counts must come back exact."""
     tmp = tempfile.mkdtemp(prefix="quality-")
     eng, _ = _crawl(spark, tmp)
-    rep = {r["site"]: r for r in eng.pii_report().collect()}
     docs = eng.io.read(spark, "documents")
-    assert sum(r["n_docs"] for r in rep.values()) == docs.count()
-    assert all(r["n_pii_total"] == 0 for r in rep.values())  # clean corpus
-    # now a direct-operator cross-check on crafted spans
-    from crawler_spark.functions.pii import pii_profile
-    from crawler_spark.operators.textdedup import doc_text
+    rep0 = {r["site"]: r for r in eng.pii_report().collect()}
+    assert sum(r["n_docs"] for r in rep0.values()) == docs.count()
+    assert all(r["n_pii_total"] == 0 for r in rep0.values())  # clean corpus
 
-    flat = docs.select(F.col("doc_id"), doc_text().alias("text"))
-    prof = pii_profile(flat)
-    assert prof.filter(F.col("has_pii")).count() == 0
+    # plant: one doc per site gets a text span with an email + an IP,
+    # committed via the engine's snapshot IO (overwrite, same schema)
+    first = {
+        r["site"]: r["doc_id"]
+        for r in docs.groupBy("site").agg(F.min("doc_id").alias("doc_id")).collect()
+    }
+    victims = sorted(first)[:2]
+    planted_span = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.lit("mail leak@example.com from 10.1.2.3 twice 10.4.5.6").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+    hit = F.col("doc_id").isin([first[s] for s in victims])
+    eng.io.commit(
+        eng.io.last_round(),
+        overwrites={
+            "documents": docs.withColumn(
+                "spans", F.when(hit, planted_span).otherwise(F.col("spans"))
+            )
+        },
+    )
+    rep = {r["site"]: r for r in eng.pii_report().collect()}
+    for s in victims:
+        assert rep[s]["n_email"] == 1 and rep[s]["n_ipv4"] == 2
+        assert rep[s]["n_pii_total"] == 3 and rep[s]["n_docs_with_pii"] == 1
+    for s in set(rep) - set(victims):
+        assert rep[s]["n_pii_total"] == 0 and rep[s]["n_docs_with_pii"] == 0
