@@ -1827,6 +1827,43 @@ _Q_GOPHER_SQL = r"""
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: concatenate docs in id order
+    (1-token separator), chunk into 256-token context windows; per doc:
+    stream span + window range. Distributed two-phase prefix sum — no
+    single-partition window (plan-asserted)."""
+    from crawler_spark.functions.text import pack_sequences
+
+    return pack_sequences(_docs_wide(spark, sf_dir), capacity=256)
+
+
+_Q_PACK_SEQUENCES_SQL = r"""
+    WITH n AS (
+        SELECT doc_id,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END
+                 AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+            CAST(coalesce(sum(n_tokens + 1) OVER (
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_offset
+        FROM n
+    )
+    SELECT doc_id, n_tokens, start_offset,
+        start_offset + n_tokens AS end_offset,
+        start_offset // 256 AS first_bin,
+        (start_offset + greatest(n_tokens - 1, 0)) // 256 AS last_bin,
+        CASE WHEN n_tokens = 0 THEN 0
+             ELSE (start_offset + n_tokens - 1) // 256
+                  - start_offset // 256 + 1 END AS n_bins
+    FROM c
+"""
+
+
 def q_length_quantiles(spark, sf_dir):
     """Per-language exact token-length quantiles (p50/p90/p99):
     percentile() and DuckDB's quantile_cont share the same
@@ -2133,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "bernoulli_sample": q_bernoulli_sample,
         "length_quantiles": q_length_quantiles,
+        "pack_sequences": q_pack_sequences,
         "full_curation": q_full_curation,
         "corpus_curation": q_corpus_curation,
         "line_dedup": q_line_dedup,
@@ -2199,6 +2237,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score": _Q_CLASSIFIER_SQL,
         "bernoulli_sample": _Q_BERNOULLI_SQL,
         "length_quantiles": _Q_LENGTH_QUANTILES_SQL,
+        "pack_sequences": _Q_PACK_SEQUENCES_SQL,
         "full_curation": _Q_FULL_CURATION_SQL,
         "corpus_curation": _Q_CORPUS_CURATION_SQL,
         "line_dedup": _Q_LINE_DEDUP_SQL,

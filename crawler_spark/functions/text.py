@@ -363,6 +363,101 @@ def length_quantiles(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_tokens: int = 1,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Sequence packing for LM training: documents are concatenated in
+    id order (sep_tokens separator tokens after each doc) into one
+    token stream that is chunked into fixed `capacity`-token context
+    windows. Each doc reports its [start_offset, end_offset) span in
+    the stream and the window range it lands in — the map a packing
+    writer needs to emit training sequences, and the exact semantics of
+    GPT-style "concatenate with <eos>, chunk into blocks" packing
+    (documents may span window boundaries).
+
+    Zero-token docs occupy no window: n_bins = 0, first_bin = last_bin
+    = the window their (empty) span starts in.
+
+    Scale shape: a global prefix sum with NO single-partition window —
+    the same two-phase scheme as scheduler.assign_global_seq: (1)
+    repartitionByRange on the id (parallel range shuffle) + in-partition
+    sort; (2) per-partition token totals (tiny, collected) become
+    broadcast offsets, and a narrow Arrow pass stamps start_offset with
+    a vectorized cumsum. Window math is plain JVM integer arithmetic on
+    top (exact, hash-certifiable). Result is identical to the
+    single-window formulation for ANY range boundaries, because ranges
+    are contiguous in the id order.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    spark = docs.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    d = docs.select(
+        F.col(id_col), ws_token_count(F.col(text_col)).alias("n_tokens")
+    )
+    parted = (
+        d.repartitionByRange(n_parts, id_col)
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = sorted(
+        (r["_pid"], r["s"])
+        for r in parted.groupBy("_pid")
+        .agg(F.sum(F.col("n_tokens") + sep_tokens).alias("s"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid, s in totals:
+        offsets[int(pid)] = acc
+        acc += int(s)
+    b_off = spark.sparkContext.broadcast(offsets)
+    out_schema = T.StructType(
+        list(parted.schema.fields)
+        + [T.StructField("start_offset", T.LongType(), False)]
+    )
+
+    def stamp(batches):
+        pos = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = b_off.value.get(int(pdf["_pid"].iloc[0]), 0)
+            adv = (pdf["n_tokens"] + sep_tokens).to_numpy(dtype="int64")
+            starts = base + pos + np.concatenate(([0], np.cumsum(adv)[:-1]))
+            pdf = pdf.assign(start_offset=starts)
+            pos += int(adv.sum())
+            yield pdf
+
+    stamped = parted.mapInPandas(stamp, out_schema).drop("_pid")
+    cap = F.lit(int(capacity))
+    first_bin = F.expr(f"start_offset DIV {int(capacity)}")
+    last_pos = F.col("start_offset") + F.greatest(
+        F.col("n_tokens") - 1, F.lit(0)
+    )
+    last_bin = F.floor(last_pos / cap).cast("long")
+    return stamped.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        (F.col("start_offset") + F.col("n_tokens")).alias("end_offset"),
+        first_bin.cast("long").alias("first_bin"),
+        last_bin.alias("last_bin"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(last_bin - first_bin + 1)
+        .alias("n_bins"),
+    )
+
+
 def top_terms(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary head: top-k terms by document frequency.
 

@@ -341,3 +341,48 @@ def test_length_quantiles_hand_values_and_approx_path(spark):
     assert got["p75"] == 4.0  # idx 0.75*4 = 3.0 -> value 4
     approx = length_quantiles(docs, ps=(0.5,), exact=False).collect()[0]
     assert 1.0 <= approx["p50"] <= 100.0  # sketch path runs
+
+
+def test_pack_sequences_matches_sequential_reference(spark):
+    from crawler_spark.functions.text import pack_sequences
+
+    rows = [(i, "w " * c) for i, c in enumerate([5, 0, 10, 3, 7, 260, 1])]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in pack_sequences(docs, capacity=8).collect()}
+    # sequential reference: stream advances by n_tokens + 1 per doc
+    pos = 0
+    for i, c in enumerate([5, 0, 10, 3, 7, 260, 1]):
+        g = got[i]
+        assert g["n_tokens"] == c
+        assert g["start_offset"] == pos
+        assert g["end_offset"] == pos + c
+        if c == 0:
+            assert g["n_bins"] == 0
+        else:
+            first, last = pos // 8, (pos + c - 1) // 8
+            assert (g["first_bin"], g["last_bin"]) == (first, last)
+            assert g["n_bins"] == last - first + 1
+        pos += c + 1
+
+
+def test_pack_sequences_invariant_to_partition_count(spark):
+    from crawler_spark.functions.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 13 + 1)) for i in range(300)], ["doc_id", "text"]
+    )
+    a = sorted(map(tuple, pack_sequences(docs, capacity=32, n_parts=1).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, capacity=32, n_parts=7).collect()))
+    c = sorted(map(tuple, pack_sequences(docs.repartition(11), capacity=32, n_parts=16).collect()))
+    assert a == b == c
+
+
+def test_pack_sequences_plan_has_no_single_partition_exchange(spark):
+    from crawler_spark.functions.text import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = pack_sequences(docs, capacity=256)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
