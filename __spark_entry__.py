@@ -2122,6 +2122,138 @@ _Q_SCORE_SCHEDULE_SQL = f"""
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval top-10 (exact-integer scoring, see
+    operators/retrieval.py): queries are tokens 3..7 of every 29th
+    document, so each query has a planted best match. Broadcast query
+    vocabulary -> map-side semi-join -> postings -> WindowGroupLimit
+    top-k; the corpus never self-joins."""
+    from crawler_spark.operators.retrieval import bm25_topk
+
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    queries = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("query_id"), words.alias("_w"))
+        .filter((F.col("query_id") % 29 == 0) & (F.size("_w") >= 7))
+        .select(
+            "query_id", F.concat_ws(" ", F.slice("_w", 3, 5)).alias("qtext")
+        )
+    )
+    return bm25_topk(_docs_wide(spark, sf_dir), queries, k=10)
+
+
+_Q_BM25_SQL = r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS t FROM dd),
+    q AS (SELECT doc_id AS query_id, toks[3:7] AS qtoks
+          FROM dd WHERE doc_id % 29 = 0 AND len(toks) >= 7),
+    qterms AS (SELECT DISTINCT query_id, unnest(qtoks) AS tok FROM q),
+    qvocab AS (SELECT DISTINCT tok FROM qterms),
+    p0 AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+    p AS (SELECT doc_id, tok, dl, CAST(count(*) AS BIGINT) AS tf
+          FROM p0 WHERE tok IN (SELECT tok FROM qvocab)
+          GROUP BY doc_id, tok, dl),
+    f AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY tok),
+    scored AS (
+        SELECT qt.query_id, p.doc_id,
+               CAST(SUM(
+                   ((1000000 * (2*(s.n - f.df) + 1)) // (2*f.df + 1)) *
+                   ((1000 * 100 * s.t * p.tf * 22) //
+                    (1000 * s.t * p.tf + 12 * (25 * s.t + 75 * p.dl * s.n)))
+               ) AS BIGINT) AS score_e9
+        FROM qterms qt
+        JOIN p ON qt.tok = p.tok
+        JOIN f ON p.tok = f.tok
+        CROSS JOIN stats s
+        GROUP BY qt.query_id, p.doc_id
+    )
+    SELECT query_id, doc_id, score_e9, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score_e9 DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+"""
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Change-rate recrawl scheduling (scheduler.recrawl_priorities):
+    events replay as a fetch history — 500 URLs over 50 hosts, each
+    observed ~|events|/500 times; `changed` is md5 parity of
+    (url_id, ts_ms) so both engines derive the same history. Laplace-
+    smoothed Poisson change rate x staleness, int64-exact, per-host
+    top-5 via WindowGroupLimit."""
+    from crawler_spark.operators.scheduler import recrawl_priorities
+
+    from crawler_spark.functions.text import md5_bucket
+
+    e = _t(spark, sf_dir, "events")
+    url_id = F.pmod(F.col("event_id"), F.lit(500))
+    host = F.concat(
+        F.lit("h"),
+        F.lpad(F.pmod(url_id, F.lit(50)).cast("string"), 3, "0"),
+        F.lit(".example.com"),
+    )
+    ts_ms = F.unix_millis(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    hist = e.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.lpad(url_id.cast("string"), 6, "0"),
+        ).alias("url"),
+        ts_ms.alias("ts_ms"),
+        F.pmod(
+            md5_bucket(
+                F.concat_ws(":", url_id.cast("string"), ts_ms.cast("string"))
+            ),
+            F.lit(2),
+        ).alias("changed"),
+    )
+    return recrawl_priorities(hist, budget=5)
+
+
+_Q_RECRAWL_SQL = """
+    WITH hist AS (
+        SELECT 'h' || lpad(((event_id % 500) % 50)::VARCHAR, 3, '0')
+                   || '.example.com' AS host,
+               'https://h' || lpad(((event_id % 500) % 50)::VARCHAR, 3, '0')
+                   || '.example.com/p/'
+                   || lpad((event_id % 500)::VARCHAR, 6, '0') AS url,
+               epoch_ms(ts) AS ts_ms,
+               CAST(('0x' || substr(md5((event_id % 500)::VARCHAR || ':'
+                                        || epoch_ms(ts)::VARCHAR), 1, 8)
+                    )::UBIGINT % 2 AS BIGINT) AS changed
+        FROM events
+    ),
+    now_t AS (SELECT max(ts_ms) AS now_ms FROM hist),
+    per_url AS (
+        SELECT host, url,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(changed) AS BIGINT) AS n_changes,
+               max(ts_ms) AS last_ms,
+               CAST(((1000000 * (2*sum(changed) + 1)) // (2*count(*) + 2))
+                    * (any_value(n.now_ms) - max(ts_ms)) AS BIGINT
+               ) AS priority_e6
+        FROM hist CROSS JOIN now_t n
+        GROUP BY host, url
+    )
+    SELECT host, url, n_obs, n_changes, last_ms, priority_e6,
+           CAST(rnk AS INT) AS rank_in_host
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY host ORDER BY priority_e6 DESC, url) AS rnk
+          FROM per_url)
+    WHERE rnk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2196,6 +2328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "dup_clusters": q_dup_clusters,
         "canonical_corpus": q_canonical_corpus,
+        "bm25_topk": q_bm25_topk,
+        "recrawl_schedule": q_recrawl_schedule,
     }
 
 
@@ -2261,6 +2395,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap": _Q_WINNOW_OVERLAP_SQL,
         "dup_clusters": _Q_DUP_CLUSTERS_SQL,
         "canonical_corpus": _Q_CANONICAL_CORPUS_SQL,
+        "bm25_topk": _Q_BM25_SQL,
+        "recrawl_schedule": _Q_RECRAWL_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

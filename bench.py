@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "classifier_score",
     "contamination",
     "full_curation",
+    "bm25_topk",
+    "recrawl_schedule",
 ]
 
 

@@ -1,0 +1,154 @@
+"""Lexical retrieval: BM25 top-k search over an inverted index.
+
+Training-data pipelines use lexical retrieval alongside embedding ANN
+(`operators/ann.py`): benchmark decontamination by query, quality-seed
+mining ("find docs like these wiki pages"), and targeted corpus audits
+all run BM25-shaped scans over the crawled corpus. The reference stores
+crawled pages and serves them to downstream search/RAG consumers
+(reference `code/crawler.py` document store + Qdrant upload path); this
+operator is the lexical half of that serving story, Spark-first.
+
+Scale shape (the part that must survive 100 TB):
+- the query set is SMALL (10s..1000s of rows) -> exploded to a distinct
+  term vocabulary and BROADCAST; the corpus explodes its tokens map-side
+  and is immediately semi-joined against that vocabulary, so tokens not
+  appearing in any query NEVER reach a shuffle;
+- per-(doc, term) tf is a partial-agg (map-side combine) shuffle keyed
+  on (doc_id, tok) — uniform keys, no skew beyond natural term skew,
+  which the broadcast semi-join has already capped to query terms;
+- document frequency df is a second tiny aggregate over postings
+  (|query vocabulary| rows) joined back via broadcast;
+- scoring is one partial-agg shuffle keyed (query_id, doc_id); top-k is
+  row_number over query_id with a constant bound -> Spark rewrites it
+  to WindowGroupLimit (per-partition top-k before the final exchange).
+The corpus is never self-joined and never collected.
+
+Exact-integer scoring (default): hash-certifiable against a DuckDB
+twin. idf_e6 = floor(1e6 * (N - df + 0.5)/(df + 0.5)) — the Robertson
+ODDS ratio at 1e-6 resolution computed purely in int64 via
+(2(N-df)+1)/(2df+1); the classic formulation takes ln() of it, which is
+order-preserving, so exact-integer ranking equals odds-ratio BM25
+ranking term-by-term (document-level totals can differ from the ln
+variant — this is the certifiable stand-in, same contract as
+`classifier_score`'s hash weights). Term saturation is real BM25:
+tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) cleared of fractions with
+avgdl = T/N:
+    sat_e3 = 1000 * 100*T*tf*(k1_x10+10)
+             // (1000*T*tf + k1_x10*((100-b_x100)*T + b_x100*dl*N))
+All operands are nonnegative int64 (den > 0 since T,tf >= 1), so Spark
+`div` (truncate) == DuckDB `//` (floor). Magnitude bound: with corpus
+token count T, num ~ 1e5*T*tf — int64-safe through ~10^11 tokens;
+beyond that use exact=False (true float BM25 with ln idf, the
+production path at extreme scale — per-doc scores are single-division
+per term and never aggregated across engines, so determinism within
+Spark still holds; only cross-engine hash certification needs ints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _words(text_col: str) -> F.Column:
+    """Shared tokenizer: lowercase, split on whitespace, drop empties.
+    MUST match textdedup.tokens / the DuckDB twin
+    list_filter(string_split_regex(trim(lower(text)), '\\s+'), ...)."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1_x10: int = 12,
+    b_x100: int = 75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_text_col: str = "qtext",
+    query_id_col: str = "query_id",
+    exact: bool = True,
+) -> DataFrame:
+    """BM25 top-k lexical search: for each query, the k best-matching
+    documents. Returns (query_id, doc_id, score_e9|score, rank).
+
+    queries: small DataFrame (query_id, qtext) — broadcast throughout.
+    k1_x10/b_x100: BM25 constants scaled to ints (defaults k1=1.2,
+    b=0.75). exact=True -> int64 scoring (see module docstring);
+    exact=False -> true float BM25 (ln idf), same plan shape.
+    Query term multiplicity is ignored (standard qtf=1 BM25).
+    """
+    words = _words(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), words.alias("_w")
+    ).select("doc_id", F.size("_w").alias("dl"), "_w")
+
+    # corpus stats stay in-plan: one tiny agg broadcast to every task
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tok")
+    )
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                F.array_distinct(_words(query_text_col))
+            ).alias("tok"),
+        )
+    )
+    qvocab = qterms.select("tok").distinct()
+
+    # postings: tf per (doc, query-term); non-query tokens never shuffle
+    postings = (
+        base.select("doc_id", "dl", F.explode("_w").alias("tok"))
+        .join(F.broadcast(qvocab), "tok")
+        .groupBy("doc_id", "tok", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
+
+    scored_terms = (
+        postings.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "tok")
+    )
+    n, t = F.col("n_docs"), F.col("total_tok")
+    tf, dfc, dl = F.col("tf"), F.col("df"), F.col("dl")
+    if exact:
+        idf = F.expr(
+            "(1000000 * (2*(n_docs - df) + 1)) div (2*df + 1)"
+        ).cast("long")
+        sat_e3 = F.expr(
+            f"(1000 * 100 * total_tok * tf * {k1_x10 + 10}) div "
+            f"(1000 * total_tok * tf + {k1_x10} * "
+            f"({100 - b_x100} * total_tok + {b_x100} * dl * n_docs))"
+        ).cast("long")
+        agg = F.sum(idf * sat_e3).alias("score_e9")
+        score_col = "score_e9"
+    else:
+        k1 = k1_x10 / 10.0
+        b = b_x100 / 100.0
+        idf = F.log(
+            (n.cast("double") - dfc + 0.5) / (dfc.cast("double") + 0.5)
+            + F.lit(1.0)
+        )
+        sat = (tf.cast("double") * (k1 + 1.0)) / (
+            tf.cast("double")
+            + k1 * (1.0 - b + b * dl.cast("double") * n / t.cast("double"))
+        )
+        agg = F.sum(idf * sat).alias("score")
+        score_col = "score"
+
+    scores = scored_terms.groupBy("query_id", "doc_id").agg(agg)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k))  # WindowGroupLimit
+        .select(
+            "query_id", "doc_id", score_col, F.col("rank").cast("int")
+        .alias("rank"))
+    )

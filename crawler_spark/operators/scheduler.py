@@ -282,3 +282,77 @@ def schedule(
         )
         .withColumn("round", F.lit(round_no))
     )
+
+
+def recrawl_priorities(
+    history: DataFrame,
+    budget: int | None = None,
+    url_col: str = "url",
+    host_col: str = "host",
+    ts_col: str = "ts_ms",
+    changed_col: str = "changed",
+) -> DataFrame:
+    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina's
+    change-rate estimator, the published incremental-crawler policy):
+    from a fetch-history table with one row per past observation of a
+    URL — (url, host, ts_ms, changed 0/1 vs the previous content hash)
+    — estimate each URL's Poisson change rate with Laplace smoothing
+    and rank by expected staleness:
+
+        lambda_e6   = (1e6 * (2*changes + 1)) div (2*obs + 2)
+                    = floor(1e6 * (changes + 0.5) / (obs + 1))
+        priority_e6 = lambda_e6 * (now_ms - last_ms)
+
+    Pure int64 (hash-certifiable); `now` is the history's max ts, kept
+    in-plan via a broadcast 1-row aggregate, so the operator is a
+    closed function of its input (no wall clock — deterministic and
+    resume-safe). Output: one row per URL with (n_obs, n_changes,
+    last_ms, priority_e6); with `budget`, only each host's top-budget
+    URLs (priority desc, url asc) survive, via the same constant-bound
+    row_number -> WindowGroupLimit shape as `schedule`.
+
+    Scale shape: ONE partial-agg shuffle keyed on (host, url) — the
+    same key layout as the frontier, so on the bucketed layout the
+    groupBy is co-located — plus the budget window keyed on host
+    (group-limit pushdown caps skewed hosts at `budget` rows per input
+    partition). No self-joins, no collects. Feed the result to
+    `CrawlEngine.set_priority_scores` (priority='score') to drive the
+    recrawl round, exactly like the PageRank loop.
+
+    Reference parity: the reference refetches on lifecycle events only
+    (restart_site / refresh_sitemaps, crawler.py:223-248) — it has no
+    change-rate model; this is the north-star generalization of that
+    refetch policy to scheduled freshness.
+    """
+    hist = history.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.col(changed_col).cast("long").alias("_chg"),
+    )
+    now = hist.agg(F.max("_ts").alias("now_ms"))
+    per_url = (
+        hist.groupBy("host", "url")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum("_chg").alias("n_changes"),
+            F.max("_ts").alias("last_ms"),
+        )
+        .crossJoin(F.broadcast(now))
+        .withColumn(
+            "priority_e6",
+            F.expr(
+                "((1000000 * (2*n_changes + 1)) div (2*n_obs + 2))"
+                " * (now_ms - last_ms)"
+            ).cast("long"),
+        )
+        .drop("now_ms")
+    )
+    if budget is None:
+        return per_url
+    w = Window.partitionBy("host").orderBy(F.desc("priority_e6"), F.asc("url"))
+    return (
+        per_url.withColumn("rank_in_host", F.row_number().over(w))
+        .filter(F.col("rank_in_host") <= F.lit(budget))  # WindowGroupLimit
+        .withColumn("rank_in_host", F.col("rank_in_host").cast("int"))
+    )
