@@ -25,7 +25,7 @@ broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -53,6 +53,7 @@ ENGINE_SCHEMAS = {
     "documents": S.DOCUMENTS,
     "doc_signatures": S.DOC_SIGNATURES,  # incremental near-dup index (opt-in)
     "media_signatures": S.MEDIA_SIGNATURES,  # incremental media pHash index (opt-in)
+    "fetch_fingerprints": S.FETCH_FINGERPRINTS,  # per-fetch content history (opt-in)
     "edges": S.EDGES,  # crawl link graph (opt-in, record_edges=True)
     "records": S.RECORDS,
     "entity_seen": S.ENTITY_SEEN,
@@ -81,6 +82,7 @@ SITE_TABLES = [
     "documents",
     "doc_signatures",
     "media_signatures",
+    "fetch_fingerprints",
     "edges",
     "records",
     "entity_seen",
@@ -203,6 +205,12 @@ class CrawlEngine:
         # `site` = source page's site, so C4 cascade deletes ride the
         # generic SITE_TABLES path.
         record_edges: bool = False,
+        # per-fetch content fingerprints (fetch_fingerprints table):
+        # append-only observation history (url_hash, round, content_hash)
+        # across recrawls, O(|fetched|)/round — feeds fetch_history() /
+        # recrawl_scores() / schedule_recrawl(), the change-rate recrawl
+        # loop (scheduler.recrawl_priorities).
+        track_changes: bool = False,
         # pre-built TableIO overrides root/bucketed_io — the cluster entry
         # point: CrawlEngine(spark, "", io=IcebergTableIO(spark, "crawl",
         # schemas=ENGINE_SCHEMAS)) runs the identical round loop against
@@ -260,6 +268,7 @@ class CrawlEngine:
                 "table would silently stay empty"
             )
         self.record_edges = record_edges
+        self.track_changes = track_changes
 
     def _w(self, df: DataFrame) -> DataFrame:
         return df.coalesce(self.coalesce_writes) if self.coalesce_writes else df
@@ -633,6 +642,18 @@ class CrawlEngine:
             from crawler_spark.operators.multimodal import media_signatures
 
             appends["media_signatures"] = media_signatures(docs)
+        if self.track_changes:
+            # one row per successful fetch; md5 over the JSON-rendered
+            # span sequence (schema-ordered fields -> deterministic) is
+            # the change detector the recrawl scheduler lags over
+            appends["fetch_fingerprints"] = docs.select(
+                F.col("doc_id").alias("url_hash"),
+                "url",
+                "site",
+                "host",
+                F.col("fetched_round").alias("round"),
+                F.md5(F.to_json("spans")).alias("content_hash"),
+            )
         if edges is not None:
             appends["edges"] = edges
         overwrites: dict[str, DataFrame] = {}
@@ -1012,6 +1033,9 @@ class CrawlEngine:
             "media_signatures": io.read(spark, "media_signatures").join(
                 removed_keys.withColumnRenamed("url_hash", "doc_id"), "doc_id", "left_anti"
             ),
+            "fetch_fingerprints": io.read(spark, "fetch_fingerprints").join(
+                removed_keys, "url_hash", "left_anti"
+            ),
             "records": records.join(removed_urls, "url", "left_anti"),
         }
         if prune_embeddings:
@@ -1164,6 +1188,127 @@ class CrawlEngine:
             self.link_edges(), iters=iters, src_col="src_hash", dst_col="dst_hash", **kwargs
         )
 
+    # ------------------------------------------------ change-rate recrawl
+    def fetch_history(self) -> DataFrame:
+        """Per-URL observation history from the fetch_fingerprints table
+        (track_changes=True): one row per successful fetch with
+        `changed` = content hash differs from the SAME URL's previous
+        fetch (first observation: 0 — seeing a page is not evidence it
+        changes). Window is partitioned by url_hash (millions of small
+        groups — scales), ordered by round."""
+        fp = self.io.read(self.spark, "fetch_fingerprints")
+        w = Window.partitionBy("url_hash").orderBy("round")
+        prev = F.lag("content_hash").over(w)
+        return fp.select(
+            "url_hash",
+            "url",
+            "site",
+            "host",
+            "round",
+            (prev.isNotNull() & (F.col("content_hash") != prev))
+            .cast("long")
+            .alias("changed"),
+        )
+
+    def recrawl_scores(self, budget: int | None = None) -> DataFrame:
+        """Freshness priorities over the recorded fetch history: Laplace-
+        smoothed Poisson change rate x staleness (rounds as the clock),
+        int64-exact (scheduler.recrawl_priorities). Feed the result to
+        schedule_recrawl() — or its priority_e6 column to
+        set_priority_scores() — to close the incremental-crawl loop
+        (Cho & Garcia-Molina recrawl policy; the reference only refetches
+        on lifecycle events, crawler.py:197-277)."""
+        from crawler_spark.operators.scheduler import recrawl_priorities
+
+        return recrawl_priorities(
+            self.fetch_history(),
+            budget=budget,
+            ts_col="round",
+            extra_keys=("url_hash",),  # so the result feeds schedule_recrawl directly
+        )
+
+    def schedule_recrawl(self, targets: DataFrame) -> int:
+        """Re-enqueue fetched URLs for refetch — ONE atomic commit:
+
+        - their `seen` rows are removed (so J1 dedup admits them again)
+          with filter maintenance folded in (bloom rebuild / cuckoo
+          targeted delete — the seen-removal invariant);
+        - their documents / doc_signatures / media_signatures rows are
+          removed (the refetch rewrites them; the incremental-index ==
+          batch invariant survives);
+        - their records rows are removed, and entity keys that existed
+          ONLY on those pages leave entity_seen, so the refetch
+          re-extracts and re-records them (same only-from-removed-pages
+          rule as refresh_sitemaps' embeddings prune); keys shared with
+          surviving pages stay seen. Embeddings history is kept — keyed
+          by entity, re-embedding only happens for genuinely new keys;
+        - a PENDING state delta re-opens each URL in the frontier view
+          (latest-wins merge; at equal round the lexicographic state
+          tie-break 'pending' > 'fetched'/'error' resolves in the
+          recrawl's favor — deleted still wins via state_prio).
+
+        fetch_fingerprints is NOT touched: it is the append-only
+        observation history the change-rate estimator lags over.
+
+        targets: any DataFrame with a url_hash column (typically the
+        head of recrawl_scores()). Returns the number of URLs
+        re-enqueued. The next run_round() refetches them under the
+        normal gates/politeness/priority machinery.
+        """
+        spark, io = self.spark, self.io
+        keys = targets.select("url_hash").distinct()
+        seen = io.read(spark, "seen")
+        gone = seen.join(keys, "url_hash", "left_semi").cache()
+        n = gone.count()
+        if n == 0:
+            gone.unpersist()
+            return 0
+        kept = seen.join(keys, "url_hash", "left_anti")
+        doc_keys = keys.withColumnRenamed("url_hash", "doc_id")
+        gone_urls = gone.select("url")
+        records = io.read(spark, "records")
+        rec_gone = records.join(gone_urls, "url", "left_semi")
+        rec_kept = records.join(gone_urls, "url", "left_anti")
+        ekey = lambda df: df.select("site", "entity_key").distinct()  # noqa: E731
+        keys_gone_only = ekey(rec_gone).join(
+            ekey(rec_kept), ["site", "entity_key"], "left_anti"
+        )
+        overwrites = {
+            "seen": kept,
+            "documents": io.read(spark, "documents").join(
+                doc_keys, "doc_id", "left_anti"
+            ),
+            "doc_signatures": io.read(spark, "doc_signatures").join(
+                doc_keys, "doc_id", "left_anti"
+            ),
+            "media_signatures": io.read(spark, "media_signatures").join(
+                doc_keys, "doc_id", "left_anti"
+            ),
+            "records": rec_kept,
+            "entity_seen": io.read(spark, "entity_seen").join(
+                keys_gone_only, ["site", "entity_key"], "left_anti"
+            ),
+        }
+        overwrites = {k: self._w(v) for k, v in overwrites.items()}
+        overwrites.update(self._filter_overwrites_after_removal(gone, kept))
+        rnd = max(io.last_round(), 0)
+        pend = (
+            io.read(spark, "frontier")
+            .join(keys, "url_hash", "left_semi")
+            .select(
+                "url_hash",
+                F.lit(S.PENDING).alias("state"),
+                F.lit(rnd).cast("int").alias("round"),
+            )
+        )
+        io.commit(
+            io.last_round(),
+            appends={"frontier_state": self._w(pend)},
+            overwrites=overwrites,
+        )
+        gone.unpersist()
+        return n
+
     # ---------------------------------------------------- quality feedback
     def doc_quality(self) -> DataFrame:
         """Per-crawled-page curation metrics from the committed
@@ -1266,6 +1411,7 @@ class CrawlEngine:
             "documents",
             "doc_signatures",
             "media_signatures",
+            "fetch_fingerprints",
             "edges",
             "records",
             "entity_seen",

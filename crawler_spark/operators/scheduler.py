@@ -291,6 +291,7 @@ def recrawl_priorities(
     host_col: str = "host",
     ts_col: str = "ts_ms",
     changed_col: str = "changed",
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Freshness-driven recrawl scheduling (Cho & Garcia-Molina's
     change-rate estimator, the published incremental-crawler policy):
@@ -327,12 +328,15 @@ def recrawl_priorities(
     hist = history.select(
         F.col(host_col).alias("host"),
         F.col(url_col).alias("url"),
+        *[F.col(k) for k in extra_keys],
         F.col(ts_col).cast("long").alias("_ts"),
         F.col(changed_col).cast("long").alias("_chg"),
     )
     now = hist.agg(F.max("_ts").alias("now_ms"))
     per_url = (
-        hist.groupBy("host", "url")
+        # extra_keys (e.g. url_hash) are functionally dependent on url;
+        # grouping by them too carries them through without a join
+        hist.groupBy("host", "url", *extra_keys)
         .agg(
             F.count("*").alias("n_obs"),
             F.sum("_chg").alias("n_changes"),

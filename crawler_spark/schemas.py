@@ -273,6 +273,21 @@ DOC_SIGNATURES = T.StructType(
     ]
 )
 
+# per-fetch content fingerprints (engine track_changes=True): one row
+# per successful fetch, APPEND-ONLY ACROSS RECRAWLS — the observation
+# history behind the change-rate recrawl scheduler
+# (scheduler.recrawl_priorities). O(|fetched|) per round.
+FETCH_FINGERPRINTS = T.StructType(
+    [
+        T.StructField("url_hash", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("site", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("content_hash", T.StringType(), False),
+    ]
+)
+
 # incremental MEDIA near-dup index (dedup_index=True): one row per media
 # span occurrence; phash NULL when the payload yields no grams
 MEDIA_SIGNATURES = T.StructType(
