@@ -2254,6 +2254,112 @@ _Q_RECRAWL_SQL = """
 """
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style bigram-LM likelihood (operators/lm.py): the model is
+    trained on the even-md5-bucket HALF of the corpus and scores ALL
+    docs, so the held-out half exercises the OOV smoothing floor
+    (coalesce-to-0 lookup misses). Add-one-smoothed mass in e6 fixed
+    point — pure int64; the one double is a single exact-integer
+    division. The oracle recomputes train + score relationally."""
+    from crawler_spark.functions.text import md5_bucket
+    from crawler_spark.operators.lm import lm_score, train_bigram_lm
+
+    d = _docs_wide(spark, sf_dir)
+    ref = d.filter(md5_bucket(F.col("doc_id")) % 2 == 0)
+    return lm_score(d, model=train_bigram_lm(ref))
+
+
+# train+score shared by lm_score / lm_buckets (model = even-md5 half)
+_LM_SCORED_SQL = r"""
+    words AS (
+        SELECT doc_id,
+               [x for x in string_split_regex(trim(lower(coalesce(text, ''))), '\s+')
+                if x <> ''] AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 2
+                 THEN [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]
+                 ELSE []::VARCHAR[] END) AS bg
+        FROM words
+    ),
+    model AS (
+        SELECT bg, CAST(count(*) AS BIGINT) AS c12
+        FROM grams
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 2 = 0
+        GROUP BY bg
+    ),
+    ctx AS (
+        SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+        FROM model GROUP BY 1
+    ),
+    voc AS (
+        SELECT CAST(count(DISTINCT split_part(bg, ' ', 2)) + 1 AS BIGINT) AS v
+        FROM model
+    ),
+    mass AS (
+        SELECT g.doc_id,
+               (CAST(1000000 AS BIGINT) * (coalesce(m.c12, 0) + 1))
+                   // (coalesce(c.c1, 0) + voc.v) AS mass
+        FROM grams g
+        LEFT JOIN model m USING (bg)
+        LEFT JOIN ctx c ON split_part(g.bg, ' ', 1) = c.w1
+        CROSS JOIN voc
+    ),
+    perdoc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(mass) AS BIGINT) AS mass_e6
+        FROM mass GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT w.doc_id,
+               coalesce(p.n, 0) AS n_bigrams,
+               coalesce(p.mass_e6, 0) AS mass_e6,
+               CASE WHEN coalesce(p.n, 0) > 0
+                    THEN CAST(p.mass_e6 AS DOUBLE) / CAST(p.n AS DOUBLE)
+                    ELSE 0.0 END AS mean_mass_e6
+        FROM words w LEFT JOIN perdoc p USING (doc_id)
+    )
+"""
+
+_Q_LM_SCORE_SQL = "WITH " + _LM_SCORED_SQL + "\n    SELECT * FROM scored"
+
+
+def q_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity buckets: exact global quantile
+    cutoffs of the mean LM mass (1-row agg broadcast — no global sort),
+    bucket 0 = most predictable. percentile == quantile_cont is the
+    same cross-engine definition length_quantiles certified."""
+    from crawler_spark.functions.text import md5_bucket
+    from crawler_spark.operators.lm import (
+        lm_score,
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    d = _docs_wide(spark, sf_dir)
+    ref = d.filter(md5_bucket(F.col("doc_id")) % 2 == 0)
+    return perplexity_buckets(lm_score(d, model=train_bigram_lm(ref)))
+
+
+_Q_LM_BUCKETS_SQL = (
+    "WITH "
+    + _LM_SCORED_SQL
+    + """,
+    cuts AS (
+        SELECT quantile_cont(mean_mass_e6, CAST(0.3333333333333333 AS DOUBLE)) AS c1,
+               quantile_cont(mean_mass_e6, CAST(0.6666666666666666 AS DOUBLE)) AS c2
+        FROM scored
+    )
+    SELECT s.*,
+           CAST((CASE WHEN s.mean_mass_e6 <= c.c1 THEN 1 ELSE 0 END)
+              + (CASE WHEN s.mean_mass_e6 <= c.c2 THEN 1 ELSE 0 END) AS INT) AS bucket
+    FROM scored s CROSS JOIN cuts c
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2330,6 +2436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_corpus": q_canonical_corpus,
         "bm25_topk": q_bm25_topk,
         "recrawl_schedule": q_recrawl_schedule,
+        "lm_score": q_lm_score,
+        "lm_buckets": q_lm_buckets,
     }
 
 
@@ -2397,6 +2505,8 @@ def oracle_sql() -> dict[str, str]:
         "canonical_corpus": _Q_CANONICAL_CORPUS_SQL,
         "bm25_topk": _Q_BM25_SQL,
         "recrawl_schedule": _Q_RECRAWL_SQL,
+        "lm_score": _Q_LM_SCORE_SQL,
+        "lm_buckets": _Q_LM_BUCKETS_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "full_curation",
     "bm25_topk",
     "recrawl_schedule",
+    "lm_score",
 ]
 
 
