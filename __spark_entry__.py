@@ -2360,6 +2360,145 @@ _Q_LM_BUCKETS_SQL = (
 )
 
 
+def q_trap_hosts(spark, sf_dir):
+    """Crawler-trap detection (operators/traps.py): events replay as a
+    40-host frontier where hosts 0-9 expose a machine-generated URL
+    space (repeated segments, digit-churned ids, calendar segments,
+    param spam) and hosts 10-39 an editorial one. The oracle recomputes
+    the FEATURES from the URL string with SQL regex/list ops, then the
+    per-host profile and verdicts — full-pipeline certification. All
+    ratios are single divisions of exact int64 aggregates."""
+    from crawler_spark.operators.traps import host_trap_profile, trap_hosts
+
+    e = _t(spark, sf_dir, "events")
+    hid = F.pmod(F.col("event_id"), F.lit(40))
+    host = F.concat(
+        F.lit("h"), F.lpad(hid.cast("string"), 3, "0"), F.lit(".example.com")
+    )
+    seg = F.concat(F.lit("c"), F.pmod(F.col("event_id"), F.lit(7)).cast("string"))
+    trap = hid < 10
+    path = F.when(
+        trap,
+        F.concat(
+            F.lit("/"), seg, F.lit("/"), seg,
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit("/2021-05")
+            ).otherwise(F.lit("")),
+            F.lit("/p"), F.pmod(F.col("event_id"), F.lit(100000)).cast("string"),
+        ),
+    ).otherwise(
+        # editorial space: digit-free segments (translate digits to
+        # letters) so the path IS its own template — explosion 1
+        F.concat(
+            F.lit("/"),
+            F.translate(seg, "0123456789", "abcdefghij"),
+            F.lit("/p"),
+            F.translate(
+                F.pmod(F.col("event_id"), F.lit(50)).cast("string"),
+                "0123456789",
+                "abcdefghij",
+            ),
+        )
+    )
+    query = F.when(
+        trap,
+        F.concat(
+            F.lit("?s="), F.pmod(F.col("event_id"), F.lit(9999)).cast("string"),
+            F.lit("&t=1&u=2&v=3"),
+        ),
+    ).otherwise(
+        F.when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit("?ref=1")).otherwise(
+            F.lit("")
+        )
+    )
+    urls = e.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path, query).alias("url"),
+    )
+    return trap_hosts(
+        host_trap_profile(urls),
+        min_urls=20,
+        max_mean_params=2.0,
+        max_repeat_frac=0.5,
+        max_explosion=10.0,
+    )
+
+
+_Q_TRAP_HOSTS_SQL = r"""
+    WITH urls AS (
+        SELECT 'h' || lpad((event_id % 40)::VARCHAR, 3, '0')
+                   || '.example.com' AS host,
+               'https://h' || lpad((event_id % 40)::VARCHAR, 3, '0')
+                   || '.example.com'
+                   || (CASE WHEN event_id % 40 < 10
+                       THEN '/c' || (event_id % 7)::VARCHAR
+                            || '/c' || (event_id % 7)::VARCHAR
+                            || (CASE WHEN event_id % 2 = 0
+                                THEN '/2021-05' ELSE '' END)
+                            || '/p' || (event_id % 100000)::VARCHAR
+                       ELSE '/' || translate(('c' || (event_id % 7)::VARCHAR),
+                                             '0123456789', 'abcdefghij')
+                            || '/p' || translate((event_id % 50)::VARCHAR,
+                                                 '0123456789', 'abcdefghij') END)
+                   || (CASE WHEN event_id % 40 < 10
+                       THEN '?s=' || (event_id % 9999)::VARCHAR || '&t=1&u=2&v=3'
+                       WHEN event_id % 3 = 0 THEN '?ref=1'
+                       ELSE '' END) AS url
+        FROM events
+    ),
+    feats AS (
+        SELECT host, url,
+               regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) AS path,
+               regexp_extract(url, '\?([^#]*)', 1) AS q
+        FROM urls
+    ),
+    f2 AS (
+        SELECT host, url, path,
+               [x for x in string_split(path, '/') if x <> ''] AS segs,
+               CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END AS n_params,
+               regexp_matches(path,
+                   '/(19|20)[0-9]{2}[-/](0?[1-9]|1[0-2])([-/](0?[1-9]|[12][0-9]|3[01]))?'
+               ) AS has_date,
+               regexp_replace(path, '[0-9]+', 'N', 'g') AS template
+        FROM feats
+    ),
+    prof AS (
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(max(len(segs)) AS BIGINT) AS max_depth,
+               CAST(sum(len(segs)) AS BIGINT) AS sum_depth,
+               CAST(sum(n_params) AS BIGINT) AS sum_params,
+               CAST(sum(CASE WHEN len(segs) > len(list_distinct(segs))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+               CAST(sum(CASE WHEN has_date THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
+               CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+               CAST(count(DISTINCT template) AS BIGINT) AS n_templates
+        FROM f2 GROUP BY host
+    ),
+    ratios AS (
+        SELECT host, n_urls, max_depth,
+               CAST(sum_depth AS DOUBLE) / CAST(n_urls AS DOUBLE) AS mean_depth,
+               CAST(sum_params AS DOUBLE) / CAST(n_urls AS DOUBLE) AS mean_params,
+               CAST(n_repeat AS DOUBLE) / CAST(n_urls AS DOUBLE) AS repeat_frac,
+               CAST(n_date AS DOUBLE) / CAST(n_urls AS DOUBLE) AS date_frac,
+               n_paths, n_templates,
+               CAST(n_paths AS DOUBLE)
+                   / CAST(greatest(n_templates, 1) AS DOUBLE) AS explosion
+        FROM prof
+    )
+    SELECT *,
+           (n_urls >= 20 AND mean_depth > 8.0) AS deep,
+           (n_urls >= 20 AND mean_params > 2.0) AS param_heavy,
+           (n_urls >= 20 AND repeat_frac > 0.5) AS repetitive,
+           (n_urls >= 20 AND date_frac > 0.5) AS calendar,
+           (n_urls >= 20 AND explosion > 10.0) AS exploding,
+           (n_urls >= 20 AND (mean_depth > 8.0 OR mean_params > 2.0
+               OR repeat_frac > 0.5 OR date_frac > 0.5 OR explosion > 10.0)
+           ) AS is_trap
+    FROM ratios
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2437,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "recrawl_schedule": q_recrawl_schedule,
         "lm_score": q_lm_score,
+        "trap_hosts": q_trap_hosts,
         "lm_buckets": q_lm_buckets,
     }
 
@@ -2507,6 +2647,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_schedule": _Q_RECRAWL_SQL,
         "lm_score": _Q_LM_SCORE_SQL,
         "lm_buckets": _Q_LM_BUCKETS_SQL,
+        "trap_hosts": _Q_TRAP_HOSTS_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

@@ -1397,6 +1397,37 @@ class CrawlEngine:
             self._write_control(bad, paused=True)
         return bad
 
+    def trap_report(self, exact: bool = True, **thresholds) -> DataFrame:
+        """Crawler-trap verdicts per (host, site) over the FULL frontier
+        base (pending + fetched: the URL SPACE a host exposed, which is
+        exactly what a trap inflates). One groupBy(host, site) shuffle;
+        see operators/traps.py for signals and thresholds."""
+        from crawler_spark.operators.traps import host_trap_profile, trap_hosts
+
+        prof = host_trap_profile(
+            self.io.read(self.spark, "frontier"),
+            exact=exact,
+            extra_keys=("site",),
+        )
+        return trap_hosts(prof, **thresholds)
+
+    def pause_trap_sites(self, exact: bool = True, **thresholds) -> list[str]:
+        """Pause every site at least one of whose hosts trips the trap
+        verdict — the frontier-shape analog of quality-driven pausing
+        (same soft-block semantic: pending URLs stay, resume_site
+        reverses). One atomic control commit; returns sites sorted."""
+        bad = sorted(
+            r["site"]
+            for r in self.trap_report(exact=exact, **thresholds)
+            .filter("is_trap")
+            .select("site")
+            .distinct()
+            .collect()
+        )
+        if bad:
+            self._write_control(bad, paused=True)
+        return bad
+
     def maintain(self, max_paths: int = 32) -> None:
         """Snapshot maintenance (Iceberg rewrite_data_files analog):
         compact append tables whose delta-path lists grew past
