@@ -2499,6 +2499,99 @@ _Q_TRAP_HOSTS_SQL = r"""
 """
 
 
+def q_mixture_weights(spark, sf_dir):
+    """Temperature mixture weights per language (operators/mixing.py):
+    exact int64 token counts, alpha=0.5 tempered integer weights
+    (floor(sqrt(tokens*10^6)) — IEEE sqrt is correctly rounded, so the
+    floor is deterministic in both engines), shares as single
+    divisions of exact sums. The multilingual-sampling recipe
+    (p^alpha) the reference has no notion of."""
+    from crawler_spark.operators.mixing import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+_Q_MIXTURE_WEIGHTS_SQL = r"""
+    WITH toks AS (
+        SELECT lang AS stratum,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        FROM documents
+    ),
+    per AS (
+        SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS tokens
+        FROM toks GROUP BY stratum
+    ),
+    w AS (
+        SELECT *,
+               CAST(floor(sqrt(CAST(tokens * 1000000 AS DOUBLE))) AS BIGINT)
+                   AS weight
+        FROM per
+    )
+    SELECT stratum, n_docs, tokens,
+           CAST(tokens AS DOUBLE)
+               / CAST((SELECT CAST(sum(tokens) AS BIGINT) FROM w) AS DOUBLE) AS p,
+           weight,
+           CAST(weight AS DOUBLE)
+               / CAST((SELECT CAST(sum(weight) AS BIGINT) FROM w) AS DOUBLE) AS share
+    FROM w
+"""
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget corpus selection (operators/mixing.py): a 15k-token
+    global budget split across languages by the tempered weights, then
+    longest-documents-first greedy selection per language (n_chars as
+    the ordering score; md5-hash + doc_id tiebreak). Budgets are pure
+    integer floor-divisions; the running token sum is one
+    stratum-partitioned window."""
+    from crawler_spark.operators.mixing import token_budget_select
+
+    return token_budget_select(
+        _t(spark, sf_dir, "documents"), budget=15_000, order_col="n_chars"
+    )
+
+
+_Q_TOKEN_BUDGET_MIX_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, lang AS stratum, n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens
+        FROM documents
+    ),
+    per AS (
+        SELECT stratum, CAST(sum(tokens) AS BIGINT) AS tokens
+        FROM toks GROUP BY stratum
+    ),
+    w AS (
+        SELECT stratum,
+               CAST(floor(sqrt(CAST(tokens * 1000000 AS DOUBLE))) AS BIGINT)
+                   AS weight
+        FROM per
+    ),
+    b AS (
+        SELECT stratum,
+               (weight * 15000)
+                   // (SELECT CAST(sum(weight) AS BIGINT) FROM w) AS token_budget
+        FROM w
+    ),
+    ranked AS (
+        SELECT t.doc_id, t.stratum, CAST(t.tokens AS BIGINT) AS tokens,
+               b.token_budget,
+               CAST(sum(t.tokens) OVER (
+                   PARTITION BY t.stratum
+                   ORDER BY t.n_chars DESC,
+                            ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::UBIGINT,
+                            t.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM toks t JOIN b USING (stratum)
+    )
+    SELECT doc_id, stratum, tokens, cum_tokens, token_budget
+    FROM ranked WHERE cum_tokens <= token_budget
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2578,6 +2671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "trap_hosts": q_trap_hosts,
         "lm_buckets": q_lm_buckets,
+        "mixture_weights": q_mixture_weights,
+        "token_budget_mix": q_token_budget_mix,
     }
 
 
@@ -2648,6 +2743,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _Q_LM_SCORE_SQL,
         "lm_buckets": _Q_LM_BUCKETS_SQL,
         "trap_hosts": _Q_TRAP_HOSTS_SQL,
+        "mixture_weights": _Q_MIXTURE_WEIGHTS_SQL,
+        "token_budget_mix": _Q_TOKEN_BUDGET_MIX_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }
