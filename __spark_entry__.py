@@ -2592,6 +2592,51 @@ _Q_TOKEN_BUDGET_MIX_SQL = r"""
 """
 
 
+def q_fetch_plan(spark, sf_dir):
+    """Snake-LPT fetch-slot planning (scheduler.plan_fetch_partitions):
+    events roll up to 500 hosts with exact-integer costs (pending-URL
+    count + event_id-derived weight), then hosts spread over 16 worker
+    bins by descending cost with the boustrophedon fold. Rank and bin
+    are pure integer functions of the total order, so the oracle
+    recomputes them with row_number + the same mod-fold arithmetic."""
+    from crawler_spark.operators.scheduler import plan_fetch_partitions
+
+    e = _t(spark, sf_dir, "events")
+    hosts = (
+        e.groupBy(
+            F.concat(
+                F.lit("h"),
+                F.lpad(F.pmod(F.col("event_id"), F.lit(500)).cast("string"), 3, "0"),
+                F.lit(".example.com"),
+            ).alias("host")
+        )
+        .agg(
+            (F.count(F.lit(1)) + F.sum(F.pmod(F.col("event_id"), F.lit(97))))
+            .alias("cost")
+        )
+    )
+    return plan_fetch_partitions(hosts, n_bins=16)
+
+
+_Q_FETCH_PLAN_SQL = r"""
+    WITH hosts AS (
+        SELECT 'h' || lpad((event_id % 500)::VARCHAR, 3, '0')
+                   || '.example.com' AS host,
+               CAST(count(*) + sum(event_id % 97) AS BIGINT) AS cost
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT host, cost,
+               CAST(row_number() OVER (ORDER BY cost DESC, host) AS BIGINT) AS rank
+        FROM hosts
+    )
+    SELECT host, cost, rank,
+           CAST(CASE WHEN (rank - 1) % 32 < 16 THEN (rank - 1) % 32
+                ELSE 31 - ((rank - 1) % 32) END AS INTEGER) AS bin
+    FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2673,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_buckets": q_lm_buckets,
         "mixture_weights": q_mixture_weights,
         "token_budget_mix": q_token_budget_mix,
+        "fetch_plan": q_fetch_plan,
     }
 
 
@@ -2745,6 +2791,7 @@ def oracle_sql() -> dict[str, str]:
         "trap_hosts": _Q_TRAP_HOSTS_SQL,
         "mixture_weights": _Q_MIXTURE_WEIGHTS_SQL,
         "token_budget_mix": _Q_TOKEN_BUDGET_MIX_SQL,
+        "fetch_plan": _Q_FETCH_PLAN_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

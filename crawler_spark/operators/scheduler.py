@@ -360,3 +360,73 @@ def recrawl_priorities(
         .filter(F.col("rank_in_host") <= F.lit(budget))  # WindowGroupLimit
         .withColumn("rank_in_host", F.col("rank_in_host").cast("int"))
     )
+
+
+def plan_fetch_partitions(
+    host_costs: DataFrame,
+    n_bins: int,
+    cost_col: str = "cost",
+    host_col: str = "host",
+    persist_registry: list | None = None,
+    expected_rows: int | None = None,
+) -> DataFrame:
+    """Snake-LPT fetch-slot planner: spread hosts over n_bins worker
+    bins so per-bin total cost (expected fetch seconds: pending URLs x
+    crawl-delay, bytes, whatever the caller prices) is balanced.
+
+    Classic LPT (sort by cost desc, give each item to the currently
+    lightest bin) is a 4/3-approximation but inherently sequential; the
+    snake variant keeps the sort and replaces "lightest bin" with a
+    boustrophedon sweep — rank r (1-based, cost desc) goes to bin
+    idx = (r-1) mod 2n, folded (idx < n ? idx : 2n-1-idx) — so each
+    full sweep deals every bin exactly two hosts whose costs face
+    opposite ends of the sorted window. Fully vectorized, one total
+    order + a per-row expression; balance is within one max-host-cost
+    of even for any cost distribution (each sweep adds the same row
+    pair count per bin; imbalance never accumulates across sweeps).
+
+    The total order reuses the scheduler's two-phase assigner above
+    SMALL_ORDER_ROWS (no single-partition window at 10^7-10^8 hosts);
+    below it, the one-job window. Both paths produce the identical
+    rank, so the output is partition-count- and path-invariant.
+
+    Output: host, cost, rank (1-based in cost-desc order), bin.
+    Downstream: `df.repartition(n_bins, "bin")` co-locates each bin's
+    hosts into one task — the fetch analog of the salt repartition,
+    but cost-aware instead of hash-uniform.
+    """
+    base = host_costs.select(
+        F.col(host_col).alias("host"), F.col(cost_col).cast("long").alias("cost")
+    )
+    order = [F.col("cost").desc(), F.col("host").asc()]
+    n_rows = expected_rows if expected_rows is not None else base.count()
+    if n_rows <= SMALL_ORDER_ROWS:
+        ranked = base.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
+    else:
+        ranked = assign_global_seq(
+            base, order, seq_base=0, persist_registry=persist_registry
+        ).withColumnRenamed("seq", "rank")
+    two_n = 2 * int(n_bins)
+    idx = (F.col("rank") - 1) % two_n
+    return ranked.select(
+        "host",
+        "cost",
+        "rank",
+        F.when(idx < n_bins, idx)
+        .otherwise(two_n - 1 - idx)
+        .cast("int")
+        .alias("bin"),
+    )
+
+
+def bin_loads(plan: DataFrame) -> DataFrame:
+    """Per-bin load summary for a plan_fetch_partitions output:
+    bin, n_hosts, total_cost, max_cost — exact int64 aggregates (one
+    tiny groupBy; bins number executor-slots)."""
+    return plan.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum("cost").alias("total_cost"),
+        F.max("cost").alias("max_cost"),
+    )
