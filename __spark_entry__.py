@@ -45,6 +45,13 @@ def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").repartition(n, "doc_id")
 
 
+def _events_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events, spread across cores — same rationale as _docs_wide for
+    entries with heavy per-row projections (URL synthesis + regexes)."""
+    n = spark.sparkContext.defaultParallelism
+    return _t(spark, sf_dir, "events").repartition(n, "event_id")
+
+
 def _dec(c, scale: int = 6):
     """Exact-sum trick: aggregate in DECIMAL, emit double."""
     return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
@@ -2370,7 +2377,7 @@ def q_trap_hosts(spark, sf_dir):
     ratios are single divisions of exact int64 aggregates."""
     from crawler_spark.operators.traps import host_trap_profile, trap_hosts
 
-    e = _t(spark, sf_dir, "events")
+    e = _events_wide(spark, sf_dir)
     hid = F.pmod(F.col("event_id"), F.lit(40))
     host = F.concat(
         F.lit("h"), F.lpad(hid.cast("string"), 3, "0"), F.lit(".example.com")

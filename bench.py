@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "bm25_topk",
     "recrawl_schedule",
     "lm_score",
+    "trap_hosts",
+    "mixture_weights",
+    "token_budget_mix",
+    "fetch_plan",
 ]
 
 
