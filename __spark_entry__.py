@@ -2644,6 +2644,83 @@ _Q_FETCH_PLAN_SQL = r"""
 """
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (textdedup.cdc_chunks): split every
+    document at local-hash boundaries (w=16 gram, mod 64 -> ~64-char
+    chunks) and fingerprint each chunk. The oracle re-derives cuts,
+    bounds and chunk hashes with DuckDB list comprehensions over the
+    same md5-bucket arithmetic — boundary-exact certification."""
+    from crawler_spark.operators.textdedup import cdc_chunks
+
+    return cdc_chunks(_docs_wide(spark, sf_dir))
+
+
+_CDC_BASE_SQL = r"""
+    WITH base AS (
+        SELECT doc_id,
+               substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                         1, 8192) AS s
+        FROM documents
+        WHERE length(substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                               1, 8192)) > 0
+    ),
+    cutz AS (
+        SELECT doc_id, s,
+               list_filter(generate_series(16, length(s)),
+                   i -> ('0x' || substr(md5(substring(s, i - 15, 16)), 1, 8))::UBIGINT
+                        % 64 = 0
+               ) AS cuts
+        FROM base
+    ),
+    bnd AS (
+        SELECT doc_id, s,
+               list_concat(
+                   list_concat([0], cuts),
+                   CASE WHEN coalesce(cuts[-1], -1) = length(s)
+                        THEN [] ELSE [length(s)] END) AS bounds
+        FROM cutz
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(bounds) - 1)) AS chunk_idx,
+               s, bounds
+        FROM bnd
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(bounds[chunk_idx] + 1 AS BIGINT) AS chunk_pos,
+               CAST(bounds[chunk_idx + 1] - bounds[chunk_idx] AS BIGINT) AS chunk_len,
+               md5(substring(s, bounds[chunk_idx] + 1,
+                             bounds[chunk_idx + 1] - bounds[chunk_idx])) AS chunk_hash
+        FROM ch
+    )
+"""
+
+_Q_CDC_CHUNKS_SQL = _CDC_BASE_SQL + "    SELECT * FROM chunks"
+
+
+def q_cdc_dedup(spark, sf_dir):
+    """Recurring CDC chunks (textdedup.cdc_dup_chunks): chunk hashes
+    seen more than once with >= 24 chars — the shared-span (boilerplate
+    / quoted-block) report document-level dedup cannot produce. One
+    groupBy(chunk_hash) exchange on top of the zero-exchange chunker."""
+    from crawler_spark.operators.textdedup import cdc_dup_chunks
+
+    return cdc_dup_chunks(_docs_wide(spark, sf_dir))
+
+
+_Q_CDC_DEDUP_SQL = _CDC_BASE_SQL + r"""
+    SELECT chunk_hash, chunk_len,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST((count(*) - 1) * chunk_len AS BIGINT) AS dup_chars
+    FROM chunks
+    WHERE chunk_len >= 24
+    GROUP BY chunk_hash, chunk_len
+    HAVING count(*) > 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2726,6 +2803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "token_budget_mix": q_token_budget_mix,
         "fetch_plan": q_fetch_plan,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_dedup": q_cdc_dedup,
     }
 
 
@@ -2799,6 +2878,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": _Q_MIXTURE_WEIGHTS_SQL,
         "token_budget_mix": _Q_TOKEN_BUDGET_MIX_SQL,
         "fetch_plan": _Q_FETCH_PLAN_SQL,
+        "cdc_chunks": _Q_CDC_CHUNKS_SQL,
+        "cdc_dedup": _Q_CDC_DEDUP_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

@@ -323,6 +323,22 @@ def bench_queries(spark) -> dict[str, float]:
         out["simhash_near_dup_cached"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(sig_dir, ignore_errors=True)
+    # CDC chunk dedup, production (Gear rolling hash) impl — the
+    # certified md5 formulation is oracle-gated but pays an interpreted
+    # md5 per character; this is the path a cluster would run
+    from crawler_spark.operators.textdedup import cdc_chunks_gear
+
+    t0 = time.time()
+    ch = cdc_chunks_gear(entrymod._docs_wide(spark, SF_DIR)).filter(
+        "chunk_len >= 24"
+    )
+    (
+        ch.groupBy("chunk_hash", "chunk_len")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    out["cdc_dedup_gear"] = round(time.time() - t0, 3)
     return out
 
 

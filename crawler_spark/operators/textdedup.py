@@ -550,3 +550,216 @@ def contamination_check(
             (F.col("n_shared_ngrams") >= min_overlap).alias("contaminated"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    w: int = 16,
+    mod: int = 64,
+    text_col: str = "text",
+    max_len: int = 8192,
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where
+    a local w-gram hash satisfies hash % mod == 0 (expected chunk size
+    ~= mod chars), fingerprint each chunk — the storage-dedup primitive
+    (LBFS/rsync lineage) applied to text: because every boundary is a
+    pure function of the w characters ending at it, inserting or
+    deleting a prefix shifts the TEXT but not the boundaries' content
+    positions, so all chunks outside the edit region keep their hashes
+    (shift-resistant, unlike fixed-size blocks). Chunk-level dedup then
+    finds shared SPANS (boilerplate, quoted blocks, mirrored sections)
+    that document-level exact/minhash dedup cannot isolate.
+
+    Output: (doc_id, chunk_idx, chunk_pos, chunk_len, chunk_hash) —
+    chunk_idx 1-based in document order, chunk_pos the 1-based start
+    offset in the normalized text.
+
+    Implementation: the per-position gram hash reuses the winnowing
+    substring+md5 idiom (one md5 per position, JVM-side, certifiable in
+    SQL); production at 100 TB swaps in a Gear/Rabin rolling hash over
+    bytes via a batched pandas_udf if the md5-per-position CPU cost
+    bites — the boundary SEMANTICS (local-window content hash mod
+    divisor) and everything downstream stay identical. max_len bounds
+    per-row array memory exactly as winnow_fingerprints does. Scale
+    shape: pure per-row array expressions + one explode — ZERO
+    exchanges; dedup adds one groupBy(chunk_hash).
+
+    No reference counterpart (the reference dedups whole pages by URL,
+    crawler.py:92-104); this serves the chunk-dedup stage of a
+    training-data pipeline.
+    """
+    norm = F.substring(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), 1, max_len
+    )
+    base = docs.select("doc_id", norm.alias("s")).filter(F.length("s") > 0)
+    # cut AFTER position i (i >= w) when the w-gram ending at i hashes
+    # to 0 mod `mod`; md5_bucket idiom: first 8 md5 hex chars as int
+    cuts = F.filter(
+        F.sequence(F.lit(w), F.length("s")),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(F.col("s"), i - F.lit(w - 1), F.lit(w))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % mod
+        == 0,
+    )
+    # bounds = [0, cut..., len] with a trailing duplicate dropped when
+    # the last cut already equals len
+    bounds = F.concat(
+        F.array(F.lit(0)),
+        cuts,
+        F.when(
+            # try_element_at: NULL (not an error) on the empty cut list
+            F.coalesce(F.try_element_at(cuts, F.lit(-1)), F.lit(-1)) == F.length("s"),
+            F.array().cast("array<int>"),
+        ).otherwise(F.array(F.length("s"))),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - F.lit(1)),
+        lambda j: F.struct(
+            j.cast("long").alias("chunk_idx"),
+            (F.element_at(bounds, j) + F.lit(1)).cast("long").alias("chunk_pos"),
+            (F.element_at(bounds, j + F.lit(1)) - F.element_at(bounds, j))
+            .cast("long")
+            .alias("chunk_len"),
+            F.md5(
+                F.substring(
+                    F.col("s"),
+                    F.element_at(bounds, j) + F.lit(1),
+                    F.element_at(bounds, j + F.lit(1)) - F.element_at(bounds, j),
+                )
+            ).alias("chunk_hash"),
+        ),
+    )
+    return base.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.chunk_pos", "c.chunk_len", "c.chunk_hash"
+    )
+
+
+def cdc_dup_chunks(
+    docs: DataFrame,
+    w: int = 16,
+    mod: int = 64,
+    text_col: str = "text",
+    max_len: int = 8192,
+    min_chunk_len: int = 24,
+) -> DataFrame:
+    """Chunks whose content recurs across the corpus: group cdc_chunks
+    by hash, keep hashes seen more than once with at least
+    min_chunk_len chars (tiny chunks collide on common phrases and are
+    not worth deduplicating). Output: (chunk_hash, chunk_len, n_docs,
+    n_occurrences, dup_chars) with dup_chars = chars saved if all
+    copies but one were dropped. ONE exchange (groupBy chunk_hash)."""
+    ch = cdc_chunks(docs, w=w, mod=mod, text_col=text_col, max_len=max_len).filter(
+        F.col("chunk_len") >= min_chunk_len
+    )
+    return (
+        ch.groupBy("chunk_hash", "chunk_len")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .withColumn(
+            "dup_chars", (F.col("n_occurrences") - 1) * F.col("chunk_len")
+        )
+    )
+
+
+def _gear_table() -> "object":
+    """Fixed 256-entry uint64 Gear table, seeded deterministically
+    (splitmix64 over the index) so every executor and every run agrees."""
+    import numpy as np
+
+    idx = np.arange(256, dtype=np.uint64)
+    z = (idx + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def cdc_chunks_gear(
+    docs: DataFrame,
+    w: int = 16,
+    mod: int = 64,
+    text_col: str = "text",
+    max_len: int = 8192,
+) -> DataFrame:
+    """The production CDC chunker: identical contract and output schema
+    to cdc_chunks, but boundaries come from a vectorized Gear rolling
+    hash (LBFS/FastCDC lineage) instead of md5-per-position.
+
+    Why two impls: the md5 formulation is certifiable against the SQL
+    oracle but pays one interpreted md5 per character (higher-order
+    array lambdas break whole-stage codegen); Gear is a 64-tap
+    shifted-sum over a fixed byte table — h_t = sum_{j<64}
+    table[c_{t-j}] << j (mod 2^64) — computed here as 64 whole-array
+    numpy adds per document inside an Arrow-batched mapInPandas:
+    O(64·n) vector ops, ~100x less per-char work. Boundary positions
+    differ between the impls (different hash function — immaterial to
+    CDC semantics); the tiling / shift-resistance / expected-chunk-size
+    properties are pinned for BOTH in tests, and the certified md5
+    path stays the oracle twin.
+
+    Positions are in CHARACTERS (the text is mapped to one table index
+    per code point, so multi-byte scripts chunk identically to the md5
+    path's character arithmetic); only positions >= w are boundary
+    candidates, mirroring cdc_chunks' warm-up region.
+    """
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("chunk_idx", T.LongType()),
+            T.StructField("chunk_pos", T.LongType()),
+            T.StructField("chunk_len", T.LongType()),
+            T.StructField("chunk_hash", T.StringType()),
+        ]
+    )
+    ws = _re.compile(r"\s+")
+    table = _gear_table()
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def chunk_batches(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "chunk_idx", "chunk_pos", "chunk_len", "chunk_hash")}
+            for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf[text_col]):
+                if text is None:
+                    continue
+                s = ws.sub(" ", text.strip().lower())[:max_len]
+                n = len(s)
+                if n == 0:
+                    continue
+                codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                v = table[codes & np.uint32(0xFF)]
+                acc = np.zeros(n, dtype=np.uint64)
+                for j in range(min(64, n)):
+                    acc[j:] = (acc[j:] + (v[: n - j] << np.uint64(j))) & mask
+                # 1-based positions; warm-up region < w never cuts
+                cut_mask = acc % np.uint64(mod) == 0
+                cut_mask[: w - 1] = False
+                cuts = np.flatnonzero(cut_mask) + 1
+                bounds = [0] + [int(c) for c in cuts]
+                if bounds[-1] != n:
+                    bounds.append(n)
+                for idx in range(1, len(bounds)):
+                    lo, hi = bounds[idx - 1], bounds[idx]
+                    out["doc_id"].append(int(doc_id))
+                    out["chunk_idx"].append(idx)
+                    out["chunk_pos"].append(lo + 1)
+                    out["chunk_len"].append(hi - lo)
+                    out["chunk_hash"].append(
+                        hashlib.md5(s[lo:hi].encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", text_col).mapInPandas(chunk_batches, out_schema)
