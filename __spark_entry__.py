@@ -2721,6 +2721,97 @@ _Q_CDC_DEDUP_SQL = _CDC_BASE_SQL + r"""
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance-weight table (Xie et al. 2023): hashed
+    unigram+bigram bucket histograms of the target (lang='en' — select
+    raw web data that looks like the target domain) and the raw corpus,
+    Laplace-smoothed odds-ratio weight per bucket in exact int128
+    fixed-point (DECIMAL(38,0) div == DuckDB HUGEINT //). Two bounded
+    histograms + one tiny full-outer join; the corpus never self-joins."""
+    from crawler_spark.operators.dsir import dsir_weights
+
+    d = _docs_wide(spark, sf_dir)
+    return dsir_weights(d.filter(F.col("lang") == "en"), d, n_buckets=1024)
+
+
+# shared DuckDB spelling of the DSIR weight table (twin of
+# operators/dsir.py::dsir_weights at n_buckets=1024, target lang='en')
+_DSIR_WEIGHTS_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+            [x for x in string_split_regex(trim(lower(coalesce(text, ''))),
+                                           '\s+')
+             if x <> ''] AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+            w || CASE WHEN len(w) >= 2
+                 THEN list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i + 1])
+                 ELSE CAST([] AS VARCHAR[]) END AS g
+        FROM toks
+    ),
+    gb AS (
+        SELECT doc_id, lang,
+            CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % 1024
+                 AS BIGINT) AS bucket
+        FROM grams, unnest(g) AS t(x)
+    ),
+    tc AS (SELECT bucket, count(*) AS t_cnt FROM gb
+           WHERE lang = 'en' GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS r_cnt FROM gb GROUP BY bucket),
+    j AS (
+        SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+               CAST(coalesce(t_cnt, 0) AS BIGINT) AS t_cnt,
+               CAST(coalesce(r_cnt, 0) AS BIGINT) AS r_cnt
+        FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
+    ),
+    tot AS (SELECT CAST(sum(t_cnt) AS BIGINT) AS t_tot,
+                   CAST(sum(r_cnt) AS BIGINT) AS r_tot FROM j),
+    dsir_w AS (
+        SELECT bucket, t_cnt, r_cnt,
+            CAST((1000000::HUGEINT * (t_cnt + 1) * (r_tot + 1024))
+                 // ((r_cnt + 1)::HUGEINT * (t_tot + 1024))
+                 AS BIGINT) AS weight
+        FROM j, tot
+    )
+"""
+
+_Q_DSIR_WEIGHTS_SQL = _DSIR_WEIGHTS_SQL + "    SELECT * FROM dsir_w"
+
+
+def q_dsir_select(spark, sf_dir):
+    """End-to-end DSIR selection: score every raw doc by the summed
+    bucket weight of its hashed grams (one corpus pass, weight table
+    broadcast) and keep the top 100 (TakeOrderedAndProject — no global
+    sort exchange). score is an exact int64 sum; mean_w a single
+    division. Deterministic ties on doc_id."""
+    from crawler_spark.operators.dsir import dsir_select
+
+    d = _docs_wide(spark, sf_dir)
+    return dsir_select(d, d.filter(F.col("lang") == "en"), k=100,
+                       n_buckets=1024)
+
+
+_Q_DSIR_SELECT_SQL = _DSIR_WEIGHTS_SQL + r"""
+    , s AS (
+        SELECT t.doc_id,
+            CAST(count(gb.bucket) AS BIGINT) AS n_grams,
+            CAST(coalesce(sum(w.weight), 0) AS BIGINT) AS score
+        FROM toks t
+        LEFT JOIN gb ON gb.doc_id = t.doc_id
+        LEFT JOIN dsir_w w ON w.bucket = gb.bucket
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_grams, score,
+        CASE WHEN n_grams > 0
+             THEN CAST(score AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             ELSE 0.0 END AS mean_w
+    FROM s ORDER BY score DESC, doc_id ASC LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2805,6 +2896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_plan": q_fetch_plan,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dedup": q_cdc_dedup,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -2880,6 +2973,8 @@ def oracle_sql() -> dict[str, str]:
         "fetch_plan": _Q_FETCH_PLAN_SQL,
         "cdc_chunks": _Q_CDC_CHUNKS_SQL,
         "cdc_dedup": _Q_CDC_DEDUP_SQL,
+        "dsir_weights": _Q_DSIR_WEIGHTS_SQL,
+        "dsir_select": _Q_DSIR_SELECT_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

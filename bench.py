@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "mixture_weights",
     "token_budget_mix",
     "fetch_plan",
+    "dsir_select",
 ]
 
 
