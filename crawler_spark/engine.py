@@ -1372,6 +1372,145 @@ class CrawlEngine:
             F.sum((F.col("logit") > 0).cast("long")).alias("n_pos_docs"),
         )
 
+    def training_export(
+        self,
+        capacity: int = 2048,
+        media_tokens: int = 16,
+        min_words: int = 30,
+        max_dup_2gram: float = 0.3,
+        min_logit: int = 1,
+        langs: tuple[str, ...] | None = None,
+        require_lang: bool = True,
+        sep_tokens: int = 1,
+    ) -> DataFrame:
+        """Crawl -> training corpus in one call: curate the committed
+        interleaved documents (PII redaction, Gopher word/repetition
+        gates, linear-classifier gate, optional language allowlist,
+        exact-dup collapse) and pack the survivors into fixed
+        `capacity`-token context windows — the complete path from "the
+        crawler fetched pages" to "a multimodal LM packing writer can
+        emit sequences". The reference stops at uploading raw pages
+        (crawler.py:1040-1120); this is the training-data half the
+        north rule's interleaved payload exists for.
+
+        Interleaved packing: a doc's token budget = visible-text words
+        + `media_tokens` placeholder tokens per media span (the
+        standard interleaved-LM recipe — each image/audio ref occupies
+        a fixed patch-token budget in the stream). media_refs ride
+        through so the writer can substitute real encoder tokens.
+
+        Output: one row per KEPT document — url_hash, site, url,
+        n_words, n_media, media_refs, logit, pred_lang, n_copies (how
+        many exact dups it canonicalizes), n_tokens, start_offset,
+        end_offset, first_bin, last_bin, n_bins. Windows are dense
+        0..ceil(total/capacity)-1 in url_hash order.
+
+        Scale shape: one documents scan with every per-doc metric in a
+        single Generate-barriered projection (full_curation's pushdown
+        lesson, functions/text.py:163), gates applied map-side, ONE
+        fingerprint exchange for the dup collapse, then the two-phase
+        prefix-sum pack (range shuffle + broadcast offsets — no
+        single-partition window). No joins against the corpus.
+        """
+        from crawler_spark.functions.pii import redact_expr
+        from crawler_spark.functions.text import (
+            WS_RE,
+            _collapse_exact_dups,
+            _word_ngrams,
+            hash_logit,
+            pack_sequences,
+            predict_lang,
+            fingerprint,
+        )
+        from crawler_spark.operators.textdedup import doc_text
+
+        d = self.io.read(self.spark, "documents")
+        # media spans have media_ref set; text/meta spans carry NULL or
+        # '' depending on the writer — treat both as "no ref"
+        media_refs = F.transform(
+            F.filter(
+                F.col("spans"),
+                lambda s: s["media_ref"].isNotNull()
+                & (s["media_ref"] != F.lit("")),
+            ),
+            lambda s: s["media_ref"],
+        )
+        staged = d.select(
+            F.col("doc_id").alias("url_hash"),
+            "site",
+            "url",
+            redact_expr(doc_text()).alias("red_text"),
+            media_refs.alias("media_refs"),
+        )
+        words = F.filter(
+            F.split(F.trim(F.lower(F.col("red_text"))), WS_RE),
+            lambda x: x != "",
+        )
+        staged = staged.withColumn("w", words).withColumn(
+            "g2", _word_ngrams(F.col("w"), 2)
+        )
+        t2 = F.size("g2")
+        dup2 = F.when(
+            t2 > 0,
+            (t2 - F.size(F.array_distinct("g2"))).cast("double")
+            / t2.cast("double"),
+        ).otherwise(F.lit(0.0))
+        # Generate barrier: keeps the gate filter above the staged
+        # projections (see full_curation's measured O(words^2) blowup)
+        metrics = F.explode(
+            F.array(
+                F.struct(
+                    F.size("w").cast("long").alias("n_words"),
+                    dup2.alias("dup_2gram_frac"),
+                    hash_logit(F.col("w")).alias("logit"),
+                    predict_lang(F.col("red_text")).alias("pred_lang"),
+                    fingerprint(F.col("red_text")).alias("fingerprint"),
+                )
+            )
+        )
+        prof = staged.select(
+            "url_hash", "site", "url", "media_refs", metrics.alias("m")
+        ).select(
+            "url_hash",
+            "site",
+            "url",
+            "media_refs",
+            F.size("media_refs").cast("long").alias("n_media"),
+            "m.*",
+        )
+        gate = (
+            (F.col("n_words") >= min_words)
+            & (F.col("dup_2gram_frac") <= max_dup_2gram)
+            & (F.col("logit") >= min_logit)
+        )
+        if require_lang:
+            # full_curation's default: drop language-undetermined docs
+            # (require_lang=False keeps them — e.g. code/synthetic
+            # corpora the marker lists can't identify)
+            gate = gate & (F.col("pred_lang") != "und")
+        if langs is not None:
+            gate = gate & F.col("pred_lang").isin(*langs)
+        kept = prof.filter(gate).withColumnRenamed("url_hash", "doc_id")
+        canon = _collapse_exact_dups(
+            kept,
+            ["site", "url", "n_words", "logit", "pred_lang", "n_media",
+             "media_refs"],
+        ).withColumnRenamed("doc_id", "url_hash")
+        budget = (
+            F.col("n_words")
+            + F.lit(int(media_tokens)) * F.col("n_media")
+        ).alias("token_budget")
+        canon = canon.withColumn("token_budget", budget)
+        return pack_sequences(
+            canon,
+            capacity=capacity,
+            id_col="url_hash",
+            sep_tokens=sep_tokens,
+            tokens_col="token_budget",
+            keep_cols=("site", "url", "n_words", "n_media", "media_refs",
+                       "logit", "pred_lang", "n_copies"),
+        )
+
     def pause_low_quality_sites(self, min_mean_logit: float = 0.0) -> list[str]:
         """Quality-driven source filtering wired into the control
         plane: pause every site whose mean per-document logit is below

@@ -370,6 +370,8 @@ def pack_sequences(
     id_col: str = "doc_id",
     sep_tokens: int = 1,
     n_parts: int | None = None,
+    tokens_col: str | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sequence packing for LM training: documents are concatenated in
     id order (sep_tokens separator tokens after each doc) into one
@@ -399,9 +401,16 @@ def pack_sequences(
 
     spark = docs.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
-    d = docs.select(
-        F.col(id_col), ws_token_count(F.col(text_col)).alias("n_tokens")
+    # tokens_col: precomputed per-doc token budget (e.g. text tokens +
+    # media placeholder tokens for interleaved docs) instead of
+    # whitespace-counting text_col; keep_cols ride through the packing
+    # unchanged so callers don't need a join to recover attributes.
+    tok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col
+        else ws_token_count(F.col(text_col))
     )
+    d = docs.select(F.col(id_col), tok.alias("n_tokens"), *keep_cols)
     parted = (
         d.repartitionByRange(n_parts, id_col)
         .sortWithinPartitions(id_col)
@@ -455,6 +464,7 @@ def pack_sequences(
         F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
         .otherwise(last_bin - first_bin + 1)
         .alias("n_bins"),
+        *keep_cols,
     )
 
 

@@ -1,0 +1,105 @@
+"""engine.training_export: crawl -> curated, deduped, PACKED
+multimodal training corpus in one call (the composition of the
+curation gates, exact-dup collapse and two-phase sequence packing over
+the committed interleaved documents)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.engine import CrawlEngine
+from crawler_spark.functions.text import pack_sequences
+from crawler_spark.operators.discovery import discover_frontier
+from crawler_spark.world import make_world
+
+MEDIA_TOKENS = 16
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("texport"))
+    world = make_world(seed=17, n_hosts=3, n_urls=15, budget=4, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(spark, root)
+    eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+    eng.run(t, max_rounds=10)
+    return eng
+
+
+def _export(eng, **kw):
+    args = dict(capacity=64, media_tokens=MEDIA_TOKENS, min_words=1,
+                max_dup_2gram=1.0, min_logit=-(10**12), require_lang=False)
+    args.update(kw)
+    return eng.training_export(**args)
+
+
+def test_packing_invariants(spark, crawled):
+    rows = _export(crawled).orderBy("url_hash").collect()
+    assert rows, "crawl produced no exportable documents"
+    docs = crawled.io.read(spark, "documents").count()
+    assert len(rows) <= docs
+    # token budget = words + MEDIA_TOKENS per media span
+    for r in rows:
+        assert r["n_tokens"] == r["n_words"] + MEDIA_TOKENS * r["n_media"]
+        assert r["end_offset"] == r["start_offset"] + r["n_tokens"]
+        assert 0 <= r["first_bin"] <= r["last_bin"]
+        assert r["n_copies"] >= 1
+    # the stream is contiguous in url_hash order with sep_tokens gaps
+    for a, b in zip(rows, rows[1:]):
+        assert b["start_offset"] == a["end_offset"] + 1, (a, b)
+    # dense window ids from 0
+    assert rows[0]["start_offset"] == 0
+    assert rows[0]["first_bin"] == 0
+
+
+def test_media_refs_ride_through(spark, crawled):
+    rows = _export(crawled).collect()
+    with_media = [r for r in rows if r["n_media"] > 0]
+    assert with_media, "synthetic world always embeds media spans"
+    for r in with_media:
+        assert len(r["media_refs"]) == r["n_media"]
+        assert all(ref.startswith("img://") for ref in r["media_refs"])
+    # text-only docs export empty ref arrays, not nulls
+    for r in rows:
+        assert r["media_refs"] is not None
+
+
+def test_gates_apply(spark, crawled):
+    # impossible word bound -> empty corpus, still a valid frame
+    assert _export(crawled, min_words=10**9).count() == 0
+    # language allowlist that matches nothing
+    assert _export(crawled, langs=("zz",)).count() == 0
+
+
+def test_export_is_deterministic(spark, crawled):
+    a = _export(crawled).orderBy("url_hash").collect()
+    b = _export(crawled).orderBy("url_hash").collect()
+    assert a == b
+
+
+def test_pack_sequences_tokens_col_parity(spark):
+    """tokens_col=ws_token_count(text) must pack exactly like the
+    default text path, and keep_cols must ride through unchanged."""
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 7), f"s{i % 3}") for i in range(40)],
+        "doc_id long, text string, site string",
+    )
+    base = pack_sequences(docs, capacity=10).orderBy("doc_id").collect()
+    via_col = (
+        pack_sequences(
+            docs.withColumn(
+                "n",
+                F.size(F.filter(F.split(F.trim("text"), r"\s+"),
+                                lambda x: x != "")).cast("long"),
+            ),
+            capacity=10,
+            tokens_col="n",
+            keep_cols=("site",),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["start_offset"] for r in base] == [
+        r["start_offset"] for r in via_col
+    ]
+    assert [r["n_bins"] for r in base] == [r["n_bins"] for r in via_col]
+    assert all(r["site"] == f"s{r['doc_id'] % 3}" for r in via_col)
