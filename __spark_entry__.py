@@ -2812,6 +2812,197 @@ _Q_DSIR_SELECT_SQL = _DSIR_WEIGHTS_SQL + r"""
 """
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8-style global-scale quantization of the embedding corpus —
+    the 4x-bytes scale lever for every downstream ANN op. floor of one
+    IEEE multiply + one divide per component: bit-identical in SQL."""
+    from crawler_spark.operators.ann import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+_QUANT_CTE = """
+    m AS (SELECT max(list_max(list_transform(embedding::DOUBLE[],
+                                              x -> abs(x)))) AS mx
+          FROM embeddings),
+    q8 AS (
+        SELECT vec_id,
+               [CASE WHEN mx = 0 THEN 0
+                     ELSE floor((x * 127.0) / mx)::BIGINT END
+                for x in embedding::DOUBLE[]] AS qv
+        FROM embeddings, m
+    )
+"""
+_Q_QUANTIZE_SQL = f"WITH {_QUANT_CTE} SELECT vec_id, qv FROM q8"
+
+
+def q_quantized_topk(spark, sf_dir):
+    """ANN over the int8-quantized corpus: EXACT int64 inner-product
+    ranking (query batch broadcast; corpus never shuffles)."""
+    from crawler_spark.operators.ann import quantized_topk
+
+    return quantized_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+    )
+
+
+_Q_QUANTIZED_TOPK_SQL = f"""
+    WITH {_QUANT_CTE},
+    q AS (SELECT vec_id AS query_id, qv AS qa FROM q8
+          WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CAST(list_dot_product(e.qv::DOUBLE[], q.qa::DOUBLE[])
+                    AS BIGINT) AS iscore
+        FROM q8 e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, rank, neighbor_id, iscore FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY iscore DESC, neighbor_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): cluster-bounded semantic dedup —
+    cosine pairs form only inside a cluster, min-id canonical kept.
+    Deterministic first-16 centroids keep the SQL twin exact; a
+    kmeans_train codebook drops in via `centroids` at scale."""
+    from crawler_spark.operators.ann import semdedup
+
+    return semdedup(
+        _t(spark, sf_dir, "embeddings"), n_centroids=16, threshold=0.4
+    )
+
+
+_Q_SEMDEDUP_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    assign AS (
+        SELECT vid, v, cid FROM (
+            SELECT e.vec_id AS vid, e.v, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv)
+                                / (sqrt(list_dot_product(e.v, e.v))
+                                   * sqrt(list_dot_product(c.cv, c.cv)))
+                                DESC, c.cid
+                   ) AS crank
+            FROM e CROSS JOIN cent c) WHERE crank = 1
+    ),
+    losers AS (
+        SELECT DISTINCT b.vid
+        FROM assign a JOIN assign b ON a.cid = b.cid AND a.vid < b.vid
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    )
+    SELECT a.vid AS vec_id, a.cid, (l.vid IS NULL) AS keep
+    FROM assign a LEFT JOIN losers l ON a.vid = l.vid
+"""
+
+
+def q_hybrid_topk(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical + brute-force-cosine semantic
+    top-10 per query, fused with exact-int64 reciprocal-rank fusion
+    (rrf_fuse). Queries = tokens 3..7 of every 29th document (same
+    planted-match protocol as bm25_topk); the semantic side queries the
+    same ids' embeddings. Fusion never touches the corpus — it only
+    unions the two |queries|x10 lists."""
+    from crawler_spark.operators.ann import brute_force_topk
+    from crawler_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    queries = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("query_id"), words.alias("_w"))
+        .filter((F.col("query_id") % 29 == 0) & (F.size("_w") >= 7))
+        .select(
+            "query_id", F.concat_ws(" ", F.slice("_w", 3, 5)).alias("qtext")
+        )
+    )
+    qids = [r.query_id for r in queries.select("query_id").collect()]
+    lex = bm25_topk(_docs_wide(spark, sf_dir), queries, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    sem = brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), qids, k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, sem], k=10)
+
+
+_Q_HYBRID_TOPK_SQL = r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS t FROM dd),
+    q AS (SELECT doc_id AS query_id, toks[3:7] AS qtoks
+          FROM dd WHERE doc_id % 29 = 0 AND len(toks) >= 7),
+    qterms AS (SELECT DISTINCT query_id, unnest(qtoks) AS tok FROM q),
+    qvocab AS (SELECT DISTINCT tok FROM qterms),
+    p0 AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+    p AS (SELECT doc_id, tok, dl, CAST(count(*) AS BIGINT) AS tf
+          FROM p0 WHERE tok IN (SELECT tok FROM qvocab)
+          GROUP BY doc_id, tok, dl),
+    f AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY tok),
+    bscored AS (
+        SELECT qt.query_id, p.doc_id,
+               CAST(SUM(
+                   ((1000000 * (2*(s.n - f.df) + 1)) // (2*f.df + 1)) *
+                   ((1000 * 100 * s.t * p.tf * 22) //
+                    (1000 * s.t * p.tf + 12 * (25 * s.t + 75 * p.dl * s.n)))
+               ) AS BIGINT) AS score_e9
+        FROM qterms qt
+        JOIN p ON qt.tok = p.tok
+        JOIN f ON p.tok = f.tok
+        CROSS JOIN stats s
+        GROUP BY qt.query_id, p.doc_id
+    ),
+    lex AS (
+        SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score_e9 DESC, doc_id
+              ) AS rnk FROM bscored)
+        WHERE rnk <= 10
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qe AS (SELECT qq.query_id, e.v AS qv
+           FROM (SELECT DISTINCT query_id FROM q) qq
+           JOIN e ON e.vec_id = qq.query_id),
+    sscored AS (
+        SELECT qe.query_id, e.vec_id AS doc_id,
+               list_dot_product(qe.qv, e.v)
+                 / (sqrt(list_dot_product(qe.qv, qe.qv))
+                    * sqrt(list_dot_product(e.v, e.v))) AS cos
+        FROM e CROSS JOIN qe WHERE e.vec_id <> qe.query_id
+    ),
+    sem AS (
+        SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, doc_id
+              ) AS rnk FROM sscored)
+        WHERE rnk <= 10
+    ),
+    un AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+    fs AS (SELECT query_id, doc_id,
+                  CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_e9
+           FROM un GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, rrf_e9, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rrf_e9 DESC, doc_id
+          ) AS rnk FROM fs)
+    WHERE rnk <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2898,6 +3089,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "quantize_embeddings": q_quantize_embeddings,
+        "quantized_topk": q_quantized_topk,
+        "semdedup": q_semdedup,
+        "hybrid_topk": q_hybrid_topk,
     }
 
 
@@ -2975,6 +3170,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dedup": _Q_CDC_DEDUP_SQL,
         "dsir_weights": _Q_DSIR_WEIGHTS_SQL,
         "dsir_select": _Q_DSIR_SELECT_SQL,
+        "quantize_embeddings": _Q_QUANTIZE_SQL,
+        "quantized_topk": _Q_QUANTIZED_TOPK_SQL,
+        "semdedup": _Q_SEMDEDUP_SQL,
+        "hybrid_topk": _Q_HYBRID_TOPK_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "token_budget_mix",
     "fetch_plan",
     "dsir_select",
+    "quantized_topk",
+    "semdedup",
+    "hybrid_topk",
 ]
 
 

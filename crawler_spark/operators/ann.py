@@ -235,6 +235,152 @@ def ivf_topk(
     )
 
 
+def _global_abs_max(embeddings: DataFrame, vec_col: str) -> DataFrame:
+    """One-row corpus statistic: max |x| over every component.
+    Stays in-plan (tiny agg, broadcast) — no driver collect."""
+    return embeddings.agg(
+        F.max(
+            F.aggregate(
+                F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))),
+                F.lit(0.0),
+                lambda acc, v: F.greatest(acc, v),
+            )
+        ).alias("mx")
+    )
+
+
+def quantize_vec(vec_col, mx_col, levels: int = 127):
+    """Symmetric int8-style quantization with a GLOBAL scale:
+    q_i = floor(x_i * levels / max_abs). Global (not per-vector) scale
+    keeps integer inner products order-comparable across vectors —
+    per-vector scales would need a float rescale at query time. The
+    float ops are one IEEE multiply + one divide in fixed order, so a
+    SQL twin computing floor((x*levels)/mx) is bit-identical."""
+    return F.transform(
+        vec_col,
+        lambda x: F.when(mx_col == 0.0, F.lit(0).cast("long")).otherwise(
+            F.floor(x.cast("double") * F.lit(float(levels)) / mx_col)
+        ),
+    )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    levels: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8-style quantized copy of the corpus: (vec_id, qv array<long>).
+
+    The 100 TB story: float32x{dim} vectors dominate embedding-table
+    bytes; symmetric int8 cuts scan + shuffle + cache bytes 4x with
+    near-identical neighbor ranking (global-scale symmetric
+    quantization preserves inner-product order up to +-1 ULP per
+    component). Downstream ANN ops (quantized_topk) score in EXACT
+    int64 arithmetic — no float drift anywhere, hash-certifiable."""
+    mx = _global_abs_max(embeddings, vec_col)
+    return (
+        embeddings.crossJoin(F.broadcast(mx))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            quantize_vec(F.col(vec_col), F.col("mx"), levels).alias("qv"),
+        )
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    levels: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantized: DataFrame | None = None,
+) -> DataFrame:
+    """ANN over the quantized corpus: rank by exact int64 inner product
+    of the quantized vectors (query broadcast, corpus never shuffles).
+
+    Output (query_id, rank, neighbor_id, iscore) — iscore is the raw
+    integer dot product (monotone proxy for the float inner product
+    under global-scale quantization). Pass `quantized` (a
+    quantize_embeddings output, e.g. a persisted int8 table) to skip
+    re-quantizing — the production shape at scale."""
+    qt = quantized if quantized is not None else quantize_embeddings(
+        embeddings, levels, id_col, vec_col
+    )
+    q = qt.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    scored = (
+        qt.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "iscore",
+            F.aggregate(
+                F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("iscore"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "iscore")
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    corpus, form cosine pairs ONLY within a cluster, drop every vector
+    that has an epsilon-near neighbor with a smaller id in its cluster.
+
+    Output (vec_id, cid, keep) for the whole corpus. Variant note: the
+    paper keeps the member farthest from the centroid per epsilon
+    group; this uses the deterministic min-id canonical (same policy as
+    canonical_corpus / dup_clusters) so the result is SQL-certifiable
+    without recursion. The scale contract is the clustering itself:
+    pairwise work is sum(|cluster|^2), bounded by the codebook size —
+    the paper runs k=50k clusters at 100 TB; pass a kmeans_train
+    codebook via `centroids` for that (default first-N stand-in keeps
+    the oracle reproducible). Cluster the table BY cid on disk and the
+    self-join is partition-local."""
+    cent = centroids if centroids is not None else default_centroids(
+        embeddings, n_centroids, id_col, vec_col
+    )
+    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col, centroids=cent)
+    a = assigned.select(
+        F.col("cid").alias("_cid"), F.col("vid").alias("keep_id"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cid").alias("_cid"), F.col("vid").alias("drop_id"), F.col("v").alias("vb")
+    )
+    losers = (
+        a.join(b, "_cid")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .filter(cosine_col(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("drop_id").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(losers.withColumn("_dup", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cid",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.2,

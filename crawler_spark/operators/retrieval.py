@@ -152,3 +152,51 @@ def bm25_topk(
             "query_id", "doc_id", score_col, F.col("rank").cast("int")
         .alias("rank"))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of N ranked
+    lists -> (query_id, doc_id, rrf_e9, rank).
+
+    The standard hybrid-retrieval combiner: fuse BM25 (lexical) and
+    embedding-ANN (semantic) top-k lists per query without score
+    calibration — only RANKS matter. Score is exact int64:
+    rrf_e9 = sum over lists of floor(1e9 / (k0 + rank)), so the fusion
+    is hash-certifiable and reproducible under any partitioning.
+
+    Scale shape: each input list is already per-query top-k (tiny —
+    |queries| x k rows), so the union + groupBy here never touches the
+    corpus; fusing is O(queries x k x n_lists) regardless of corpus
+    size. Candidate generation stays in the per-system operators
+    (bm25_topk's broadcast-vocabulary plan, quantized_topk/ivf_topk's
+    pruned search) — fusion adds no corpus pass.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.col(rank_col).cast("long").alias("_r"),
+        )
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    fused = allr.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr(f"1000000000 div ({k0} + _r)")).alias("rrf_e9")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_e9"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k))
+        .select("query_id", "doc_id", "rrf_e9", F.col("rank").cast("int").alias("rank"))
+    )
