@@ -3003,6 +3003,104 @@ _Q_HYBRID_TOPK_SQL = r"""
 """
 
 
+def q_exact_substr_spans(spark, sf_dir):
+    """ExactSubstr duplicate spans (Lee et al., arXiv:2107.06499):
+    token positions whose 8-gram repeats corpus-wide, merged into
+    maximal spans. Grams are one JVM array transform per doc; the only
+    corpus shuffle is the gram-count partial agg (the suffix array's
+    global sort re-expressed as an aggregation)."""
+    from crawler_spark.operators.textdedup import exact_substr_spans
+
+    return exact_substr_spans(_docs_wide(spark, sf_dir), k=8)
+
+
+_EXACT_SUBSTR_CTE = r"""
+    d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id,
+               [{'pos': i - 1,
+                 'gram': md5(array_to_string(w[i:i+7], ' '))}
+                for i in generate_series(1, len(w) - 7)] AS gs
+        FROM d WHERE len(w) >= 8
+    ),
+    g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+          FROM (SELECT doc_id, unnest(gs) AS u FROM g0)),
+    c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    dup AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) <= 8
+                    THEN 0 ELSE 1 END AS brk
+        FROM dup
+    ),
+    isl2 AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 7 AS BIGINT) AS span_end
+        FROM isl2 GROUP BY doc_id, island
+    )
+"""
+_Q_EXACT_SUBSTR_SPANS_SQL = (
+    f"WITH {_EXACT_SUBSTR_CTE} "
+    "SELECT doc_id, span_start, span_end, "
+    "span_end - span_start + 1 AS n_tokens FROM spans"
+)
+
+
+def q_exact_substr_strip(spark, sf_dir):
+    """ExactSubstr removal: every duplicate span cut from the
+    normalized token stream; (doc_id, clean_text, n_removed) for every
+    input document. Coverage test is a per-doc JVM array lambda after
+    one co-keyed doc_id join of the (tiny) span lists."""
+    from crawler_spark.operators.textdedup import exact_substr_strip
+
+    return exact_substr_strip(_docs_wide(spark, sf_dir), k=8)
+
+
+_Q_EXACT_SUBSTR_STRIP_SQL = f"""
+    WITH {_EXACT_SUBSTR_CTE},
+    toks0 AS (
+        SELECT doc_id,
+               [{{'pos': i - 1, 'tok': w[i]}}
+                for i in generate_series(1, len(w))] AS ts,
+               len(w) AS nw
+        FROM d
+    ),
+    toks AS (SELECT doc_id, u.pos AS pos, u.tok AS tok
+             FROM (SELECT doc_id, unnest(ts) AS u FROM toks0)),
+    covered AS (
+        SELECT DISTINCT t.doc_id, t.pos
+        FROM toks t JOIN spans s
+          ON t.doc_id = s.doc_id
+         AND t.pos BETWEEN s.span_start AND s.span_end
+    ),
+    kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+             ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+    keptagg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d2.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(d2.nw - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+    FROM (SELECT doc_id, nw FROM toks0) d2
+    LEFT JOIN keptagg k USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3093,6 +3191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "semdedup": q_semdedup,
         "hybrid_topk": q_hybrid_topk,
+        "exact_substr_spans": q_exact_substr_spans,
+        "exact_substr_strip": q_exact_substr_strip,
     }
 
 
@@ -3174,6 +3274,8 @@ def oracle_sql() -> dict[str, str]:
         "quantized_topk": _Q_QUANTIZED_TOPK_SQL,
         "semdedup": _Q_SEMDEDUP_SQL,
         "hybrid_topk": _Q_HYBRID_TOPK_SQL,
+        "exact_substr_spans": _Q_EXACT_SUBSTR_SPANS_SQL,
+        "exact_substr_strip": _Q_EXACT_SUBSTR_STRIP_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "quantized_topk",
     "semdedup",
     "hybrid_topk",
+    "exact_substr_strip",
 ]
 
 

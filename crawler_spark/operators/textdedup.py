@@ -763,3 +763,126 @@ def cdc_chunks_gear(
             yield pd.DataFrame(out)
 
     return docs.select("doc_id", text_col).mapInPandas(chunk_batches, out_schema)
+
+
+def _pos_words(text_col: str) -> F.Column:
+    """Positional token array: lowercase, whitespace-split, blanks out.
+    MUST match the DuckDB twin list_filter(string_split_regex(...))."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+
+
+def exact_substr_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 —
+    their ExactSubstr at k-token granularity, suffix-array-free).
+
+    A token position is duplicated when its k-gram occurs >= min_count
+    times corpus-wide; maximal runs of duplicated positions (gap <= k
+    merges) become spans. Output (doc_id, span_start, span_end,
+    n_tokens), positions 0-based over the normalized token stream.
+
+    Scale shape: grams are computed per doc as ONE JVM array transform
+    (no per-row Python), then exploded into the single shuffle this
+    problem needs — the groupBy(gram) count, a partial-agg with uniform
+    md5 keys (the suffix array's global sort, re-expressed as an
+    aggregation). The join back is an equi-join on gram; hot grams
+    (boilerplate) are genuine duplicates, not skew noise, and AQE
+    splits them. Span merging is one window over doc_id.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _pos_words(text_col).alias("_w")
+    ).filter(F.size("_w") >= k)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_w") - k),
+                lambda j: F.md5(F.concat_ws(" ", F.slice("_w", j + 1, k))),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("gram")
+    )
+    dup = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dup.withColumn(
+            "_brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= k, 0).otherwise(1),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        isl.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )
+
+
+def exact_substr_strip(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Remove every exact-substring duplicate span from each document.
+
+    Output (doc_id, clean_text, n_removed) for EVERY input doc;
+    clean_text is the normalized token stream minus covered positions
+    (the standard form dedup pipelines feed the tokenizer). Pass a
+    persisted exact_substr_spans result via `spans` to split the two
+    corpus passes across jobs at scale; the rejoin is one co-keyed
+    shuffle on doc_id and the coverage test is a per-doc JVM array
+    lambda — span lists are tiny relative to documents.
+    """
+    sp = spans if spans is not None else exact_substr_spans(
+        docs, k, min_count, text_col, id_col
+    )
+    sp_by_doc = sp.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _pos_words(text_col).alias("_w")
+    )
+    joined = base.join(sp_by_doc, "doc_id", "left").withColumn(
+        "_spans", F.coalesce(F.col("_spans"), F.array())
+    )
+    kept = F.filter(
+        F.col("_w"),
+        lambda x, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("_w") - F.size(kept)).cast("long").alias("n_removed"),
+    )
