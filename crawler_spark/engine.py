@@ -1372,6 +1372,63 @@ class CrawlEngine:
             F.sum((F.col("logit") > 0).cast("long")).alias("n_pos_docs"),
         )
 
+    def _page_corpus(self) -> DataFrame:
+        """Committed pages as (doc_id, url, site, text): the visible
+        text-kind span stream, the same unit doc_quality scores."""
+        from crawler_spark.operators.textdedup import doc_text
+
+        return self.io.read(self.spark, "documents").select(
+            "doc_id", "url", "site", doc_text().alias("text")
+        )
+
+    def search_lexical(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        """BM25 top-k over the committed pages' visible text — the
+        lexical half of the serving story the reference delegates to
+        its vector-store consumers (crawler.py upload path): search the
+        crawl WITHOUT leaving Spark. queries: (query_id, qtext), tiny,
+        broadcast throughout (operators/retrieval.py plan: the corpus
+        explodes map-side against the query vocabulary and never
+        self-joins). Returns (query_id, doc_id, score_e9, rank) with
+        doc_id = page url_hash."""
+        from crawler_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(self._page_corpus(), queries, k=k, id_col="doc_id")
+
+    def search_semantic(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        """Embedding cosine top-k over the committed pages: page
+        vectors AND query vectors come from the same embedder
+        (downstream.hash_embedding stub at self.embed_dim — a real
+        model drops in as the same-shaped Arrow pandas_udf), so
+        identical text retrieves at cosine 1.0. queries: (query_id,
+        qtext). Returns (query_id, rank, neighbor_id, score) with
+        neighbor_id = page url_hash. Scale path: persist the page
+        vectors and switch to lsh_bucketed_topk/ivf_topk — this method
+        is the exact re-rank baseline."""
+        from crawler_spark.operators.ann import brute_force_topk
+        from crawler_spark.operators.downstream import hash_embedding
+
+        corpus = self._page_corpus().select(
+            F.col("doc_id").alias("vec_id"),
+            hash_embedding(F.col("text"), self.embed_dim).alias("embedding"),
+        )
+        qv = queries.select(
+            "query_id",
+            hash_embedding(F.col("qtext"), self.embed_dim).alias("qv"),
+        )
+        return brute_force_topk(corpus, k=k, queries=qv)
+
+    def search_hybrid(self, queries: DataFrame, k: int = 10, k0: int = 60) -> DataFrame:
+        """Hybrid search over the crawl: BM25 + embedding-cosine top-k
+        fused with exact-int64 reciprocal-rank fusion (rrf_fuse). The
+        fusion unions two |queries|x k lists — no extra corpus pass."""
+        from crawler_spark.operators.retrieval import rrf_fuse
+
+        lex = self.search_lexical(queries, k=k).select("query_id", "doc_id", "rank")
+        sem = self.search_semantic(queries, k=k).select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+        )
+        return rrf_fuse([lex, sem], k=k, k0=k0)
+
     def training_export(
         self,
         capacity: int = 2048,

@@ -47,21 +47,30 @@ def cosine_col(a, b):
 
 def brute_force_topk(
     embeddings: DataFrame,
-    query_ids: list[int],
+    query_ids: list[int] | None = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for each query id (queries drawn from the
-    corpus itself; self-matches excluded).
+    corpus itself by `query_ids`, or an explicit (query_id, qv)
+    DataFrame via `queries` — external query vectors, e.g. an embedded
+    search string; ids equal to a corpus id are excluded as
+    self-matches either way).
 
     Output: (query_id, rank, neighbor_id, score) — score rounded to 4
     decimals AFTER ranking so near-tie ordering stays float-exact.
     """
-    q = (
-        embeddings.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    )
+    if queries is not None:
+        q = queries.select("query_id", "qv")
+    elif query_ids is not None:
+        q = (
+            embeddings.filter(F.col(id_col).isin(query_ids))
+            .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        )
+    else:
+        raise ValueError("brute_force_topk needs query_ids or queries")
     d = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("dv"))
     scored = (
         d.crossJoin(F.broadcast(q))
