@@ -65,6 +65,23 @@ def control_flags(control: DataFrame, round_no: int) -> DataFrame:
     )
 
 
+def _longest_match_len(prefixes, url) -> F.Column:
+    """Length of the longest prefix in `prefixes` that matches `url`
+    (0 when none match or the list is null). Pure JVM array ops."""
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.filter(
+                    F.coalesce(prefixes, F.array()),
+                    lambda p: url.startswith(p),
+                ),
+                F.length,
+            )
+        ),
+        F.lit(0),
+    )
+
+
 def gate_candidates(
     frontier: DataFrame,
     control: DataFrame,
@@ -102,19 +119,28 @@ def gate_candidates(
         )
         .drop("backoff_until_round")
         .join(
-            F.broadcast(robots.select("host", "disallow_prefixes", "crawl_budget")),
+            F.broadcast(
+                robots.select(
+                    "host", "disallow_prefixes", "allow_prefixes", "crawl_budget"
+                )
+            ),
             "host",
             "left",
         )
+        # robots precedence (RFC 9309 §2.2.2): the LONGEST matching
+        # rule wins; an allow at least as specific as the best
+        # disallow keeps the URL (tie -> allow). Empty allow lists
+        # reduce to the plain any-disallow-blocks behavior.
         .withColumn(
-            "disallowed",
-            F.exists(
-                F.coalesce("disallow_prefixes", F.array()),
-                lambda p: F.col("url").startswith(p),
-            ),
+            "_dmax",
+            _longest_match_len(F.col("disallow_prefixes"), F.col("url")),
         )
-        .filter(~F.col("disallowed"))
-        .drop("disallow_prefixes", "disallowed")
+        .withColumn(
+            "_amax",
+            _longest_match_len(F.col("allow_prefixes"), F.col("url")),
+        )
+        .filter(F.col("_dmax") <= F.col("_amax"))
+        .drop("disallow_prefixes", "allow_prefixes", "_dmax", "_amax")
         .withColumn("crawl_budget", F.coalesce("crawl_budget", F.lit(1)))
     )
     return cand

@@ -183,8 +183,18 @@ class Oracle:
                 if backoff_until.get(row["host"], -1) > rnd:
                     continue
                 rb = self.robots.get(row["host"])
-                if rb is not None and any(row["url"].startswith(p) for p in rb.disallow_prefixes):
-                    continue
+                if rb is not None:
+                    # longest-match precedence, tie -> allow (RFC 9309)
+                    dmax = max(
+                        (len(p) for p in rb.disallow_prefixes
+                         if row["url"].startswith(p)), default=0,
+                    )
+                    amax = max(
+                        (len(p) for p in getattr(rb, "allow_prefixes", ())
+                         if row["url"].startswith(p)), default=0,
+                    )
+                    if dmax > amax:
+                        continue
                 if h in res.seen:
                     continue
                 per_host.setdefault(row["host"], []).append(row)

@@ -61,6 +61,7 @@ ROBOTS = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("sitemap_urls", T.ArrayType(T.StringType()), False),
         T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), False),
+        T.StructField("allow_prefixes", T.ArrayType(T.StringType()), False),
         T.StructField("crawl_budget", T.IntegerType(), False),  # URLs/host/round
     ]
 )

@@ -22,7 +22,9 @@ def parse_robots(raw: DataFrame, default_budget: int = 1) -> DataFrame:
 
     sitemap lines: startswith('sitemap:') after lower+strip, value =
     everything after the first ':' (reference splits once, app.py:60-62).
-    disallow lines: 'disallow: /prefix' (engine extension).
+    disallow/allow lines: 'disallow: /prefix' / 'allow: /prefix'
+    (engine extension; the gate applies longest-match precedence, ties
+    -> allow, per the public robots spec / RFC 9309 §2.2.2).
     crawl-delay: ceil(1/delay)-like budget — 1 URL per delay-second per
     round quantum; missing -> default_budget.
     """
@@ -49,6 +51,13 @@ def parse_robots(raw: DataFrame, default_budget: int = 1) -> DataFrame:
         .groupBy("host")
         .agg(F.collect_list("p").alias("disallow_prefixes"))
     )
+    allows = (
+        lines.filter(F.col("low").startswith("allow:"))
+        .select("host", F.expr("trim(substring(line, instr(line, ':') + 1))").alias("p"))
+        .filter(F.length("p") > 0)
+        .groupBy("host")
+        .agg(F.collect_list("p").alias("allow_prefixes"))
+    )
     delays = (
         lines.filter(F.col("low").startswith("crawl-delay:"))
         .select(
@@ -68,11 +77,13 @@ def parse_robots(raw: DataFrame, default_budget: int = 1) -> DataFrame:
     return (
         hosts.join(sitemaps, "host", "left")
         .join(disallows, "host", "left")
+        .join(allows, "host", "left")
         .join(delays, "host", "left")
         .select(
             "host",
             F.coalesce("sitemap_urls", F.array()).alias("sitemap_urls"),
             F.coalesce("disallow_prefixes", F.array()).alias("disallow_prefixes"),
+            F.coalesce("allow_prefixes", F.array()).alias("allow_prefixes"),
             F.coalesce("crawl_budget", F.lit(default_budget)).alias("crawl_budget"),
         )
     )
@@ -82,11 +93,14 @@ def render_robots_txt(
     sitemap_urls: list[str],
     disallow_prefixes: list[str] = (),
     crawl_delay: float | None = None,
+    allow_prefixes: list[str] = (),
 ) -> str:
     """Inverse for tests/fixtures (mixed case + noise like real files)."""
     parts = ["User-agent: *"]
     for p in disallow_prefixes:
         parts.append(f"Disallow: {p}")
+    for p in allow_prefixes:
+        parts.append(f"Allow: {p}")
     if crawl_delay is not None:
         parts.append(f"Crawl-delay: {crawl_delay}")
     for i, sm in enumerate(sitemap_urls):

@@ -190,6 +190,7 @@ def make_world(
     pauses: list[tuple[str, int, int]] | None = None,
     deletes: list[tuple[str, int]] | None = None,
     disallow: dict[str, list[str]] | None = None,
+    allow: dict[str, list[str]] | None = None,
     variants: bool = True,
     sitemap_coverage: float = 0.6,
 ) -> World:
@@ -234,7 +235,8 @@ def make_world(
         sm_rows.append((a_url, site, "urlset", sorted(covered[:half])))
         sm_rows.append((b_url, site, "urlset", sorted(covered[half:])))
         robot_rows.append(
-            (host, [idx_url], (disallow or {}).get(host, []), budget)
+            (host, [idx_url], (disallow or {}).get(host, []),
+             (allow or {}).get(host, []), budget)
         )
 
     burst_rows = [(hosts[min(1, n_hosts - 1)], 2, 3)] if burst else []
@@ -253,7 +255,9 @@ def make_world(
         seeds=pd.DataFrame(seed_rows, columns=["url", "site"]),
         sitemaps=pd.DataFrame(sm_rows, columns=["sitemap_url", "site", "kind", "entries"]),
         robots=pd.DataFrame(
-            robot_rows, columns=["host", "sitemap_urls", "disallow_prefixes", "crawl_budget"]
+            robot_rows,
+            columns=["host", "sitemap_urls", "disallow_prefixes",
+                     "allow_prefixes", "crawl_budget"],
         ),
         bursts=pd.DataFrame(burst_rows, columns=["host", "from_round", "to_round"]),
         control=pd.DataFrame(

@@ -204,3 +204,30 @@ def test_url_filter(spark, tmp_path):
     got = read_all(spark, eng)
     assert got["order"] == ora.crawl_order
     assert got["seen"] == set(ora.seen.items())
+
+
+def test_robots_allow_longest_match(spark, tmp_path):
+    """RFC 9309 precedence: a Disallow prefix blocks the host's /p/
+    space except the MORE SPECIFIC Allow carve-outs; engine and oracle
+    agree on ordering and the final seen set, and the carve-out pages
+    really are the only /p/ pages of that host that got crawled."""
+    host = "h000.example.com"
+    dis = {host: [f"https://{host}/p/"]}
+    allow = {host: [f"https://{host}/p/00000", f"https://{host}/p/00002"]}
+    world = make_world(
+        seed=31, n_hosts=3, n_urls=24, budget=4, burst=False,
+        disallow=dis, allow=allow,
+    )
+    eng, ora = crawl_both(spark, tmp_path, world, "reference", max_rounds=10)
+    got = read_all(spark, eng)
+    assert got["order"] == ora.crawl_order
+    assert got["seen"] == set(ora.seen.items())
+    crawled_p = {
+        u for _, _, _, u, _ in got["order"]
+        if u.startswith(f"https://{host}/p/")
+    }
+    assert crawled_p  # the carve-outs were reachable and crawled
+    assert all(
+        u.startswith(allow[host][0]) or u.startswith(allow[host][1])
+        for u in crawled_p
+    )

@@ -136,7 +136,7 @@ def test_raw_seed_default_sitemap_fallback(spark):
     from crawler_spark import schemas as S
     from crawler_spark.operators.discovery import discover_from_raw_seeds
 
-    robots = spark.createDataFrame([("plain.org", [], [], 1)], S.ROBOTS)
+    robots = spark.createDataFrame([("plain.org", [], [], [], 1)], S.ROBOTS)
     sitemaps = spark.createDataFrame(
         [("https://plain.org/sitemap.xml", "plain_org", "urlset",
           ["https://plain.org/a", "https://plain.org/b"])],
@@ -154,7 +154,7 @@ def test_sitemap_discovery_error_category(spark, tmp_path):
     error_log as category='sitemap' — never silently dropped."""
     from crawler_spark import schemas as S
 
-    robots = spark.createDataFrame([("ghost.org", [], [], 1)], S.ROBOTS)
+    robots = spark.createDataFrame([("ghost.org", [], [], [], 1)], S.ROBOTS)
     sitemaps = spark.createDataFrame([], S.SITEMAPS)
     eng = CrawlEngine(spark, str(tmp_path), embed_dim=0)
     eng.seed(spark.createDataFrame([], "url string, site string"))
@@ -300,13 +300,16 @@ def test_status_and_summary(spark, tmp_path):
 def test_parse_robots_txt(spark):
     rows = [
         ("a.com", render_robots_txt(["https://a.com/sm.xml", "https://a.com/sm2.xml"],
-                                    ["/private", "/tmp"], crawl_delay=0.5)),
+                                    ["/private", "/tmp"], crawl_delay=0.5,
+                                    allow_prefixes=["/private/ok"])),
         ("b.com", render_robots_txt([])),
         ("c.com", "User-agent: *\nsItEmAp:   https://c.com/s.xml  \n"),
     ]
     out = {r.host: r for r in parse_robots(spark.createDataFrame(rows, ["host", "body"])).collect()}
     assert out["a.com"].sitemap_urls == ["https://a.com/sm.xml", "https://a.com/sm2.xml"]
     assert out["a.com"].disallow_prefixes == ["/private", "/tmp"]
+    assert out["a.com"].allow_prefixes == ["/private/ok"]
+    assert out["b.com"].allow_prefixes == []
     assert out["a.com"].crawl_budget == 2  # 1/0.5s per round quantum
     assert out["b.com"].sitemap_urls == [] and out["b.com"].crawl_budget == 1
     # case-insensitive + whitespace (app.py:59-62)

@@ -35,7 +35,7 @@ def test_gates_are_broadcast_joins(spark):
     ).select("*", F.lit("pending").alias("state"), F.lit(0).alias("depth"))
     control = spark.createDataFrame([], S.SITE_CONTROL)
     host_state = spark.createDataFrame([], S.HOST_STATE)
-    robots = spark.createDataFrame([("h1.com", [], [], 2)], S.ROBOTS)
+    robots = spark.createDataFrame([("h1.com", [], [], [], 2)], S.ROBOTS)
     cand = gate_candidates(frontier, control, host_state, robots, 1)
     p = plan_of(cand)
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
