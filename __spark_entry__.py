@@ -3101,6 +3101,96 @@ _Q_EXACT_SUBSTR_STRIP_SQL = f"""
 """
 
 
+def q_trustrank(spark, sf_dir):
+    """TrustRank (Gyongyi VLDB'04): PageRank personalized to a trusted
+    seed set (every 17th doc) over the deterministic link graph —
+    exact-int64 teleport-to-seeds arithmetic, bit-identical in DuckDB.
+    The web-spam demotion signal beside trap_hosts' URL heuristics."""
+    from crawler_spark.operators.graph import trustrank
+
+    edges = _link_edges(spark, sf_dir)
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        F.col("node") % 17 == 0
+    )
+    return trustrank(edges, seeds, iters=_PR_ITERS)
+
+
+def _trustrank_sql(iters: int) -> str:
+    """Unrolled fixed-iteration TrustRank: pagerank's CTE chain with
+    the teleport vector restricted to seed nodes (node % 17 = 0)."""
+    parts = [
+        f"WITH {_EDGES_SQL.strip()}",
+        "nodes AS (SELECT node, (node % 17 = 0) AS is_seed FROM ("
+        "SELECT src AS node FROM edges UNION SELECT dst FROM edges))",
+        "deg AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src)",
+        "tr0 AS (SELECT node, CAST(CASE WHEN is_seed THEN 1000000000000 "
+        "ELSE 0 END AS BIGINT) AS score FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(p.score // d.out_deg) AS s\n"
+            f"          FROM edges e JOIN tr{i} p ON e.src = p.node\n"
+            f"          JOIN deg d ON e.src = d.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"tr{i + 1} AS (SELECT n.node,\n"
+            f"            CAST(CASE WHEN n.is_seed THEN 150000000000 ELSE 0 END\n"
+            f"                 + (850 * coalesce(c.s, 0)) // 1000 AS BIGINT) AS score\n"
+            f"            FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT node, score AS trust_e12 FROM tr{iters}"
+    )
+
+
+_Q_TRUSTRANK_SQL = _trustrank_sql(_PR_ITERS)
+
+
+def q_mirror_sites(spark, sf_dir):
+    """Mirror-site detection over a corpus with a PLANTED mirror (the
+    contamination-entry protocol): 'mirror_even' re-hosts every 2nd
+    document, so each source overlaps it at ~half its fingerprints.
+    Containment coefficient in exact int64; stop-fingerprint guard
+    active (max_sites_per_fp=5) so the gate certifies the skew-safe
+    shape."""
+    from crawler_spark.operators.textdedup import mirror_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("source", "text").unionByName(
+        d.filter(F.col("doc_id") % 2 == 0).select(
+            F.lit("mirror_even").alias("source"), "text"
+        )
+    )
+    return mirror_pairs(
+        corpus, min_overlap_e6=400_000, max_sites_per_fp=5
+    )
+
+
+_Q_MIRROR_SITES_SQL = """
+    WITH corpus AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'mirror_even' AS source, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    fp0 AS (SELECT DISTINCT source AS site, md5(text) AS fp FROM corpus),
+    keep AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 5),
+    fp AS (SELECT f.site, f.fp FROM fp0 f JOIN keep USING (fp)),
+    sz AS (SELECT site, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY site),
+    sh AS (
+        SELECT a.site AS site_a, b.site AS site_b, CAST(count(*) AS BIGINT) AS shared
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.site < b.site
+        GROUP BY 1, 2
+    )
+    SELECT site_a, site_b, shared,
+           (1000000 * shared) // least(x.n_fp, y.n_fp) AS overlap_e6
+    FROM sh
+    JOIN sz x ON x.site = site_a
+    JOIN sz y ON y.site = site_b
+    WHERE (1000000 * shared) // least(x.n_fp, y.n_fp) >= 400000
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3193,6 +3283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": q_hybrid_topk,
         "exact_substr_spans": q_exact_substr_spans,
         "exact_substr_strip": q_exact_substr_strip,
+        "trustrank": q_trustrank,
+        "mirror_sites": q_mirror_sites,
     }
 
 
@@ -3276,6 +3368,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_topk": _Q_HYBRID_TOPK_SQL,
         "exact_substr_spans": _Q_EXACT_SUBSTR_SPANS_SQL,
         "exact_substr_strip": _Q_EXACT_SUBSTR_STRIP_SQL,
+        "trustrank": _Q_TRUSTRANK_SQL,
+        "mirror_sites": _Q_MIRROR_SITES_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

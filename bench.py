@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "semdedup",
     "hybrid_topk",
     "exact_substr_strip",
+    "trustrank",
+    "mirror_sites",
 ]
 
 

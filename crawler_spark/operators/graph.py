@@ -236,3 +236,76 @@ def canonical_corpus(
     if losers.count() <= BROADCAST_LOSERS_MAX:
         losers = F.broadcast(losers)
     return docs.join(losers, id_col, "left_anti")
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    unit: int = PR_UNIT,
+    damping_num: int = 850,
+    damping_den: int = 1000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """TrustRank (Gyongyi et al., VLDB'04): PageRank personalized to a
+    trusted seed set — teleport mass lands ONLY on seeds, so trust
+    decays with link distance from them and spam farms unreachable
+    from good pages score ~0. The standard web-spam demotion signal
+    beside the trap detector's URL-shape heuristics.
+
+    Same exact-int64 arithmetic and per-iteration plan as `pagerank`
+    (edge-list exchange + partial-agg groupBy dst; lineage truncated
+    via localCheckpoint); the only change is the teleport vector:
+    seeds start with `unit` mass and receive the (1-d) restart, all
+    other nodes start at 0 and receive none. Bit-identical under any
+    partitioning; hash-certifiable in DuckDB.
+
+    seeds: DataFrame with a `node` column (tiny — broadcast).
+    """
+    assert damping_den > damping_num > 0
+    base = unit * (damping_den - damping_num) // damping_den
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .join(
+            F.broadcast(
+                seeds.select("node").distinct().withColumn("_s", F.lit(True))
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("_s", F.lit(False)).alias("is_seed"))
+    )
+    deg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    scores = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(unit)).otherwise(F.lit(0))
+        .cast("long").alias("score"),
+    )
+    e = edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("dst"))
+    for _ in range(iters):
+        contrib = (
+            e.join(scores, "node")
+            .join(deg, "node")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("score div out_deg").alias("c"),
+            )
+        )
+        agg = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        scores = (
+            nodes.join(agg, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+                ).cast("long").alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores.select("node", F.col("score").alias(f"trust_e{len(str(unit)) - 1}"))

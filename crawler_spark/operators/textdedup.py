@@ -886,3 +886,61 @@ def exact_substr_strip(
         F.concat_ws(" ", kept).alias("clean_text"),
         (F.size("_w") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def mirror_pairs(
+    docs: DataFrame,
+    site_col: str = "source",
+    text_col: str = "text",
+    min_overlap_e6: int = 400_000,
+    max_sites_per_fp: int | None = None,
+) -> DataFrame:
+    """Mirror-site detection (Bharat & Broder, WWW'99 lineage): site
+    pairs whose document-fingerprint sets overlap heavily. overlap_e6 =
+    floor(1e6 * |shared fps| / min(|fps_a|, |fps_b|)) — the containment
+    coefficient in exact int64, so a full mirror of a subset still
+    scores 1e6 against its source.
+
+    Scale shape: ONE shuffle keys distinct (site, fp); pairs form only
+    through the fp equi-join, so work is sum over fps of
+    |sites(fp)|^2 — bounded by max_sites_per_fp when set (the
+    boilerplate guard: a fingerprint shared by more than that many
+    sites is navigation chrome, not mirrored content, and is dropped
+    exactly like jaccard_pairs' stop-shingles). Site sizes broadcast.
+    """
+    fp = docs.select(
+        F.col(site_col).alias("site"), F.md5(F.col(text_col)).alias("fp")
+    ).distinct()
+    if max_sites_per_fp is not None:
+        keep = (
+            fp.groupBy("fp")
+            .agg(F.count("*").alias("_ns"))
+            .filter(F.col("_ns") <= max_sites_per_fp)
+            .select("fp")
+        )
+        fp = fp.join(keep, "fp")
+    sz = fp.groupBy("site").agg(F.count("*").alias("n_fp"))
+    a = fp.select(F.col("site").alias("site_a"), "fp")
+    b = fp.select(F.col("site").alias("site_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("site_a") < F.col("site_b"))
+        .groupBy("site_a", "site_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sz.select(F.col("site").alias("site_a"), F.col("n_fp").alias("_na"))),
+            "site_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("site").alias("site_b"), F.col("n_fp").alias("_nb"))),
+            "site_b",
+        )
+        .withColumn(
+            "overlap_e6",
+            F.expr("(1000000 * shared) div least(_na, _nb)").cast("long"),
+        )
+        .filter(F.col("overlap_e6") >= min_overlap_e6)
+        .select("site_a", "site_b", "shared", "overlap_e6")
+    )
