@@ -82,15 +82,82 @@ def parse_sitemaps(raw: DataFrame, url_filter: str | None = None) -> DataFrame:
     return raw.select("sitemap_url", "body").mapInPandas(run, PARSED)
 
 
-def render_sitemap_xml(kind: str, entries: list[str], gz: bool = False) -> bytes:
-    """Inverse of parse: build wire-format bytes for tests/fixtures."""
+LASTMOD = T.StructType(
+    [
+        T.StructField("sitemap_url", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("lastmod", T.StringType(), True),
+    ]
+)
+
+
+def parse_sitemap_lastmod(raw: DataFrame, url_filter: str | None = None) -> DataFrame:
+    """(sitemap_url, body) -> one row per <url> entry with its
+    <lastmod> (W3C datetime string or null when absent).
+
+    The sitemap protocol's freshness hint: production crawlers seed
+    recrawl scheduling with it for never-fetched URLs, where the
+    engine's observed change rates (`recrawl_scores`, Cho &
+    Garcia-Molina) don't exist yet. Wiring: to_timestamp(lastmod) ->
+    staleness prior -> `engine.schedule_recrawl(targets)`; once a URL
+    has fetch history the observed rate supersedes the hint. Same
+    mapInPandas shape as parse_sitemaps (per-document XML work, Arrow
+    batches, no per-row Spark round trips); index sitemaps yield no
+    rows (their lastmod describes child FILES, not pages)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for smu, body in zip(pdf["sitemap_url"], pdf["body"]):
+                b = bytes(body or b"")
+                if b[:2] == b"\x1f\x8b":
+                    try:
+                        b = gzip.decompress(b)
+                    except OSError:
+                        continue
+                try:
+                    root = ET.parse(io.BytesIO(b)).getroot()
+                except ET.ParseError:
+                    continue
+                if root.tag.rsplit("}", 1)[-1] != "urlset":
+                    continue
+                for el in list(root.iter(f"{{{_NS}}}url")) or list(root.iter("url")):
+                    loc = el.find(f"{{{_NS}}}loc")
+                    if loc is None:
+                        loc = el.find("loc")
+                    if loc is None or not (loc.text and loc.text.strip()):
+                        continue
+                    u = loc.text.strip()
+                    if url_filter and url_filter not in u:
+                        continue
+                    lm = el.find(f"{{{_NS}}}lastmod")
+                    if lm is None:
+                        lm = el.find("lastmod")
+                    rows.append(
+                        (smu, u, lm.text.strip() if lm is not None and lm.text else None)
+                    )
+            yield pd.DataFrame(rows, columns=["sitemap_url", "url", "lastmod"])
+
+    return raw.select("sitemap_url", "body").mapInPandas(run, LASTMOD)
+
+
+def render_sitemap_xml(
+    kind: str,
+    entries: list[str],
+    gz: bool = False,
+    lastmod: dict[str, str] | None = None,
+) -> bytes:
+    """Inverse of parse: build wire-format bytes for tests/fixtures.
+    lastmod: optional url -> W3C datetime map rendered per entry."""
     if kind == "index":
         root_tag, child_tag = "sitemapindex", "sitemap"
     else:
         root_tag, child_tag = "urlset", "url"
     parts = [f'<?xml version="1.0" encoding="UTF-8"?><{root_tag} xmlns="{_NS}">']
     for e in entries:
-        parts.append(f"<{child_tag}><loc>{e}</loc></{child_tag}>")
+        lm = (lastmod or {}).get(e)
+        lm_xml = f"<lastmod>{lm}</lastmod>" if lm else ""
+        parts.append(f"<{child_tag}><loc>{e}</loc>{lm_xml}</{child_tag}>")
     parts.append(f"</{root_tag}>")
     body = "".join(parts).encode()
     return gzip.compress(body) if gz else body

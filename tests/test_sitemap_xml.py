@@ -55,3 +55,44 @@ def test_parse_malformed_and_filter():
     assert parse_sitemap_bytes("u", idx, url_filter="/keep/") == (
         "index", ["https://a.com/sm1.xml"]
     )
+
+
+def test_parse_sitemap_lastmod(spark):
+    from crawler_spark.sources.sitemap_xml import (
+        parse_sitemap_lastmod,
+        render_sitemap_xml,
+    )
+
+    urls = ["https://a.com/p/1", "https://a.com/p/2", "https://a.com/p/3"]
+    lm = {urls[0]: "2026-01-05", urls[2]: "2026-03-01T10:00:00+00:00"}
+    rows = [
+        ("https://a.com/s.xml", render_sitemap_xml("urlset", urls, lastmod=lm)),
+        ("https://a.com/s.gz", render_sitemap_xml("urlset", [urls[1]], gz=True,
+                                                  lastmod={urls[1]: "2026-02-02"})),
+        ("https://a.com/idx.xml", render_sitemap_xml("index", ["https://a.com/s.xml"],
+                                                     lastmod={"https://a.com/s.xml": "2026-01-01"})),
+        ("https://a.com/bad.xml", b"<not xml"),
+    ]
+    raw = spark.createDataFrame(rows, "sitemap_url string, body binary")
+    got = {r.url: (r.sitemap_url, r.lastmod) for r in parse_sitemap_lastmod(raw).collect()}
+    assert got == {
+        urls[0]: ("https://a.com/s.xml", "2026-01-05"),
+        urls[1]: ("https://a.com/s.gz", "2026-02-02"),
+        urls[2]: ("https://a.com/s.xml", "2026-03-01T10:00:00+00:00"),
+    }
+    # index sitemaps and malformed bodies contribute nothing
+
+
+def test_parse_sitemap_lastmod_filter_and_missing(spark):
+    from crawler_spark.sources.sitemap_xml import (
+        parse_sitemap_lastmod,
+        render_sitemap_xml,
+    )
+
+    urls = ["https://b.com/p/1", "https://b.com/q/2"]
+    raw = spark.createDataFrame(
+        [("https://b.com/s.xml", render_sitemap_xml("urlset", urls))],
+        "sitemap_url string, body binary",
+    )
+    got = parse_sitemap_lastmod(raw, url_filter="/p/").collect()
+    assert [(r.url, r.lastmod) for r in got] == [("https://b.com/p/1", None)]
