@@ -54,6 +54,7 @@ ENGINE_SCHEMAS = {
     "doc_signatures": S.DOC_SIGNATURES,  # incremental near-dup index (opt-in)
     "media_signatures": S.MEDIA_SIGNATURES,  # incremental media pHash index (opt-in)
     "fetch_fingerprints": S.FETCH_FINGERPRINTS,  # per-fetch content history (opt-in)
+    "page_vectors": S.PAGE_VECTORS,  # incremental ANN index (opt-in, vector_index=True)
     "edges": S.EDGES,  # crawl link graph (opt-in, record_edges=True)
     "records": S.RECORDS,
     "entity_seen": S.ENTITY_SEEN,
@@ -82,6 +83,7 @@ SITE_TABLES = [
     "documents",
     "doc_signatures",
     "media_signatures",
+    "page_vectors",
     "fetch_fingerprints",
     "edges",
     "records",
@@ -211,6 +213,16 @@ class CrawlEngine:
         # recrawl_scores() / schedule_recrawl(), the change-rate recrawl
         # loop (scheduler.recrawl_priorities).
         track_changes: bool = False,
+        # incremental page-vector ANN index (page_vectors table): one
+        # FIXED-SCALE int8-style quantized embedding of each committed
+        # page's visible text + its sign-LSH bucket, O(|fetched|)/round.
+        # Fixed scale (not a per-batch max) keeps int64 scores
+        # comparable ACROSS rounds — the production contract for an
+        # incremental index; 0.5 covers hash_embedding's [-0.5, 0.5)
+        # range (set it to 1.0 for unit-normalized real models).
+        # search_semantic_indexed() queries it join-only.
+        vector_index: bool = False,
+        vector_scale: float = 0.5,
         # pre-built TableIO overrides root/bucketed_io — the cluster entry
         # point: CrawlEngine(spark, "", io=IcebergTableIO(spark, "crawl",
         # schemas=ENGINE_SCHEMAS)) runs the identical round loop against
@@ -269,6 +281,13 @@ class CrawlEngine:
             )
         self.record_edges = record_edges
         self.track_changes = track_changes
+        if vector_index and not embed_dim:
+            raise ValueError(
+                "vector_index=True needs embed_dim > 0 — the index stores "
+                "quantized page embeddings of that width"
+            )
+        self.vector_index = vector_index
+        self.vector_scale = float(vector_scale)
 
     def _w(self, df: DataFrame) -> DataFrame:
         return df.coalesce(self.coalesce_writes) if self.coalesce_writes else df
@@ -642,6 +661,8 @@ class CrawlEngine:
             from crawler_spark.operators.multimodal import media_signatures
 
             appends["media_signatures"] = media_signatures(docs)
+        if self.vector_index:
+            appends["page_vectors"] = self._page_vector_rows(docs)
         if self.track_changes:
             # one row per successful fetch; md5 over the JSON-rendered
             # span sequence (schema-ordered fields -> deterministic) is
@@ -1033,6 +1054,9 @@ class CrawlEngine:
             "media_signatures": io.read(spark, "media_signatures").join(
                 removed_keys.withColumnRenamed("url_hash", "doc_id"), "doc_id", "left_anti"
             ),
+            "page_vectors": io.read(spark, "page_vectors").join(
+                removed_keys.withColumnRenamed("url_hash", "doc_id"), "doc_id", "left_anti"
+            ),
             "fetch_fingerprints": io.read(spark, "fetch_fingerprints").join(
                 removed_keys, "url_hash", "left_anti"
             ),
@@ -1284,6 +1308,9 @@ class CrawlEngine:
             "media_signatures": io.read(spark, "media_signatures").join(
                 doc_keys, "doc_id", "left_anti"
             ),
+            "page_vectors": io.read(spark, "page_vectors").join(
+                doc_keys, "doc_id", "left_anti"
+            ),
             "records": rec_kept,
             "entity_seen": io.read(spark, "entity_seen").join(
                 keys_gone_only, ["site", "entity_key"], "left_anti"
@@ -1370,6 +1397,76 @@ class CrawlEngine:
             F.sum("n_words").alias("total_words"),
             F.sum("logit").alias("total_logit"),
             F.sum((F.col("logit") > 0).cast("long")).alias("n_pos_docs"),
+        )
+
+    def _page_vector_rows(self, docs: DataFrame) -> DataFrame:
+        """documents rows -> PAGE_VECTORS rows (the ONE home of the
+        page-embedding -> quantize -> bucket derivation, so the
+        incremental index and a batch recompute agree by construction).
+        Per-row expressions only — zero exchanges."""
+        from crawler_spark.operators.ann import quantize_vec, sign_lsh_bucket
+        from crawler_spark.operators.downstream import hash_embedding
+        from crawler_spark.operators.textdedup import doc_text
+
+        emb = hash_embedding(doc_text(), self.embed_dim)
+        qv = quantize_vec(emb, F.lit(self.vector_scale))
+        return docs.select(
+            "doc_id",
+            "site",
+            F.col("fetched_round").alias("round"),
+            qv.alias("qv"),
+            sign_lsh_bucket(qv, min(8, self.embed_dim)).alias("bucket"),
+        )
+
+    def rebuild_page_vectors(self) -> DataFrame:
+        """Batch recompute of the index from the committed documents —
+        the incremental table must equal this exactly (pinned in
+        tests); also the migration path when embed_dim/scale change."""
+        return self._page_vector_rows(self.io.read(self.spark, "documents"))
+
+    def search_semantic_indexed(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        """ANN over the incremental page_vectors index: the query text
+        is embedded and quantized with the SAME fixed scale, search is
+        pruned to the query's sign-LSH bucket and ranked by exact int64
+        inner product — join-only at query time (no corpus-wide
+        embedding job, unlike search_semantic). At 10^10 pages the
+        index is stored clustered by bucket, so the probe is a
+        partition-pruned scan. Returns (query_id, rank, neighbor_id,
+        iscore)."""
+        from crawler_spark.operators.ann import quantize_vec, sign_lsh_bucket
+        from crawler_spark.operators.downstream import hash_embedding
+        from pyspark.sql import Window
+
+        qv = quantize_vec(
+            hash_embedding(F.col("qtext"), self.embed_dim),
+            F.lit(self.vector_scale),
+        )
+        q = queries.select(
+            "query_id",
+            qv.alias("qa"),
+            sign_lsh_bucket(qv, min(8, self.embed_dim)).alias("bucket"),
+        )
+        idx = self.io.read(self.spark, "page_vectors")
+        scored = idx.join(F.broadcast(q), "bucket").withColumn(
+            "iscore",
+            F.aggregate(
+                F.zip_with(F.col("qa"), F.col("qv"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("iscore"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "rank",
+                F.col("doc_id").alias("neighbor_id"),
+                "iscore",
+            )
         )
 
     def _page_corpus(self) -> DataFrame:
@@ -1638,6 +1735,7 @@ class CrawlEngine:
             "documents",
             "doc_signatures",
             "media_signatures",
+            "page_vectors",
             "fetch_fingerprints",
             "edges",
             "records",

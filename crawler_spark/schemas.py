@@ -274,6 +274,21 @@ DOC_SIGNATURES = T.StructType(
     ]
 )
 
+# incremental page-vector ANN index (engine vector_index=True): one row
+# per committed page — FIXED-SCALE int8-style quantized embedding of the
+# visible text (exact int64 scoring, cross-round comparable because the
+# scale never moves) plus its sign-LSH bucket for pruned search.
+# O(|fetched|) per round; rides the SITE_TABLES cascade/prune/compaction.
+PAGE_VECTORS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("site", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("qv", T.ArrayType(T.LongType()), False),
+        T.StructField("bucket", T.StringType(), False),
+    ]
+)
+
 # per-fetch content fingerprints (engine track_changes=True): one row
 # per successful fetch, APPEND-ONLY ACROSS RECRAWLS — the observation
 # history behind the change-rate recrawl scheduler
