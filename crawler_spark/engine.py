@@ -1118,6 +1118,41 @@ class CrawlEngine:
                 .distinct()  # one row per occurrence -> one per ref
             )
             return media_near_dup_pairs(phashes=msigs, **kwargs)
+        if method == "vector":
+            # semantic near-dups from the page-vector index
+            # (vector_index=True): pairs form only inside a sign-LSH
+            # bucket, similarity = exact int64 inner product of the
+            # fixed-scale quantized vectors normalized to e6 against
+            # the self-dot ceiling: sim_e6 = 1e6*dot(a,b) div
+            # max(dot(a,a), dot(b,b)) — 1e6 iff identical text.
+            min_sim_e6 = kwargs.pop("min_sim_e6", 900_000)
+            if kwargs:
+                raise TypeError(f"unexpected kwargs for 'vector': {sorted(kwargs)}")
+            idx = self.io.read(self.spark, "page_vectors")
+            dot = lambda a, b: F.aggregate(  # noqa: E731
+                F.zip_with(a, b, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            a = idx.select(
+                F.col("doc_id").alias("doc_a"), F.col("qv").alias("va"), "bucket"
+            )
+            b = idx.select(
+                F.col("doc_id").alias("doc_b"), F.col("qv").alias("vb"), "bucket"
+            )
+            return (
+                a.join(b, "bucket")
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .withColumn("_ab", dot(F.col("va"), F.col("vb")))
+                .withColumn("_aa", dot(F.col("va"), F.col("va")))
+                .withColumn("_bb", dot(F.col("vb"), F.col("vb")))
+                .withColumn(
+                    "sim_e6",
+                    F.expr("(1000000 * _ab) div greatest(_aa, _bb)").cast("long"),
+                )
+                .filter(F.col("sim_e6") >= min_sim_e6)
+                .select("doc_a", "doc_b", "sim_e6")
+            )
         raise ValueError(f"unknown near-dup method: {method!r}")
 
     def media_clusters(self, max_hamming: int = 3, **kwargs) -> DataFrame:

@@ -105,3 +105,38 @@ def test_resume_preserves_index(spark, tmp_path):
     after = eng2.io.read(spark, "page_vectors")
     assert _rows(after.limit(0).unionByName(after)) == _rows(eng2.rebuild_page_vectors())
     assert len(_rows(after)) >= len(before)
+
+
+def test_vector_near_dup_pairs_from_index(spark, tmp_path):
+    """Identical page text -> identical quantized vector -> sim_e6 of
+    exactly 1e6; the world's twin-spelling variant pages provide real
+    planted semantic dups. Pairs never cross an LSH bucket."""
+    world = make_world(seed=76, n_hosts=3, n_urls=24, budget=4, burst=False)
+    eng, _ = _run_engine(spark, str(tmp_path / "f"), world)
+    pages = {r.doc_id: r.text for r in eng._page_corpus().collect()}
+    ident = {
+        tuple(sorted((a, b)))
+        for a in pages for b in pages
+        if a < b and pages[a] == pages[b] and pages[a]
+    }
+    got = {(r.doc_a, r.doc_b): r.sim_e6 for r in
+           eng.near_dup_pairs("vector", min_sim_e6=1_000_000).collect()}
+    # every identical-text pair is found at exactly 1e6 (same bucket by
+    # construction: identical qv)
+    for pair in ident:
+        assert got.get(pair) == 1_000_000, pair
+    # and nothing that isn't identical scores 1e6 with DIFFERENT text
+    for (a, b), s in got.items():
+        if s == 1_000_000 and pages[a] != pages[b]:
+            # distinct text can still quantize identically at dim=8 —
+            # but then the vectors must be equal component-wise
+            va = {r.doc_id: list(r.qv) for r in
+                  eng.io.read(spark, "page_vectors").collect()}
+            assert va[a] == va[b]
+
+
+def test_vector_near_dup_rejects_unknown_kwargs(spark, tmp_path):
+    world = make_world(seed=77, n_hosts=2, n_urls=10, budget=3, burst=False)
+    eng, _ = _run_engine(spark, str(tmp_path / "g"), world, rounds=3)
+    with pytest.raises(TypeError):
+        eng.near_dup_pairs("vector", bogus=1)
