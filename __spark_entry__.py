@@ -3192,6 +3192,220 @@ _Q_MIRROR_SITES_SQL = """
 
 
 # --------------------------------------------------------------------------
+# interleaved-span family (operators/spans.py) over the synthetic span table
+# --------------------------------------------------------------------------
+
+# DuckDB twin of spans.synth_interleaved(chunk_words=10, media_every=3):
+# 10-word text chunks; a media span after chunk i iff (doc_id+i)%3==0;
+# pos = span index, offset = 2*pos + doc_id%3.
+_SPANS_SQL = r"""
+    w AS (
+        SELECT doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                 ELSE string_split_regex(trim(text), '\s+') END AS words
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, words, i
+        FROM w, UNNEST(generate_series(0, CAST(ceil(len(words)/10.0) AS BIGINT) - 1)) AS t(i)
+    ),
+    raw_spans AS (
+        SELECT doc_id, i AS chunk, 0 AS sub, 'text' AS kind,
+               array_to_string(words[i*10+1 : i*10+10], ' ') AS text,
+               '' AS media_ref
+        FROM chunks
+        UNION ALL
+        SELECT doc_id, i, 1, 'media', '',
+               'm' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+        FROM chunks WHERE (doc_id + i) % 3 = 0
+    ),
+    spans_flat AS (
+        SELECT doc_id, kind, text, media_ref,
+            CAST(row_number() OVER (PARTITION BY doc_id ORDER BY chunk, sub) - 1 AS INT) AS pos
+        FROM raw_spans
+    ),
+    spans_off AS (
+        SELECT *, CAST(2*pos + doc_id % 3 AS INT) AS offs FROM spans_flat
+    )
+"""
+
+
+def _docs_spans(spark, sf_dir, **kw):
+    from crawler_spark.operators.spans import synth_interleaved
+
+    return synth_interleaved(_docs_wide(spark, sf_dir), **kw)
+
+
+def q_interleaved_stats(spark, sf_dir):
+    """Per-document interleaved profile over the north-rule span shape:
+    span/text/media counts, visible chars/words, media density — ONE
+    scan projection, zero exchanges (plan-asserted)."""
+    from crawler_spark.operators.spans import span_stats
+
+    return span_stats(_docs_spans(spark, sf_dir))
+
+
+_Q_INTERLEAVED_STATS_SQL = rf"""
+    WITH {_SPANS_SQL},
+    agg AS (
+        SELECT doc_id,
+            count(*) AS n_spans,
+            sum(CASE WHEN kind='text' THEN 1 ELSE 0 END) AS n_text_spans,
+            sum(CASE WHEN kind='media' THEN 1 ELSE 0 END) AS n_media_spans,
+            sum(CASE WHEN kind='text' THEN length(text) ELSE 0 END) AS text_chars,
+            sum(CASE WHEN kind='text' AND length(trim(text)) > 0
+                     THEN len(string_split_regex(trim(text), '\s+')) ELSE 0 END) AS text_words
+        FROM spans_flat GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+        CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        CAST(coalesce(a.n_text_spans, 0) AS BIGINT) AS n_text_spans,
+        CAST(coalesce(a.n_media_spans, 0) AS BIGINT) AS n_media_spans,
+        CAST(coalesce(a.text_chars, 0) AS BIGINT) AS text_chars,
+        CAST(coalesce(a.text_words, 0) AS BIGINT) AS text_words,
+        CAST((1000000 * coalesce(a.n_media_spans, 0))
+             // greatest(coalesce(a.n_text_spans, 0), 1) AS BIGINT) AS media_density_e6
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_caption_pairs(spark, sf_dir):
+    """LAION-style caption mining from the interleaved span stream: one
+    row per media span with its nearest non-empty text span before and
+    after, offset distances, and the chosen caption (closer side, tie
+    -> before). Pure per-row array ops + one Generate — ZERO exchanges;
+    the oracle recomputes it relationally (windows + self-joins), so
+    value equality certifies the array formulation."""
+    from crawler_spark.operators.spans import caption_pairs
+
+    return caption_pairs(_docs_spans(spark, sf_dir))
+
+
+_Q_CAPTION_PAIRS_SQL = rf"""
+    WITH {_SPANS_SQL},
+    win AS (
+        SELECT doc_id, kind, media_ref, pos, offs,
+            max(CASE WHEN kind='text' AND trim(text) <> '' THEN pos END) OVER
+                (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_pos,
+            min(CASE WHEN kind='text' AND trim(text) <> '' THEN pos END) OVER
+                (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_pos
+        FROM spans_off
+    ),
+    j AS (
+        SELECT m.doc_id, m.media_ref, m.pos,
+            tb.text AS caption_before, ta.text AS caption_after,
+            CAST(m.offs - tb.offs AS BIGINT) AS dist_before,
+            CAST(ta.offs - m.offs AS BIGINT) AS dist_after
+        FROM win m
+        LEFT JOIN spans_off tb ON tb.doc_id = m.doc_id AND tb.pos = m.prev_pos
+        LEFT JOIN spans_off ta ON ta.doc_id = m.doc_id AND ta.pos = m.next_pos
+        WHERE m.kind = 'media'
+    ),
+    sided AS (
+        SELECT *,
+            CASE WHEN dist_before IS NULL AND dist_after IS NULL THEN NULL
+                 WHEN dist_after IS NULL THEN 'before'
+                 WHEN dist_before IS NULL THEN 'after'
+                 WHEN dist_before <= dist_after THEN 'before'
+                 ELSE 'after' END AS caption_side
+        FROM j
+    )
+    SELECT doc_id, media_ref, pos, caption_before, caption_after,
+        dist_before, dist_after,
+        CASE caption_side WHEN 'before' THEN caption_before
+                          WHEN 'after' THEN caption_after END AS caption,
+        caption_side
+    FROM sided
+"""
+
+
+def q_caption_quality(spark, sf_dir):
+    """Image-text pair curation: the mined captions gated on word-count
+    bounds and alphabetic fraction (exact integers) — the DataComp/LAION
+    caption filter. Gate is a per-row filter on the zero-exchange
+    mining plan."""
+    from crawler_spark.operators.spans import caption_pairs, caption_quality_gate
+
+    return caption_quality_gate(
+        caption_pairs(_docs_spans(spark, sf_dir)),
+        min_words=8,
+        max_words=256,
+        min_alpha_e6=700_000,
+    ).select("doc_id", "media_ref", "caption", "n_caption_words", "alpha_e6")
+
+
+_Q_CAPTION_QUALITY_SQL = rf"""
+    WITH c AS ({_Q_CAPTION_PAIRS_SQL}),
+    g AS (
+        SELECT doc_id, media_ref, caption,
+            CAST(CASE WHEN length(trim(caption)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(caption), '\s+')) END AS BIGINT)
+                AS n_caption_words,
+            CAST((1000000 * length(regexp_replace(caption, '[^A-Za-z]', '', 'g')))
+                 // greatest(length(caption), 1) AS BIGINT) AS alpha_e6
+        FROM c WHERE caption IS NOT NULL
+    )
+    SELECT * FROM g
+    WHERE n_caption_words BETWEEN 8 AND 256 AND alpha_e6 >= 700000
+"""
+
+_BOILER_HEADER = "Site Nav Home About Contact"
+_BOILER_FOOTER = "Copyright 2026 Example Corp All rights reserved"
+
+
+def q_strip_boilerplate(spark, sf_dir):
+    """Cross-document repeated-span removal with PLANTED boilerplate
+    (contamination-entry protocol): every doc gets a shared nav header
+    + footer span; spans whose normalized fingerprint appears in >= 4
+    distinct docs are stripped (media spans always survive). One
+    fingerprint exchange + broadcast anti-join — the corpus never
+    shuffles on the probe side. Flat output (kept spans as rows)."""
+    from crawler_spark.operators.spans import (
+        strip_boilerplate_spans,
+        synth_interleaved,
+    )
+
+    planted = synth_interleaved(
+        _docs_wide(spark, sf_dir), header=_BOILER_HEADER, footer=_BOILER_FOOTER
+    )
+    return strip_boilerplate_spans(planted, min_df=4, flat=True)
+
+
+_Q_STRIP_BOILERPLATE_SQL = rf"""
+    WITH {_SPANS_SQL},
+    raw2 AS (
+        SELECT doc_id, chunk, sub, kind, text, media_ref FROM raw_spans
+        UNION ALL
+        SELECT doc_id, -1, 0, 'text', '{_BOILER_HEADER}', '' FROM w
+        UNION ALL
+        SELECT doc_id, CAST(9223372036854775807 AS BIGINT), 0, 'text',
+               '{_BOILER_FOOTER}', '' FROM w
+    ),
+    flat2 AS (
+        SELECT doc_id, kind, text, media_ref,
+            CAST(row_number() OVER (PARTITION BY doc_id ORDER BY chunk, sub) - 1 AS INT) AS pos
+        FROM raw2
+    ),
+    off2 AS (
+        SELECT doc_id, kind, text, media_ref, pos,
+               CAST(2*pos + doc_id % 3 AS INT) AS offs,
+               CASE WHEN kind = 'text'
+                    THEN md5(regexp_replace(lower(text), '\s+', ' ', 'g')) END AS f
+        FROM flat2
+    ),
+    hot AS (
+        SELECT f FROM (SELECT DISTINCT doc_id, f FROM off2 WHERE f IS NOT NULL)
+        GROUP BY f HAVING count(*) >= 4
+    )
+    SELECT doc_id, pos, kind, text, media_ref, offs AS offset
+    FROM off2
+    WHERE f IS NULL OR f NOT IN (SELECT f FROM hot)
+"""
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -3285,6 +3499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_strip": q_exact_substr_strip,
         "trustrank": q_trustrank,
         "mirror_sites": q_mirror_sites,
+        "interleaved_stats": q_interleaved_stats,
+        "caption_pairs": q_caption_pairs,
+        "caption_quality": q_caption_quality,
+        "strip_boilerplate": q_strip_boilerplate,
     }
 
 
@@ -3370,6 +3588,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_substr_strip": _Q_EXACT_SUBSTR_STRIP_SQL,
         "trustrank": _Q_TRUSTRANK_SQL,
         "mirror_sites": _Q_MIRROR_SITES_SQL,
+        "interleaved_stats": _Q_INTERLEAVED_STATS_SQL,
+        "caption_pairs": _Q_CAPTION_PAIRS_SQL,
+        "caption_quality": _Q_CAPTION_QUALITY_SQL,
+        "strip_boilerplate": _Q_STRIP_BOILERPLATE_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }
