@@ -3405,6 +3405,19 @@ _Q_STRIP_BOILERPLATE_SQL = rf"""
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training ON the corpus (operators/bpe.py): the
+    ordered merge list after 16 rounds. Rows-only by contract —
+    genuinely iterative (each round's argmax depends on all previous
+    merges), the same carve-out as ivf_kmeans_topk; a pure-python
+    reference implementation certifies merge-list equality in
+    tests/test_bpe.py, and training is pinned invariant to
+    partitioning (deterministic count-desc/lexicographic tie-break)."""
+    from crawler_spark.operators.bpe import merges_df, train_bpe
+
+    return merges_df(spark, train_bpe(_docs_wide(spark, sf_dir), n_merges=16))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3503,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": q_caption_pairs,
         "caption_quality": q_caption_quality,
         "strip_boilerplate": q_strip_boilerplate,
+        "bpe_merges": q_bpe_merges,
     }
 
 
