@@ -1571,6 +1571,7 @@ class CrawlEngine:
         langs: tuple[str, ...] | None = None,
         require_lang: bool = True,
         sep_tokens: int = 1,
+        boilerplate_min_df: int | None = None,
     ) -> DataFrame:
         """Crawl -> training corpus in one call: curate the committed
         interleaved documents (PII redaction, Gopher word/repetition
@@ -1614,6 +1615,19 @@ class CrawlEngine:
         from crawler_spark.operators.textdedup import doc_text
 
         d = self.io.read(self.spark, "documents")
+        if boilerplate_min_df is not None:
+            # cross-page repeated text spans (site nav, footers) are
+            # stripped BEFORE visible text / metrics are derived, so
+            # word counts, fingerprints and packing budgets all see the
+            # cleaned stream (operators/spans.py; adds one fingerprint
+            # exchange + a broadcast anti-join + the re-assembly join)
+            from crawler_spark.operators.spans import strip_boilerplate_spans
+
+            d = strip_boilerplate_spans(
+                d.select("doc_id", "spans", "site", "url"),
+                min_df=boilerplate_min_df,
+                keep_cols=("site", "url"),
+            )
         # media spans have media_ref set; text/meta spans carry NULL or
         # '' depending on the writer — treat both as "no ref"
         media_refs = F.transform(
@@ -1698,6 +1712,56 @@ class CrawlEngine:
             tokens_col="token_budget",
             keep_cols=("site", "url", "n_words", "n_media", "media_refs",
                        "logit", "pred_lang", "n_copies"),
+        )
+
+    def mine_captions(
+        self,
+        quality: bool = False,
+        min_words: int = 3,
+        max_words: int = 256,
+        min_alpha_e6: int = 500_000,
+    ) -> DataFrame:
+        """Image-text pairs from the committed crawl: each media span of
+        every fetched page paired with its nearest non-empty text span
+        (operators/spans.py::caption_pairs — zero exchanges, one
+        documents scan). quality=True applies the word-count/alpha
+        caption gate. The multimodal-training counterpart of
+        training_export: where that packs interleaved streams, this
+        emits (page, media_ref, caption) rows for contrastive
+        image-text training sets (the reference's crawl stores media
+        markdown links inline and never pairs them,
+        crawler.py:1040-1120)."""
+        from crawler_spark.operators.spans import (
+            caption_pairs,
+            caption_quality_gate,
+        )
+
+        pairs = caption_pairs(
+            self.io.read(self.spark, "documents").select("doc_id", "spans")
+        )
+        if quality:
+            pairs = caption_quality_gate(
+                pairs,
+                min_words=min_words,
+                max_words=max_words,
+                min_alpha_e6=min_alpha_e6,
+            )
+        return pairs
+
+    def train_tokenizer(
+        self, n_merges: int = 50, min_pair_count: int = 2
+    ) -> list[dict]:
+        """Fit a BPE subword vocabulary ON the crawl (operators/bpe.py):
+        the tokenizer-fitting job a training pipeline runs over its own
+        corpus before packing. Trains on the committed pages' visible
+        text; returns the ordered merge list (persist via
+        bpe.merges_df, encode any table via bpe.bpe_encode)."""
+        from crawler_spark.operators.bpe import train_bpe
+
+        return train_bpe(
+            self._page_corpus(),
+            n_merges=n_merges,
+            min_pair_count=min_pair_count,
         )
 
     def pause_low_quality_sites(self, min_mean_logit: float = 0.0) -> list[str]:

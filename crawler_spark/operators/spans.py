@@ -252,6 +252,7 @@ def strip_boilerplate_spans(
     id_col: str = "doc_id",
     flat: bool = False,
     max_hot: int = 1_000_000,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Remove cross-document repeated text spans (nav bars, cookie
     banners, shared footers): a text span is boilerplate iff its
@@ -306,9 +307,11 @@ def strip_boilerplate_spans(
         .alias("spans")
     )
     # docs whose EVERY span was boilerplate keep an empty array (not a
-    # dropped row): join back to the id projection.
-    ids = docs.select(F.col(id_col).alias("doc_id"))
+    # dropped row): join back to the id projection. keep_cols ride the
+    # same join (one co-keyed equi-join, no extra exchange).
+    ids = docs.select(F.col(id_col).alias("doc_id"), *keep_cols)
     return ids.join(rebuilt, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("spans"), F.array().cast(SPANS_T)).alias("spans"),
+        *keep_cols,
     )

@@ -103,3 +103,45 @@ def test_pack_sequences_tokens_col_parity(spark):
     ]
     assert [r["n_bins"] for r in base] == [r["n_bins"] for r in via_col]
     assert all(r["site"] == f"s{r['doc_id'] % 3}" for r in via_col)
+
+
+def test_boilerplate_strip_option(spark, crawled):
+    base = _export(crawled).orderBy("url_hash").collect()
+    # nothing reaches an absurd df threshold -> byte-identical export
+    same = _export(crawled, boilerplate_min_df=10**9).orderBy("url_hash").collect()
+    assert base == same
+    # min_df=1 marks EVERY text span hot -> zero visible words anywhere
+    # -> the min_words>=1 gate empties the export (media spans survive
+    # the strip but carry no words)
+    assert _export(crawled, boilerplate_min_df=1).count() == 0
+    # a real threshold only ever removes words, never adds
+    mid = {r["url_hash"]: r["n_words"]
+           for r in _export(crawled, boilerplate_min_df=2).collect()}
+    base_words = {r["url_hash"]: r["n_words"] for r in base}
+    assert set(mid) <= set(base_words)
+    assert all(mid[k] <= base_words[k] for k in mid)
+
+
+def test_mine_captions(spark, crawled):
+    docs = crawled.io.read(spark, "documents")
+    n_media = docs.select(
+        F.explode(
+            F.filter(
+                F.col("spans"),
+                lambda s: s["media_ref"].isNotNull() & (s["media_ref"] != ""),
+            )
+        )
+    ).count()
+    pairs = crawled.mine_captions()
+    assert pairs.count() == n_media  # one row per media span, gate off
+    assert pairs.where(F.col("caption").isNull()).count() < n_media
+    gated = crawled.mine_captions(quality=True, min_words=2)
+    assert 0 < gated.count() <= n_media
+    assert {"n_caption_words", "alpha_e6"} <= set(gated.columns)
+
+
+def test_train_tokenizer(spark, crawled):
+    a = crawled.train_tokenizer(n_merges=6)
+    b = crawled.train_tokenizer(n_merges=6)
+    assert a == b and len(a) == 6
+    assert all(m["pair_count"] >= 2 for m in a)
