@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "exact_substr_strip",
     "trustrank",
     "mirror_sites",
+    "caption_pairs",
+    "strip_boilerplate",
+    "bpe_merges",
 ]
 
 

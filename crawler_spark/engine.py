@@ -1572,6 +1572,7 @@ class CrawlEngine:
         require_lang: bool = True,
         sep_tokens: int = 1,
         boilerplate_min_df: int | None = None,
+        tokenizer_merges: list[dict] | None = None,
     ) -> DataFrame:
         """Crawl -> training corpus in one call: curate the committed
         interleaved documents (PII redaction, Gopher word/repetition
@@ -1699,19 +1700,48 @@ class CrawlEngine:
             ["site", "url", "n_words", "logit", "pred_lang", "n_media",
              "media_refs"],
         ).withColumnRenamed("doc_id", "url_hash")
+        if tokenizer_merges is not None:
+            # pack by REAL subword token counts (train_tokenizer /
+            # operators/bpe.py) instead of the whitespace-word proxy:
+            # one tokenize pass over the redacted visible text (corpus
+            # explodes map-side, vocab joins back broadcast), one
+            # per-doc agg exchange, then a co-keyed join onto the kept
+            # canon rows. Text budget becomes the exact token count the
+            # packing writer will emit.
+            from crawler_spark.operators.bpe import bpe_encode
+
+            tok = (
+                bpe_encode(
+                    staged,
+                    tokenizer_merges,
+                    text_col="red_text",
+                    id_col="url_hash",
+                )
+                .groupBy(F.col("doc_id").alias("url_hash"))
+                .agg(F.sum("n_tokens").alias("n_text_tokens"))
+            )
+            canon = canon.join(tok, "url_hash", "left").withColumn(
+                "n_text_tokens",
+                F.coalesce(F.col("n_text_tokens"), F.lit(0)).cast("long"),
+            )
+            text_budget = F.col("n_text_tokens")
+        else:
+            text_budget = F.col("n_words")
         budget = (
-            F.col("n_words")
-            + F.lit(int(media_tokens)) * F.col("n_media")
+            text_budget + F.lit(int(media_tokens)) * F.col("n_media")
         ).alias("token_budget")
         canon = canon.withColumn("token_budget", budget)
+        keep = ("site", "url", "n_words", "n_media", "media_refs",
+                "logit", "pred_lang", "n_copies")
+        if tokenizer_merges is not None:
+            keep = keep + ("n_text_tokens",)
         return pack_sequences(
             canon,
             capacity=capacity,
             id_col="url_hash",
             sep_tokens=sep_tokens,
             tokens_col="token_budget",
-            keep_cols=("site", "url", "n_words", "n_media", "media_refs",
-                       "logit", "pred_lang", "n_copies"),
+            keep_cols=keep,
         )
 
     def mine_captions(

@@ -145,3 +145,31 @@ def test_train_tokenizer(spark, crawled):
     b = crawled.train_tokenizer(n_merges=6)
     assert a == b and len(a) == 6
     assert all(m["pair_count"] >= 2 for m in a)
+
+
+def test_tokenizer_aware_packing(spark, crawled):
+    merges = crawled.train_tokenizer(n_merges=6)
+    rows = _export(crawled, tokenizer_merges=merges).orderBy("url_hash").collect()
+    assert rows
+    # budget = real subword tokens + media placeholders; contiguous stream
+    for r in rows:
+        assert r["n_tokens"] == r["n_text_tokens"] + MEDIA_TOKENS * r["n_media"]
+        assert r["n_text_tokens"] >= r["n_words"]  # subwords >= words
+    for a, b in zip(rows, rows[1:]):
+        assert b["start_offset"] == a["end_offset"] + 1
+    # wiring twin: tokenize the same redacted visible text directly
+    from crawler_spark.functions.pii import redact_expr
+    from crawler_spark.operators.bpe import bpe_encode
+    from crawler_spark.operators.textdedup import doc_text
+
+    corpus = crawled.io.read(spark, "documents").select(
+        "doc_id", redact_expr(doc_text()).alias("text")
+    )
+    want = {
+        r["doc_id"]: r["n"]
+        for r in bpe_encode(corpus, merges)
+        .groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("n"))
+        .collect()
+    }
+    assert all(r["n_text_tokens"] == want[r["url_hash"]] for r in rows)
