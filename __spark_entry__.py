@@ -3405,6 +3405,74 @@ _Q_STRIP_BOILERPLATE_SQL = rf"""
 """
 
 
+def q_span_langs(spark, sf_dir):
+    """Per-document language MIX over the span stream (code-switching
+    detector): every text span classified independently, counts and the
+    majority vote aggregated in the array world — zero exchanges; the
+    oracle recomputes it relationally (per-span CASE + groupBy)."""
+    from crawler_spark.operators.spans import span_lang_profile
+
+    return span_lang_profile(_docs_spans(spark, sf_dir))
+
+
+_Q_SPAN_LANGS_SQL = rf"""
+    WITH {_SPANS_SQL},
+    cls AS (
+        SELECT doc_id,
+            CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                 WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                 WHEN s_es >= s_fr THEN 'es'
+                 ELSE 'fr' END AS lang
+        FROM (
+            SELECT doc_id,
+                {_LANG_SCORE_SQL['de']} AS s_de, {_LANG_SCORE_SQL['en']} AS s_en,
+                {_LANG_SCORE_SQL['es']} AS s_es, {_LANG_SCORE_SQL['fr']} AS s_fr
+            FROM spans_flat WHERE kind = 'text'
+        )
+    ),
+    agg AS (
+        SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_text_spans,
+            CAST(sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+            CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+            CAST(sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+            CAST(sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr
+        FROM cls GROUP BY doc_id
+    ),
+    full_rows AS (
+        SELECT d.doc_id,
+            coalesce(a.n_text_spans, 0) AS n_text_spans,
+            coalesce(a.n_de, 0) AS n_de, coalesce(a.n_en, 0) AS n_en,
+            coalesce(a.n_es, 0) AS n_es, coalesce(a.n_fr, 0) AS n_fr
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    ),
+    scored AS (
+        SELECT *,
+            n_de + n_en + n_es + n_fr AS n_classified,
+            (CASE WHEN n_de > 0 THEN 1 ELSE 0 END + CASE WHEN n_en > 0 THEN 1 ELSE 0 END
+             + CASE WHEN n_es > 0 THEN 1 ELSE 0 END + CASE WHEN n_fr > 0 THEN 1 ELSE 0 END)
+                AS n_langs,
+            CASE WHEN n_de + n_en + n_es + n_fr = 0 THEN 'und'
+                 WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+                 WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+                 WHEN n_es >= n_fr THEN 'es'
+                 ELSE 'fr' END AS majority_lang,
+            CASE WHEN n_de + n_en + n_es + n_fr = 0 THEN 0
+                 ELSE greatest(n_de, n_en, n_es, n_fr) END AS majority_n
+        FROM full_rows
+    )
+    SELECT doc_id, n_text_spans, n_de, n_en, n_es, n_fr,
+        CAST(n_classified AS BIGINT) AS n_classified,
+        CAST(n_langs AS BIGINT) AS n_langs,
+        majority_lang,
+        CAST(majority_n AS BIGINT) AS majority_n,
+        CAST((1000000 * majority_n) // greatest(n_classified, 1) AS BIGINT)
+            AS majority_frac_e6
+    FROM scored
+"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """BPE tokenizer training ON the corpus (operators/bpe.py): the
     ordered merge list after 16 rounds. Rows-only by contract —
@@ -3516,6 +3584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": q_caption_pairs,
         "caption_quality": q_caption_quality,
         "strip_boilerplate": q_strip_boilerplate,
+        "span_langs": q_span_langs,
         "bpe_merges": q_bpe_merges,
     }
 
@@ -3606,6 +3675,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_pairs": _Q_CAPTION_PAIRS_SQL,
         "caption_quality": _Q_CAPTION_QUALITY_SQL,
         "strip_boilerplate": _Q_STRIP_BOILERPLATE_SQL,
+        "span_langs": _Q_SPAN_LANGS_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

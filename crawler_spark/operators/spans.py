@@ -315,3 +315,73 @@ def strip_boilerplate_spans(
         F.coalesce(F.col("spans"), F.array().cast(SPANS_T)).alias("spans"),
         *keep_cols,
     )
+
+
+def span_lang_profile(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document language MIX over the span stream: classify every
+    text span independently (functions/text.py::predict_lang — the same
+    marker heuristic the doc-level gates use; a real model drops in as
+    the same-shaped expression) and aggregate in the array world. The
+    code-switching / wrong-language-section detector for interleaved
+    corpora: a doc whose spans disagree (low majority_frac) mixes
+    languages even when the doc-level vote looks clean — the standard
+    reason multilingual curation classifies per-SEGMENT, not per-doc.
+
+    Zero exchanges: classification and the counts are one scan
+    projection; cost = scanned bytes at any corpus size.
+
+    Output: doc_id, n_text_spans, per-language span counts (n_de/n_en/
+    n_es/n_fr), n_classified (non-'und' spans), n_langs (distinct
+    languages present), majority_lang ('und' when nothing classifies;
+    ties break like predict_lang: lexicographically smallest),
+    majority_n, majority_frac_e6 (exact integers)."""
+    from crawler_spark.functions.text import predict_lang
+
+    spans = F.col("spans")
+    texts = F.filter(spans, lambda s: s["kind"] == F.lit("text"))
+    langs = F.transform(texts, lambda s: predict_lang(s["text"]))
+    d = docs.select(F.col(id_col).alias("doc_id"), langs.alias("_langs"))
+    lang_names = ("de", "en", "es", "fr")
+
+    def count_lang(lang: str) -> Column:
+        # NB: a one-arg lambda only — a second (defaulted) parameter
+        # would make F.filter pass the element INDEX into it
+        return (
+            F.size(F.filter(F.col("_langs"), lambda x: x == F.lit(lang)))
+            .cast("long")
+            .alias(f"n_{lang}")
+        )
+
+    counts = [count_lang(L) for L in lang_names]
+    d = d.select("doc_id", F.size("_langs").cast("long").alias("n_text_spans"), *counts)
+    n_classified = sum((F.col(f"n_{L}") for L in lang_names), F.lit(0)).cast("long")
+    n_langs = sum(
+        (F.when(F.col(f"n_{L}") > 0, 1).otherwise(0) for L in lang_names), F.lit(0)
+    ).cast("long")
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"n_{L}").alias("n"),
+                F.lit(-i).alias("inv_idx"),
+                F.lit(L).alias("l"),
+            )
+            for i, L in enumerate(lang_names)
+        ]
+    )
+    d = d.select(
+        "*",
+        n_classified.alias("n_classified"),
+        n_langs.alias("n_langs"),
+        F.when(n_classified == 0, F.lit("und")).otherwise(best["l"]).alias(
+            "majority_lang"
+        ),
+        F.when(n_classified == 0, F.lit(0)).otherwise(best["n"]).cast("long").alias(
+            "majority_n"
+        ),
+    )
+    return d.select(
+        "*",
+        F.expr("(1000000 * majority_n) div greatest(n_classified, 1)").alias(
+            "majority_frac_e6"
+        ),
+    )

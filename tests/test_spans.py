@@ -246,3 +246,35 @@ def test_strip_flat_plan_broadcasts_hot_set(spans_df):
     p = _plan(strip_boilerplate_spans(spans_df, min_df=2, flat=True))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_span_lang_profile(spark):
+    from crawler_spark.operators.spans import span_lang_profile
+
+    mk = lambda t, o: {"kind": "text", "text": t, "media_ref": "", "offset": o}
+    rows = [
+        (0, [mk("the cat and the dog of", 0),
+             mk("der hund und die katze nicht", 1),
+             mk("the end of the story and", 2),
+             {"kind": "media", "text": "", "media_ref": "m", "offset": 3}]),
+        (1, []),
+        (2, [mk("xyzzy qwerty plugh", 0)]),  # classifies nothing
+        (3, [mk("le chat et la maison", 0), mk("el perro de la casa que", 1)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = {r["doc_id"]: r for r in span_lang_profile(df).collect()}
+    r0 = out[0]
+    assert (r0["n_text_spans"], r0["n_en"], r0["n_de"]) == (3, 2, 1)
+    assert r0["majority_lang"] == "en" and r0["n_langs"] == 2
+    assert r0["majority_frac_e6"] == 2_000_000 // 3
+    assert out[1]["majority_lang"] == "und" and out[1]["n_classified"] == 0
+    assert out[2]["majority_lang"] == "und" and out[2]["n_text_spans"] == 1
+    # doc 3: fr vs es one span each -> tie breaks lexicographically (es)
+    assert out[3]["n_langs"] == 2 and out[3]["majority_lang"] == "es"
+    # zero exchanges: one scan projection
+    p = span_lang_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
