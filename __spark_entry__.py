@@ -3405,6 +3405,35 @@ _Q_STRIP_BOILERPLATE_SQL = rf"""
 """
 
 
+def q_pack_segments(spark, sf_dir):
+    """Writer side of sequence packing: each packed doc exploded into
+    its per-window segments (bin_id, bin_offset, seg_len, boundary
+    flags) — the records a training data loader materializes
+    window-by-window. Integer arithmetic + one Generate on top of the
+    two-phase packing map."""
+    from crawler_spark.functions.text import pack_segments, pack_sequences
+
+    packed = pack_sequences(_docs_wide(spark, sf_dir), capacity=256)
+    return pack_segments(packed, capacity=256)
+
+
+_Q_PACK_SEGMENTS_SQL = rf"""
+    WITH packed AS ({_Q_PACK_SEQUENCES_SQL}),
+    ex AS (
+        SELECT doc_id, n_tokens, start_offset, end_offset, b.bin_id
+        FROM packed, UNNEST(generate_series(first_bin, last_bin)) AS b(bin_id)
+        WHERE n_tokens > 0
+    )
+    SELECT CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+        CAST(greatest(start_offset, bin_id*256) - bin_id*256 AS BIGINT) AS bin_offset,
+        CAST(least(end_offset, (bin_id+1)*256)
+             - greatest(start_offset, bin_id*256) AS BIGINT) AS seg_len,
+        greatest(start_offset, bin_id*256) = start_offset AS is_doc_start,
+        least(end_offset, (bin_id+1)*256) = end_offset AS is_doc_end
+    FROM ex
+"""
+
+
 def q_span_langs(spark, sf_dir):
     """Per-document language MIX over the span stream (code-switching
     detector): every text span classified independently, counts and the
@@ -3585,6 +3614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_quality": q_caption_quality,
         "strip_boilerplate": q_strip_boilerplate,
         "span_langs": q_span_langs,
+        "pack_segments": q_pack_segments,
         "bpe_merges": q_bpe_merges,
     }
 
@@ -3676,6 +3706,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_quality": _Q_CAPTION_QUALITY_SQL,
         "strip_boilerplate": _Q_STRIP_BOILERPLATE_SQL,
         "span_langs": _Q_SPAN_LANGS_SQL,
+        "pack_segments": _Q_PACK_SEGMENTS_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

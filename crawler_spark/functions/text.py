@@ -468,6 +468,55 @@ def pack_sequences(
     )
 
 
+def pack_segments(
+    packed: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The writer side of pack_sequences: explode each packed document
+    into one row per context window it occupies — exactly the records a
+    training data loader materializes window-by-window. For window
+    `bin_id`, its segments sorted by `bin_offset` ARE the window (plus
+    the separator tokens between consecutive docs and tail padding in
+    the final window).
+
+    Output per (doc, window): bin_id, doc id, bin_offset (position of
+    the segment inside the window), seg_len (tokens of this doc in this
+    window), is_doc_start / is_doc_end (boundary flags a loader needs
+    for attention-mask resets and loss masking). Zero-token docs occupy
+    no window and emit nothing.
+
+    Pure integer arithmetic + one Generate on top of the packing map —
+    no exchange beyond what pack_sequences already did; `capacity` must
+    match the pack_sequences call."""
+    cap = int(capacity)
+    bins = F.when(
+        F.col("n_tokens") > 0,
+        F.sequence(F.col("first_bin"), F.col("last_bin")),
+    ).otherwise(F.array().cast("array<long>"))
+    ex = packed.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        "end_offset",
+        *keep_cols,
+        F.explode(bins).alias("bin_id"),
+    )
+    win_start = F.col("bin_id") * cap
+    seg_start = F.greatest(F.col("start_offset"), win_start)
+    seg_end = F.least(F.col("end_offset"), win_start + cap)
+    return ex.select(
+        F.col("bin_id").cast("long").alias("bin_id"),
+        id_col,
+        (seg_start - win_start).cast("long").alias("bin_offset"),
+        (seg_end - seg_start).cast("long").alias("seg_len"),
+        (seg_start == F.col("start_offset")).alias("is_doc_start"),
+        (seg_end == F.col("end_offset")).alias("is_doc_end"),
+        *keep_cols,
+    )
+
+
 def top_terms(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary head: top-k terms by document frequency.
 

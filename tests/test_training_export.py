@@ -173,3 +173,42 @@ def test_tokenizer_aware_packing(spark, crawled):
         .collect()
     }
     assert all(r["n_text_tokens"] == want[r["url_hash"]] for r in rows)
+
+
+def test_pack_segments_tiles_the_stream(spark):
+    from crawler_spark.functions.text import pack_segments, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (3 + 7 * (i % 5))) for i in range(40)] + [(99, "")],
+        "doc_id long, text string",
+    )
+    cap = 16
+    packed = pack_sequences(docs, capacity=cap)
+    segs = pack_segments(packed, capacity=cap).collect()
+    by_doc = {}
+    for s in segs:
+        by_doc.setdefault(s["doc_id"], []).append(s)
+    pk = {r["doc_id"]: r for r in packed.collect()}
+    # zero-token docs emit nothing; every other doc's segments tile its span
+    assert 99 not in by_doc
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["bin_id"])
+        p = pk[did]
+        assert sum(r["seg_len"] for r in rows) == p["n_tokens"]
+        assert len(rows) == p["n_bins"]
+        assert rows[0]["is_doc_start"] and rows[-1]["is_doc_end"]
+        assert all(not r["is_doc_start"] for r in rows[1:])
+        assert all(not r["is_doc_end"] for r in rows[:-1])
+        # global positions reconstruct contiguously
+        pos = p["start_offset"]
+        for r in rows:
+            assert r["bin_id"] * cap + r["bin_offset"] == pos
+            assert 0 <= r["bin_offset"] < cap
+            assert 0 < r["seg_len"] <= cap
+            pos += r["seg_len"]
+        assert pos == p["end_offset"]
+    # every window's segments fit its capacity
+    fill = {}
+    for s in segs:
+        fill[s["bin_id"]] = fill.get(s["bin_id"], 0) + s["seg_len"]
+    assert all(v <= cap for v in fill.values())
