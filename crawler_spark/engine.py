@@ -1750,6 +1750,8 @@ class CrawlEngine:
         min_words: int = 3,
         max_words: int = 256,
         min_alpha_e6: int = 500_000,
+        dedup_media: bool = False,
+        max_hamming: int = 3,
     ) -> DataFrame:
         """Image-text pairs from the committed crawl: each media span of
         every fetched page paired with its nearest non-empty text span
@@ -1760,7 +1762,15 @@ class CrawlEngine:
         emits (page, media_ref, caption) rows for contrastive
         image-text training sets (the reference's crawl stores media
         markdown links inline and never pairs them,
-        crawler.py:1040-1120)."""
+        crawler.py:1040-1120).
+
+        dedup_media=True (requires dedup_index=True at crawl time)
+        drops captions whose media payload is a pHash near-dup of
+        another ref, keeping only each cluster's canonical member
+        (min media_ref) — one caption set per distinct image, the
+        LAION-style dedup-before-pairing step. Join-only over the
+        incremental index: cluster members are the small side of a
+        left_anti (bounded by the duplicated-media count)."""
         from crawler_spark.operators.spans import (
             caption_pairs,
             caption_quality_gate,
@@ -1769,6 +1779,13 @@ class CrawlEngine:
         pairs = caption_pairs(
             self.io.read(self.spark, "documents").select("doc_id", "spans")
         )
+        if dedup_media:
+            cl = self.media_clusters(max_hamming=max_hamming)
+            reps = cl.groupBy("cluster_id").agg(
+                F.min("media_ref").alias("media_ref")
+            )
+            losers = cl.join(reps, "media_ref", "left_anti").select("media_ref")
+            pairs = pairs.join(losers, "media_ref", "left_anti")
         if quality:
             pairs = caption_quality_gate(
                 pairs,

@@ -197,3 +197,22 @@ def test_media_clusters_group_identical_payloads(spark, tmp_path):
         assert got[p.ref_a] == got[p.ref_b]
     for ref, cid in got.items():
         assert cid <= ref
+
+
+def test_mine_captions_dedup_media(spark, tmp_path):
+    world = make_world(seed=96, n_hosts=3, n_urls=18, budget=3, burst=False)
+    eng, _ = _run_engine(spark, str(tmp_path / "cap"), world)
+    all_pairs = {r["media_ref"] for r in eng.mine_captions().collect()}
+    kept = {r["media_ref"] for r in eng.mine_captions(dedup_media=True).collect()}
+    clusters = {
+        r["media_ref"]: r["cluster_id"]
+        for r in eng.media_clusters(max_hamming=3).collect()
+    }
+    # exactly the non-canonical cluster members disappear
+    losers = {ref for ref, cid in clusters.items() if ref != min(
+        m for m, c in clusters.items() if c == cid)}
+    assert kept == all_pairs - losers
+    # every surviving clustered ref is its cluster's minimum
+    for ref in kept & set(clusters):
+        cid = clusters[ref]
+        assert ref == min(m for m, c in clusters.items() if c == cid)
