@@ -3434,6 +3434,33 @@ _Q_PACK_SEGMENTS_SQL = rf"""
 """
 
 
+def q_pack_fill(spark, sf_dir):
+    """Per-window packing utilization (segments, doc starts/ends,
+    token fill vs capacity) — the wasted-compute accounting every
+    packing recipe reports; one keyed agg over the segment rows."""
+    from crawler_spark.functions.text import (
+        pack_fill_stats,
+        pack_segments,
+        pack_sequences,
+    )
+
+    packed = pack_sequences(_docs_wide(spark, sf_dir), capacity=256)
+    return pack_fill_stats(pack_segments(packed, capacity=256), capacity=256)
+
+
+_Q_PACK_FILL_SQL = rf"""
+    WITH segs AS ({_Q_PACK_SEGMENTS_SQL})
+    SELECT bin_id,
+        CAST(count(*) AS BIGINT) AS n_segments,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN is_doc_start THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_started,
+        CAST(sum(CASE WHEN is_doc_end THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_ended,
+        CAST(sum(seg_len) AS BIGINT) AS doc_tokens,
+        CAST((1000000 * sum(seg_len)) // 256 AS BIGINT) AS util_e6
+    FROM segs GROUP BY bin_id
+"""
+
+
 def q_span_langs(spark, sf_dir):
     """Per-document language MIX over the span stream (code-switching
     detector): every text span classified independently, counts and the
@@ -3615,6 +3642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "span_langs": q_span_langs,
         "pack_segments": q_pack_segments,
+        "pack_fill": q_pack_fill,
         "bpe_merges": q_bpe_merges,
     }
 
@@ -3707,6 +3735,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": _Q_STRIP_BOILERPLATE_SQL,
         "span_langs": _Q_SPAN_LANGS_SQL,
         "pack_segments": _Q_PACK_SEGMENTS_SQL,
+        "pack_fill": _Q_PACK_FILL_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

@@ -517,6 +517,34 @@ def pack_segments(
     )
 
 
+def pack_fill_stats(
+    segments: DataFrame, capacity: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-window packing utilization from pack_segments output: how
+    many doc segments land in each context window, how many documents
+    start/end there, the document-token fill and its fraction of
+    capacity (exact integers — the remainder is separators, plus
+    padding in the final window only). The wasted-compute accounting
+    every packing recipe reports. ONE keyed agg exchange (map-side
+    partial) over the segment rows."""
+    return (
+        segments.groupBy("bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.sum(F.col("is_doc_start").cast("long")).alias("n_docs_started"),
+            F.sum(F.col("is_doc_end").cast("long")).alias("n_docs_ended"),
+            F.sum("seg_len").cast("long").alias("doc_tokens"),
+        )
+        .select(
+            "*",
+            F.expr(f"(1000000 * doc_tokens) div {int(capacity)}").alias(
+                "util_e6"
+            ),
+        )
+    )
+
+
 def top_terms(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary head: top-k terms by document frequency.
 

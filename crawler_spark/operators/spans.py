@@ -251,7 +251,7 @@ def strip_boilerplate_spans(
     min_df: int = 2,
     id_col: str = "doc_id",
     flat: bool = False,
-    max_hot: int = 1_000_000,
+    max_hot: int = 100_000,
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Remove cross-document repeated text spans (nav bars, cookie
@@ -267,9 +267,14 @@ def strip_boilerplate_spans(
     pass) -> re-assemble per doc. `max_hot` bounds the broadcast: hot
     fingerprints beyond the most-document-frequent max_hot are NOT
     stripped (deterministic tiebreak by fp) — the same stop-set guard
-    idiom as jaccard_pairs(max_df)/winnow. flat=True returns the kept
-    spans as rows (doc_id, pos, kind, text, media_ref, offset) and
-    skips the re-assembly exchange."""
+    idiom as jaccard_pairs(max_df)/winnow. Cost notes for 100 TB: the
+    top-k guard is a TakeOrdered whose driver merge is O(partitions x
+    max_hot) rows — keep max_hot modest (default 1e5 ~ a few MB/task)
+    or pre-raise min_df instead; and the corpus is scanned twice (hot
+    build + probe) — persist the span table first when stripping
+    repeatedly. flat=True returns the kept spans as rows (doc_id, pos,
+    kind, text, media_ref, offset) and skips the re-assembly
+    exchange."""
     ex = docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode("spans").alias("pos", "s")
     ).select(
