@@ -3529,6 +3529,70 @@ _Q_SPAN_LANGS_SQL = rf"""
 """
 
 
+def q_perceptron_weights(spark, sf_dir):
+    """In-engine classifier TRAINING: 3 batch-perceptron iterations on
+    a lang=='en' label (learn an English detector), exact 64-bit
+    integer arithmetic throughout — margins, mistake sets and weight
+    updates are integer sums, so training is bit-identical under any
+    partitioning AND hash-certifiable: the oracle UNROLLS the three
+    iterations as successive CTEs (the pagerank-oracle pattern)."""
+    from crawler_spark.operators.classifier import train_perceptron
+
+    d = _docs_wide(spark, sf_dir).withColumn(
+        "y", F.when(F.col("lang") == "en", 1).otherwise(-1).cast("long")
+    )
+    return train_perceptron(d, "y", n_iters=3)
+
+
+_PERC_ITER_SQL = """
+    m{k} AS (
+        SELECT doc_id, y, sum(cnt * coalesce(weight, 0)) AS margin
+        FROM f LEFT JOIN w{p} USING (tok) GROUP BY doc_id, y
+    ),
+    mk{k} AS (SELECT doc_id FROM m{k} WHERE margin * y <= 0),
+    d{k} AS (
+        SELECT tok, CAST(sum(y * cnt) AS BIGINT) AS d
+        FROM f JOIN mk{k} USING (doc_id)
+        GROUP BY tok HAVING sum(y * cnt) <> 0
+    ),
+    w{k} AS (
+        SELECT coalesce(w{p}.tok, d{k}.tok) AS tok,
+               CAST(coalesce(weight, 0) + coalesce(d, 0) AS BIGINT) AS weight
+        FROM w{p} FULL JOIN d{k} ON w{p}.tok = d{k}.tok
+        WHERE coalesce(weight, 0) + coalesce(d, 0) <> 0
+    )
+"""
+
+_Q_PERCEPTRON_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+        UNION ALL
+        SELECT doc_id, ' bias ' FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY doc_id, tok
+    ),
+    lab AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+        FROM documents
+    ),
+    f AS (SELECT feats.*, y FROM feats JOIN lab USING (doc_id)),
+    -- iteration 1: empty weights -> every margin 0 -> every doc a mistake
+    w1 AS (
+        SELECT tok, CAST(sum(y * cnt) AS BIGINT) AS weight
+        FROM f GROUP BY tok HAVING sum(y * cnt) <> 0
+    ),
+    {_PERC_ITER_SQL.format(k=2, p=1)},
+    {_PERC_ITER_SQL.format(k=3, p=2)}
+    SELECT tok, weight FROM w3
+"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """BPE tokenizer training ON the corpus (operators/bpe.py): the
     ordered merge list after 16 rounds. Rows-only by contract —
@@ -3643,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_langs": q_span_langs,
         "pack_segments": q_pack_segments,
         "pack_fill": q_pack_fill,
+        "perceptron_weights": q_perceptron_weights,
         "bpe_merges": q_bpe_merges,
     }
 
@@ -3736,6 +3801,7 @@ def oracle_sql() -> dict[str, str]:
         "span_langs": _Q_SPAN_LANGS_SQL,
         "pack_segments": _Q_PACK_SEGMENTS_SQL,
         "pack_fill": _Q_PACK_FILL_SQL,
+        "perceptron_weights": _Q_PERCEPTRON_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

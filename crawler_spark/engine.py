@@ -1811,6 +1811,43 @@ class CrawlEngine:
             min_pair_count=min_pair_count,
         )
 
+    def train_quality_classifier(
+        self, n_iters: int = 10, min_words: int = 5, max_dup_2gram: float = 0.3
+    ) -> DataFrame:
+        """Distill the rule gates into a learned model (the
+        FineWeb/DCLM recipe): label every committed page +1/-1 by the
+        Gopher word-count + repetition gates, train the exact-integer
+        batch perceptron on the pages' visible text, and return the
+        (tok, weight) table — which drops directly into
+        classifier_score(weights=...), doc_quality-style scoring, and
+        pause_low_quality_sites. Training is bit-deterministic under
+        any partitioning (operators/classifier.py)."""
+        from crawler_spark.functions.text import WS_RE, _word_ngrams
+        from crawler_spark.operators.classifier import train_perceptron
+
+        d = self._page_corpus()
+        words = F.filter(
+            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), WS_RE),
+            lambda x: x != "",
+        )
+        g2 = _word_ngrams(words, 2)
+        t2 = F.size(g2)
+        dup2 = F.when(
+            t2 > 0,
+            (t2 - F.size(F.array_distinct(g2))).cast("double") / t2.cast("double"),
+        ).otherwise(F.lit(0.0))
+        labeled = d.select(
+            "doc_id",
+            "text",
+            F.when(
+                (F.size(words) >= min_words) & (dup2 <= max_dup_2gram), 1
+            )
+            .otherwise(-1)
+            .cast("long")
+            .alias("y"),
+        )
+        return train_perceptron(labeled, "y", n_iters=n_iters)
+
     def pause_low_quality_sites(self, min_mean_logit: float = 0.0) -> list[str]:
         """Quality-driven source filtering wired into the control
         plane: pause every site whose mean per-document logit is below
