@@ -55,6 +55,7 @@ ENGINE_SCHEMAS = {
     "media_signatures": S.MEDIA_SIGNATURES,  # incremental media pHash index (opt-in)
     "fetch_fingerprints": S.FETCH_FINGERPRINTS,  # per-fetch content history (opt-in)
     "page_vectors": S.PAGE_VECTORS,  # incremental ANN index (opt-in, vector_index=True)
+    "postings": S.POSTINGS,  # incremental inverted index (opt-in, lexical_index=True)
     "edges": S.EDGES,  # crawl link graph (opt-in, record_edges=True)
     "records": S.RECORDS,
     "entity_seen": S.ENTITY_SEEN,
@@ -84,6 +85,7 @@ SITE_TABLES = [
     "doc_signatures",
     "media_signatures",
     "page_vectors",
+    "postings",
     "fetch_fingerprints",
     "edges",
     "records",
@@ -222,6 +224,7 @@ class CrawlEngine:
         # range (set it to 1.0 for unit-normalized real models).
         # search_semantic_indexed() queries it join-only.
         vector_index: bool = False,
+        lexical_index: bool = False,
         vector_scale: float = 0.5,
         # pre-built TableIO overrides root/bucketed_io — the cluster entry
         # point: CrawlEngine(spark, "", io=IcebergTableIO(spark, "crawl",
@@ -281,6 +284,7 @@ class CrawlEngine:
             )
         self.record_edges = record_edges
         self.track_changes = track_changes
+        self.lexical_index = lexical_index
         if vector_index and not embed_dim:
             raise ValueError(
                 "vector_index=True needs embed_dim > 0 — the index stores "
@@ -663,6 +667,8 @@ class CrawlEngine:
             appends["media_signatures"] = media_signatures(docs)
         if self.vector_index:
             appends["page_vectors"] = self._page_vector_rows(docs)
+        if self.lexical_index:
+            appends["postings"] = self._posting_rows(docs)
         if self.track_changes:
             # one row per successful fetch; md5 over the JSON-rendered
             # span sequence (schema-ordered fields -> deterministic) is
@@ -1057,6 +1063,9 @@ class CrawlEngine:
             "page_vectors": io.read(spark, "page_vectors").join(
                 removed_keys.withColumnRenamed("url_hash", "doc_id"), "doc_id", "left_anti"
             ),
+            "postings": io.read(spark, "postings").join(
+                removed_keys.withColumnRenamed("url_hash", "doc_id"), "doc_id", "left_anti"
+            ),
             "fetch_fingerprints": io.read(spark, "fetch_fingerprints").join(
                 removed_keys, "url_hash", "left_anti"
             ),
@@ -1346,6 +1355,9 @@ class CrawlEngine:
             "page_vectors": io.read(spark, "page_vectors").join(
                 doc_keys, "doc_id", "left_anti"
             ),
+            "postings": io.read(spark, "postings").join(
+                doc_keys, "doc_id", "left_anti"
+            ),
             "records": rec_kept,
             "entity_seen": io.read(spark, "entity_seen").join(
                 keys_gone_only, ["site", "entity_key"], "left_anti"
@@ -1451,6 +1463,47 @@ class CrawlEngine:
             F.col("fetched_round").alias("round"),
             qv.alias("qv"),
             sign_lsh_bucket(qv, min(8, self.embed_dim)).alias("bucket"),
+        )
+
+    def _posting_rows(self, docs: DataFrame) -> DataFrame:
+        """documents rows -> POSTINGS rows: the ONE home of the
+        visible-text -> inverted-index derivation (doc_id, site, round,
+        tok, tf, dl) so the incremental index and a batch recompute
+        agree by construction. One exchange over the round's fetched
+        delta."""
+        from crawler_spark.operators.retrieval import corpus_postings
+        from crawler_spark.operators.textdedup import doc_text
+
+        base = docs.select(
+            "doc_id",
+            "site",
+            F.col("fetched_round").alias("round"),
+            doc_text().alias("text"),
+        )
+        return corpus_postings(base, keep_cols=("site", "round")).select(
+            "doc_id", "site", "round", "tok", "tf", "dl"
+        )
+
+    def rebuild_postings(self) -> DataFrame:
+        """Batch recompute of the inverted index from the committed
+        documents — the incremental table must equal this exactly
+        (pinned in tests/test_lexical_index.py)."""
+        return self._posting_rows(self.io.read(self.spark, "documents"))
+
+    def search_lexical_indexed(
+        self, queries: DataFrame, k: int = 10, exact: bool = True
+    ) -> DataFrame:
+        """BM25 over the incremental postings index: tokenize + (doc,
+        token) aggregation were paid at fetch time, so query time is
+        join-only (broadcast query vocabulary semi-join + two tiny
+        aggs) — identical results to search_lexical BY CONSTRUCTION
+        (both paths end in retrieval._rank_postings). At 10^10 pages
+        store the index clustered by token for a partition-pruned
+        probe. Returns (query_id, doc_id, score_e9|score, rank)."""
+        from crawler_spark.operators.retrieval import bm25_from_postings
+
+        return bm25_from_postings(
+            self.io.read(self.spark, "postings"), queries, k=k, exact=exact
         )
 
     def rebuild_page_vectors(self) -> DataFrame:
@@ -1919,6 +1972,7 @@ class CrawlEngine:
             "doc_signatures",
             "media_signatures",
             "page_vectors",
+            "postings",
             "fetch_fingerprints",
             "edges",
             "records",

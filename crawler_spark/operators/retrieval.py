@@ -107,6 +107,26 @@ def bm25_topk(
         .groupBy("doc_id", "tok", "dl")
         .agg(F.count("*").alias("tf"))
     )
+    return _rank_postings(
+        postings, qterms, stats, k=k, k1_x10=k1_x10, b_x100=b_x100, exact=exact
+    )
+
+
+def _rank_postings(
+    postings: DataFrame,
+    qterms: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1_x10: int,
+    b_x100: int,
+    exact: bool,
+) -> DataFrame:
+    """Shared BM25 scoring tail: postings (doc_id, tok, tf, dl) already
+    restricted to query terms, qterms (query_id, tok), stats one row
+    (n_docs, total_tok) — df + idf/saturation scoring + per-query
+    WindowGroupLimit top-k. Both the ad-hoc path (bm25_topk) and the
+    incremental-index path (bm25_from_postings) end here, which is what
+    makes their results identical by construction."""
     dfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
 
     scored_terms = (
@@ -151,6 +171,71 @@ def bm25_topk(
         .select(
             "query_id", "doc_id", score_col, F.col("rank").cast("int")
         .alias("rank"))
+    )
+
+
+def corpus_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Materialized inverted index rows: (doc_id, tok, tf, dl, *keep) —
+    one row per distinct (doc, token), tokenized exactly like bm25_topk.
+    A document with ZERO tokens still gets one sentinel row (tok NULL,
+    tf 0, dl 0) so corpus stats (N, total tokens) recover from the
+    index alone — the classifier_score explode_outer idiom. One corpus
+    exchange; per crawl round it runs over the fetched delta only
+    (engine lexical_index=True)."""
+    words = _words(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), *keep_cols, words.alias("_w")
+    ).select("doc_id", *keep_cols, F.size("_w").cast("long").alias("dl"), "_w")
+    return (
+        base.select(
+            "doc_id", *keep_cols, "dl", F.explode_outer("_w").alias("tok")
+        )
+        .groupBy("doc_id", *keep_cols, "dl", "tok")
+        .agg(F.count("tok").cast("long").alias("tf"))
+    )
+
+
+def bm25_from_postings(
+    postings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1_x10: int = 12,
+    b_x100: int = 75,
+    query_text_col: str = "qtext",
+    query_id_col: str = "query_id",
+    exact: bool = True,
+) -> DataFrame:
+    """BM25 top-k over a MATERIALIZED postings table (corpus_postings /
+    the engine's incremental lexical index): the expensive tokenize +
+    (doc, tok) aggregation was already paid at indexing time, so query
+    time is join-only — broadcast the query vocabulary into a semi-join
+    on the postings (at 10^10 pages: a token-clustered index makes this
+    a partition-pruned scan), one tiny df agg, one scoring exchange.
+    Corpus stats (N, total tokens) recover from the index's distinct
+    (doc_id, dl) pairs — O(docs), cache it in production for repeated
+    querying. Results are identical to bm25_topk over the same corpus
+    BY CONSTRUCTION (both end in _rank_postings; pinned in
+    tests/test_lexical_index.py)."""
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(_words(query_text_col))).alias("tok"),
+    )
+    qvocab = qterms.select("tok").distinct()
+    stats = (
+        postings.select("doc_id", "dl")
+        .distinct()
+        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_tok"))
+    )
+    p = postings.join(F.broadcast(qvocab), "tok").select(
+        "doc_id", "tok", "tf", "dl"
+    )
+    return _rank_postings(
+        p, qterms, stats, k=k, k1_x10=k1_x10, b_x100=b_x100, exact=exact
     )
 
 

@@ -289,6 +289,23 @@ PAGE_VECTORS = T.StructType(
     ]
 )
 
+# incremental inverted index (engine lexical_index=True): one row per
+# distinct (page, token) of the visible text — tf + doc length, so BM25
+# is join-only at query time (retrieval.bm25_from_postings); zero-token
+# pages keep a NULL-token sentinel row so corpus stats (N, total tokens)
+# recover from the index alone. O(|fetched| tokens) per round; rides the
+# SITE_TABLES cascade/prune/compaction.
+POSTINGS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("site", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("tok", T.StringType(), True),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
+    ]
+)
+
 # per-fetch content fingerprints (engine track_changes=True): one row
 # per successful fetch, APPEND-ONLY ACROSS RECRAWLS — the observation
 # history behind the change-rate recrawl scheduler
