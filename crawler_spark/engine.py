@@ -1614,6 +1614,26 @@ class CrawlEngine:
         )
         return rrf_fuse([lex, sem], k=k, k0=k0)
 
+    def search_hybrid_indexed(
+        self, queries: DataFrame, k: int = 10, k0: int = 60
+    ) -> DataFrame:
+        """Hybrid search entirely from the incremental indexes
+        (lexical_index=True + vector_index=True): join-only BM25 over
+        the postings table fused with bucket-pruned int8 ANN over
+        page_vectors — serving-path latency with ZERO corpus passes at
+        query time. Candidate lists differ from the ad-hoc pair only
+        where the ANN bucket pruning differs (BM25 side is identical by
+        construction)."""
+        from crawler_spark.operators.retrieval import rrf_fuse
+
+        lex = self.search_lexical_indexed(queries, k=k).select(
+            "query_id", "doc_id", "rank"
+        )
+        sem = self.search_semantic_indexed(queries, k=k).select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+        )
+        return rrf_fuse([lex, sem], k=k, k0=k0)
+
     def training_export(
         self,
         capacity: int = 2048,

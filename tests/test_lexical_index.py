@@ -115,3 +115,24 @@ def test_operator_twin_on_flat_corpus(spark):
         key=key,
     )
     assert a == b and a
+
+
+def test_hybrid_indexed(spark, tmp_path):
+    world = make_world(seed=85, n_hosts=3, n_urls=15, budget=3, burst=False)
+    tables = world.to_spark(spark)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "h"), lexical_index=True, vector_index=True, embed_dim=8
+    )
+    eng.seed(discover_frontier(tables["seeds"], tables["robots"], tables["sitemaps"]))
+    eng.run(tables, max_rounds=6)
+    texts = [r.text for r in eng._page_corpus().collect() if r.text]
+    q = spark.createDataFrame(
+        [("q0", texts[0])], "query_id string, qtext string"
+    )
+    fused = eng.search_hybrid_indexed(q, k=5).collect()
+    assert fused and fused[0]["rank"] == 1
+    # the page whose text IS the query wins both lists -> wins the fusion
+    lex1 = eng.search_lexical_indexed(q, k=1).first()["doc_id"]
+    sem1 = eng.search_semantic_indexed(q, k=1).first()["neighbor_id"]
+    if lex1 == sem1:
+        assert fused[0]["doc_id"] == lex1
