@@ -1099,6 +1099,64 @@ def _pagerank_sql(iters: int) -> str:
 _Q_PAGERANK_SQL = _pagerank_sql(_PR_ITERS)
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities in exact integer arithmetic (max-rescaled
+    power iteration — same certifiability recipe as pagerank/trustrank)
+    over the deterministic link graph."""
+    from crawler_spark.operators.graph import hits
+
+    return hits(_link_edges(spark, sf_dir), iters=3)
+
+
+def _hits_sql(iters: int, unit: int = 1_000_000) -> str:
+    # every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+    # and each step here is referenced more than once — un-materialized
+    # the expansion is exponential in `iters`
+    parts = [
+        f"WITH {_EDGES_SQL.strip()}",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"h0 AS MATERIALIZED (SELECT node, CAST({unit} AS BIGINT) AS h FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"af{i} AS MATERIALIZED (SELECT n.node, CAST(coalesce(c.a, 0) AS BIGINT) AS a\n"
+            f"           FROM nodes n LEFT JOIN (SELECT e.dst AS node, SUM(p.h) AS a FROM edges e\n"
+            f"           JOIN h{i} p ON e.src = p.node GROUP BY e.dst) c ON n.node = c.node)"
+        )
+        parts.append(
+            f"amx{i} AS MATERIALIZED (SELECT max(a) AS m FROM af{i})"
+        )
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT node, CAST(CASE WHEN m <= 0 THEN 0\n"
+            f"           ELSE ({unit} * a) // m END AS BIGINT) AS a FROM af{i}, amx{i})"
+        )
+        parts.append(
+            f"hf{i} AS MATERIALIZED (SELECT n.node, CAST(coalesce(c.h, 0) AS BIGINT) AS h\n"
+            f"           FROM nodes n LEFT JOIN (SELECT e.src AS node, SUM(p.a) AS h FROM edges e\n"
+            f"           JOIN a{i + 1} p ON e.dst = p.node GROUP BY e.src) c ON n.node = c.node)"
+        )
+        parts.append(
+            f"hmx{i} AS MATERIALIZED (SELECT max(h) AS m FROM hf{i})"
+        )
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT node, CAST(CASE WHEN m <= 0 THEN 0\n"
+            f"           ELSE ({unit} * h) // m END AS BIGINT) AS h FROM hf{i}, hmx{i})"
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT n.node, CAST(coalesce(h.h, 0) AS BIGINT) AS hub_e6,
+           CAST(coalesce(a.a, 0) AS BIGINT) AS auth_e6
+    FROM nodes n
+    LEFT JOIN h{iters} h ON n.node = h.node
+    LEFT JOIN a{iters} a ON n.node = a.node
+"""
+    )
+
+
+_Q_HITS_SQL = _hits_sql(3)
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible: full engine round + multimodal decode (rows-only)
 # --------------------------------------------------------------------------
@@ -3708,6 +3766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_segments": q_pack_segments,
         "pack_fill": q_pack_fill,
         "perceptron_weights": q_perceptron_weights,
+        "hits": q_hits,
         "bpe_merges": q_bpe_merges,
     }
 
@@ -3802,6 +3861,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_segments": _Q_PACK_SEGMENTS_SQL,
         "pack_fill": _Q_PACK_FILL_SQL,
         "perceptron_weights": _Q_PERCEPTRON_SQL,
+        "hits": _Q_HITS_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

@@ -1256,6 +1256,17 @@ class CrawlEngine:
             self.link_edges(), iters=iters, src_col="src_hash", dst_col="dst_hash", **kwargs
         )
 
+    def hits(self, iters: int = 5, **kwargs) -> DataFrame:
+        """Integer-arithmetic HITS hubs/authorities over the crawled
+        link graph (record_edges=True): authorities feed recrawl/score
+        priorities like pagerank; hubs surface index/portal pages worth
+        re-visiting for link discovery (operators/graph.py::hits)."""
+        from crawler_spark.operators.graph import hits
+
+        return hits(
+            self.link_edges(), iters=iters, src_col="src_hash", dst_col="dst_hash", **kwargs
+        )
+
     # ------------------------------------------------ change-rate recrawl
     def fetch_history(self) -> DataFrame:
         """Per-URL observation history from the fetch_fingerprints table

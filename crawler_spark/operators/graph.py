@@ -309,3 +309,85 @@ def trustrank(
             .localCheckpoint(eager=True)
         )
     return scores.select("node", F.col("score").alias(f"trust_e{len(str(unit)) - 1}"))
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    unit: int = 1_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99) in exact 64-bit
+    integer arithmetic — bit-identical on any partitioning and in the
+    DuckDB oracle (the pagerank/trustrank recipe applied to the
+    two-vector power iteration).
+
+    Per iteration: auth(v) = sum of hub over in-edges, then rescaled to
+    max `unit` by integer division; hub(u) = sum of the NEW auth over
+    out-edges, rescaled the same way. Max-rescaling replaces the
+    classic L2 normalization — both converge to the dominant
+    eigenvectors of A^T A / A A^T up to scale, so the RANKING matches
+    (only absolute values differ), and integer max-division is exact
+    and order-independent where a parallel float L2 sum is not. The two
+    per-iteration max() lookups are 1-row collects (the bpe/kmeans
+    driver-collect budget). Nodes with no in-edges get authority 0;
+    no out-edges -> hub 0; an edgeless graph returns no rows.
+
+    Overflow bound: scores <= unit after rescale, so a sum is <=
+    max_in_degree * unit — int64-safe through ~9e12-degree hubs at the
+    default unit.
+
+    Scale shape per iteration: two edge-list exchanges (join on src,
+    partial-agg on dst; then the mirror), scores stay node-sized,
+    lineage truncated via eager localCheckpoint.
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    hub = nodes.select("node", F.lit(unit).cast("long").alias("h"))
+
+    def _rescale(df, col):
+        m = df.agg(F.max(col)).first()[0] or 0
+        if m <= 0:
+            return df.select("node", F.lit(0).cast("long").alias(col))
+        return df.select(
+            "node", F.expr(f"({unit} * {col}) div {m}").cast("long").alias(col)
+        )
+
+    auth = nodes.select("node", F.lit(0).cast("long").alias("a"))
+    for _ in range(iters):
+        araw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = _rescale(
+            nodes.join(araw, "node", "left").select(
+                "node", F.coalesce("a", F.lit(0)).cast("long").alias("a")
+            ),
+            "a",
+        ).localCheckpoint(eager=True)
+        hraw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = _rescale(
+            nodes.join(hraw, "node", "left").select(
+                "node", F.coalesce("h", F.lit(0)).cast("long").alias("h")
+            ),
+            "h",
+        ).localCheckpoint(eager=True)
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hub_e6"),
+            F.coalesce("a", F.lit(0)).cast("long").alias("auth_e6"),
+        )
+    )

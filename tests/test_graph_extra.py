@@ -102,3 +102,63 @@ def test_mirror_pairs_symmetric_input_order_invariant(spark):
         min_overlap_e6=900_000,
     ).collect()
     assert [(r.site_a, r.site_b, r.overlap_e6) for r in got] == [("X", "Y", 1_000_000)]
+
+
+def _py_hits(edges, iters, unit=1_000_000):
+    nodes = sorted({n for e in edges for n in e})
+    es = sorted(edges)  # multiplicity counts, matching pagerank's out_deg semantics
+    h = {n: unit for n in nodes}
+    a = {n: 0 for n in nodes}
+
+    def rescale(d):
+        m = max(d.values()) if d else 0
+        if m <= 0:
+            return {n: 0 for n in d}
+        return {n: (unit * v) // m for n, v in d.items()}
+
+    for _ in range(iters):
+        a = {n: 0 for n in nodes}
+        for s_, d_ in es:
+            a[d_] += h[s_]
+        a = rescale(a)
+        h = {n: 0 for n in nodes}
+        for s_, d_ in es:
+            h[s_] += a[d_]
+        h = rescale(h)
+    return {n: (h[n], a[n]) for n in nodes}
+
+
+def test_hits_matches_integer_reference_exactly(spark):
+    from crawler_spark.operators.graph import hits
+
+    edges = [(i, (i * 7 + 3) % 20) for i in range(40)] + [
+        (5, 13), (6, 13), (7, 13), (8, 13),
+        (2, 9), (2, 11), (2, 17), (2, 19),
+    ]
+    edges = [(x, y) for x, y in edges if x != y]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for it in (1, 3, 8):
+        got = {r["node"]: (r["hub_e6"], r["auth_e6"])
+               for r in hits(df, iters=it).collect()}
+        assert got == _py_hits(edges, it), f"iters={it}"
+    # semantics at one iteration: authority ranks by in-degree, so the
+    # planted 6-in-degree node 13 is the top authority
+    one = {r["node"]: r["auth_e6"] for r in hits(df, iters=1).collect()}
+    assert max(one, key=one.get) == 13 and one[13] == 1_000_000
+    # partitioning invariance (exact)
+    a = {r["node"]: (r["hub_e6"], r["auth_e6"]) for r in hits(df, iters=4).collect()}
+    b = {r["node"]: (r["hub_e6"], r["auth_e6"])
+         for r in hits(df.repartition(7), iters=4).collect()}
+    assert a == b
+
+
+def test_hits_degenerate_graphs(spark):
+    from crawler_spark.operators.graph import hits
+
+    # pure source -> pure sink: source is all hub, sink all authority
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["node"]: (r["hub_e6"], r["auth_e6"]) for r in hits(df, iters=3).collect()}
+    assert got[1] == (1_000_000, 0) and got[2] == (0, 1_000_000)
+    # edgeless graph -> no rows
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hits(empty, iters=2).count() == 0
