@@ -2187,18 +2187,14 @@ _Q_SCORE_SCHEDULE_SQL = f"""
 """
 
 
-def q_bm25_topk(spark, sf_dir):
-    """BM25 lexical retrieval top-10 (exact-integer scoring, see
-    operators/retrieval.py): queries are tokens 3..7 of every 29th
-    document, so each query has a planted best match. Broadcast query
-    vocabulary -> map-side semi-join -> postings -> WindowGroupLimit
-    top-k; the corpus never self-joins."""
-    from crawler_spark.operators.retrieval import bm25_topk
-
+def _bm25_queries(spark, sf_dir):
+    """Deterministic query set: tokens 3..7 of every 29th document, so
+    each query has a planted best match. Shared by the bm25 entries and
+    bench.py's indexed-BM25 key."""
     words = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
     )
-    queries = (
+    return (
         _t(spark, sf_dir, "documents")
         .select(F.col("doc_id").alias("query_id"), words.alias("_w"))
         .filter((F.col("query_id") % 29 == 0) & (F.size("_w") >= 7))
@@ -2206,7 +2202,31 @@ def q_bm25_topk(spark, sf_dir):
             "query_id", F.concat_ws(" ", F.slice("_w", 3, 5)).alias("qtext")
         )
     )
-    return bm25_topk(_docs_wide(spark, sf_dir), queries, k=10)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval top-10 (exact-integer scoring, see
+    operators/retrieval.py): broadcast query vocabulary -> map-side
+    semi-join -> postings -> WindowGroupLimit top-k; the corpus never
+    self-joins."""
+    from crawler_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs_wide(spark, sf_dir), _bm25_queries(spark, sf_dir), k=10)
+
+
+def q_bm25_indexed(spark, sf_dir):
+    """BM25 through the MATERIALIZED-postings path (the engine's
+    incremental lexical index at query time): bm25_from_postings(
+    corpus_postings(docs)) must return exactly what the ad-hoc path
+    returns — both end in retrieval._rank_postings — so it is certified
+    against the SAME DuckDB oracle as bm25_topk."""
+    from crawler_spark.operators.retrieval import bm25_from_postings, corpus_postings
+
+    return bm25_from_postings(
+        corpus_postings(_docs_wide(spark, sf_dir)),
+        _bm25_queries(spark, sf_dir),
+        k=10,
+    )
 
 
 _Q_BM25_SQL = r"""
@@ -3767,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_fill": q_pack_fill,
         "perceptron_weights": q_perceptron_weights,
         "hits": q_hits,
+        "bm25_indexed": q_bm25_indexed,
         "bpe_merges": q_bpe_merges,
     }
 
@@ -3862,6 +3883,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_fill": _Q_PACK_FILL_SQL,
         "perceptron_weights": _Q_PERCEPTRON_SQL,
         "hits": _Q_HITS_SQL,
+        "bm25_indexed": _Q_BM25_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }

@@ -349,6 +349,23 @@ def bench_queries(spark) -> dict[str, float]:
         .count()
     )
     out["cdc_dedup_gear"] = round(time.time() - t0, 3)
+    # production BM25 shape: postings table persisted ONCE (the engine's
+    # lexical_index=True amortizes it per crawl round); query time is
+    # join-only — compare vs the ad-hoc bm25_topk key
+    from crawler_spark.operators.retrieval import bm25_from_postings, corpus_postings
+
+    post_dir = tempfile.mkdtemp(prefix="bench-postings-")
+    try:
+        corpus_postings(entrymod._docs_wide(spark, SF_DIR)).write.mode(
+            "overwrite"
+        ).parquet(post_dir)
+        postings = spark.read.parquet(post_dir)
+        queries = entrymod._bm25_queries(spark, SF_DIR)
+        t0 = time.time()
+        bm25_from_postings(postings, queries, k=10).count()
+        out["bm25_topk_indexed"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(post_dir, ignore_errors=True)
     return out
 
 
