@@ -75,6 +75,7 @@ def train_perceptron(
     text_col: str = "text",
     id_col: str = "doc_id",
     features: DataFrame | None = None,
+    averaged: bool = False,
 ) -> DataFrame:
     """Batch perceptron: for `n_iters` rounds, every document whose
     integer margin sum(cnt*weight) does not strictly agree with its ±1
@@ -84,7 +85,16 @@ def train_perceptron(
     zero mistakes (converged). `label_col` must be ±1 integers;
     `features` overrides the corpus with a precomputed token_counts
     table (the production path when training repeatedly on one
-    corpus)."""
+    corpus).
+
+    averaged=True returns Freund & Schapire's averaged perceptron in
+    the same exact-integer arithmetic: the SUM of the weight vector
+    after each of the n_iters iterations (rank/sign-equivalent to the
+    average — the usual integer-scale trick). On early convergence the
+    remaining iterations contribute the converged vector, exactly as
+    running them would. Averaging damps the vanilla perceptron's
+    last-mistake oscillation — the standard generalization fix — and
+    stays bit-deterministic."""
     labels = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(label_col).cast("long").alias("y"),
@@ -95,7 +105,27 @@ def train_perceptron(
         else token_counts(docs, text_col=text_col, id_col=id_col)
     )
     feats = feats.join(labels, "doc_id").persist()
-    weights = feats.sparkSession.createDataFrame([], "tok string, weight long")
+    spark = feats.sparkSession
+    weights = spark.createDataFrame([], "tok string, weight long")
+    cum = spark.createDataFrame([], "tok string, weight long")
+    done = 0
+
+    def _add(a, b, mult=1):
+        return (
+            a.withColumnRenamed("weight", "wa")
+            .join(b.withColumnRenamed("weight", "wb"), "tok", "full")
+            .select(
+                "tok",
+                (
+                    F.coalesce("wa", F.lit(0))
+                    + F.lit(mult) * F.coalesce("wb", F.lit(0))
+                )
+                .cast("long")
+                .alias("weight"),
+            )
+            .where(F.col("weight") != 0)
+        )
+
     for _ in range(n_iters):
         margins = (
             feats.join(F.broadcast(weights), "tok", "left")
@@ -117,20 +147,19 @@ def train_perceptron(
         )
         if not delta.limit(1).count():
             break
-        weights = (
-            weights.join(delta, "tok", "full")
-            .select(
-                "tok",
-                (
-                    F.coalesce("weight", F.lit(0)) + F.coalesce("d", F.lit(0))
-                )
-                .cast("long")
-                .alias("weight"),
-            )
-            .where(F.col("weight") != 0)
-            .localCheckpoint(eager=True)
-        )
+        weights = _add(
+            weights, delta.withColumnRenamed("d", "weight")
+        ).localCheckpoint(eager=True)
+        done += 1
+        if averaged:
+            cum = _add(cum, weights).localCheckpoint(eager=True)
     feats.unpersist()
+    if averaged:
+        # converged early: the untouched iterations would each add the
+        # final vector
+        if done < n_iters:
+            cum = _add(cum, weights, mult=n_iters - done)
+        return cum
     return weights
 
 

@@ -134,3 +134,41 @@ def test_engine_distillation(spark, tmp_path):
     assert ev["n_correct"] >= ev["n_docs"] * 0.9  # distilled gate fits its labels
     # deterministic retrain
     assert _weights(w) == _weights(eng.train_quality_classifier(n_iters=12, min_words=20))
+
+
+def _py_train_averaged(corpus, n_iters):
+    feats = {}
+    for did, text, y in corpus:
+        toks = Counter((text or "").strip().lower().split())
+        toks[BIAS_TOK] += 1
+        feats[did] = (toks, y)
+    w, cum, done = defaultdict(int), defaultdict(int), 0
+    for _ in range(n_iters):
+        mistakes = [
+            did for did, (toks, y) in feats.items()
+            if sum(c * w[t] for t, c in toks.items()) * y <= 0
+        ]
+        if not mistakes:
+            break
+        for did in mistakes:
+            toks, y = feats[did]
+            for t, c in toks.items():
+                w[t] += y * c
+        done += 1
+        for t, v in w.items():
+            cum[t] += v
+    for t, v in w.items():
+        cum[t] += v * (n_iters - done)
+    return {t: v for t, v in cum.items() if v != 0}
+
+
+def test_averaged_matches_python_reference(spark, docs):
+    for t in (2, 5, 60):  # 60 exercises the early-convergence tail
+        got = _weights(train_perceptron(docs, "y", n_iters=t, averaged=True))
+        assert got == _py_train_averaged(CORPUS, t), f"iters={t}"
+
+
+def test_averaged_still_separates(spark, docs):
+    w = train_perceptron(docs, "y", n_iters=20, averaged=True)
+    ev = classifier_eval(docs, "y", w).first()
+    assert ev["n_correct"] == ev["n_docs"]
