@@ -215,3 +215,69 @@ def stream_fetch_metrics(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_document_curation(
+    spark: SparkSession,
+    docs_dir: str,
+    io: ParquetSnapshotIO,
+    checkpoint_dir: str,
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    trigger_seconds: int | None = None,
+):
+    """Streaming corpus curation: documents arriving as parquet files
+    are profiled + gated IN the stream (text_profile is a pure scan
+    projection, so it runs unchanged on a streaming DataFrame — the
+    same expressions the batch gates use), then exact-deduped across
+    batches and appended to the `curated_docs` snapshot table. The
+    curation half of the training pipeline as a continuous job: batch
+    and stream share one definition of "kept".
+
+    Cross-batch exact dedup without unbounded operator state: the
+    accumulated table itself is the state — per micro-batch, collapse
+    in-batch dups to the min-doc_id canonical row (deterministic), then
+    left_anti against the committed fingerprints. First-arrival wins
+    across batches (the engine `seen` semantics applied to content
+    fingerprints); replay after a crash is a no-op by the same
+    anti-join. Expected input schema: (doc_id long, text string).
+
+    Returns the StreamingQuery."""
+    from crawler_spark.functions.text import text_profile
+
+    raw = spark.readStream.schema("doc_id long, text string").parquet(docs_dir)
+    gated = text_profile(raw).filter(
+        (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("pred_lang") != "und")
+    )
+    cols = ["doc_id", "n_tokens", "quality", "pred_lang", "fingerprint"]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        canon = (
+            batch_df.groupBy("fingerprint")
+            .agg(F.min(F.struct(*[c for c in cols if c != "fingerprint"])).alias("s"))
+            .select("fingerprint", "s.*")
+            .select(*cols)
+        )
+        if io.table_paths("curated_docs"):
+            seen_fp = io.read(spark, "curated_docs").select("fingerprint")
+            canon = canon.join(seen_fp, "fingerprint", "left_anti")
+        io.commit(
+            int(io.last_round()),
+            appends={"curated_docs": canon.coalesce(1)},
+            meta={"stream_batch": batch_id},
+        )
+
+    writer = (
+        gated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -133,3 +133,69 @@ def test_streaming_ingest_feeds_engine_crawl(spark, tmp_path):
     assert s1["fetched"] > 0
     seen = eng.io.read(spark, "seen")
     assert seen.count() == s1["fetched"]
+
+
+def test_stream_document_curation(spark, tmp_path):
+    """Streaming gates == batch gates; cross-batch exact dedup keeps the
+    first-arrival canonical row only."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.text import text_profile
+    from crawler_spark.streaming import stream_document_curation
+
+    docs_dir = str(tmp_path / "docs-in")
+    os.makedirs(docs_dir)
+    io = ParquetSnapshotIO(str(tmp_path / "snap"))
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox sleeps in the sun for a while longer today")
+    spam = "x" * 3
+    batch1 = [(1, good), (2, good + " extra"), (3, spam)]
+    batch2 = [(4, good), (5, "a different but equally fine sentence about "
+                             "the quiet dog and the old fox in the garden")]
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1).write.parquet(
+        docs_dir + "/b1"
+    )
+    # file source needs a flat dir of files; write parts directly
+    import glob, shutil as sh
+    for i, b in enumerate((batch1, batch2)):
+        d = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(b, "doc_id long, text string").coalesce(1).write.parquet(d)
+        for f in glob.glob(d + "/*.parquet"):
+            sh.copy(f, f"{docs_dir}/batch{i}.parquet")
+
+    q = stream_document_curation(
+        spark, docs_dir, io, str(tmp_path / "ckpt"), min_tokens=5
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r for r in io.read(spark, "curated_docs").collect()}
+    all_docs = spark.createDataFrame(
+        batch1 + batch2, "doc_id long, text string"
+    )
+    want_kept = {
+        r["doc_id"]: r
+        for r in text_profile(all_docs)
+        .filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5)
+                & (F.col("pred_lang") != "und"))
+        .collect()
+    }
+    # doc 4 duplicates doc 1's text -> only the min-id canonical stays
+    assert 1 in got and 4 not in got
+    assert 3 not in got  # gated out
+    # every kept row matches the batch profile values
+    for did, r in got.items():
+        w = want_kept[did]
+        assert (r["n_tokens"], r["pred_lang"], r["fingerprint"]) == (
+            w["n_tokens"], w["pred_lang"], w["fingerprint"]
+        )
+    # fingerprints are unique (cross-batch dedup held)
+    fps = [r["fingerprint"] for r in got.values()]
+    assert len(fps) == len(set(fps))
+    # restart over the same input is a no-op (replay-safe)
+    n_before = len(got)
+    q2 = stream_document_curation(
+        spark, docs_dir, io, str(tmp_path / "ckpt"), min_tokens=5
+    )
+    q2.awaitTermination(120)
+    assert io.read(spark, "curated_docs").count() == n_before
