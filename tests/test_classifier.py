@@ -172,3 +172,23 @@ def test_averaged_still_separates(spark, docs):
     w = train_perceptron(docs, "y", n_iters=20, averaged=True)
     ev = classifier_eval(docs, "y", w).first()
     assert ev["n_correct"] == ev["n_docs"]
+
+
+def test_iteration_plan_broadcasts_weights(spark, docs):
+    """The per-iteration margin job must broadcast the WEIGHTS side and
+    never sort-merge-join the feature table (pinning the scale shape:
+    vocab is MBs, features are corpus-sized)."""
+    labels = docs.select("doc_id", F.col("y"))
+    feats = token_counts(docs).join(labels, "doc_id").localCheckpoint(eager=True)
+    weights = spark.createDataFrame([("the", 5)], "tok string, weight long")
+    margins = (
+        feats.join(F.broadcast(weights), "tok", "left")
+        .groupBy("doc_id", "y")
+        .agg(
+            F.sum(F.col("cnt") * F.coalesce("weight", F.lit(0)))
+            .cast("long")
+            .alias("margin")
+        )
+    )
+    p = margins._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
