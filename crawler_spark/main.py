@@ -35,6 +35,10 @@ def build_args(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--url-filter", default=None)
+    p.add_argument("--indexes", action="store_true",
+                   help="maintain the incremental indexes in the round loop "
+                        "(near-dup signatures, media pHash, page vectors, "
+                        "inverted postings, link graph)")
     return p.parse_args(argv)
 
 
@@ -51,7 +55,13 @@ def main(argv=None) -> dict:
     )
     tables = world.to_spark(spark)
     root = args.data_dir or tempfile.mkdtemp(prefix="crawler-spark-")
-    eng = CrawlEngine(spark, root, mode=args.mode, use_bloom=args.bloom)
+    idx = (
+        dict(dedup_index=True, vector_index=True, embed_dim=16,
+             lexical_index=True, record_edges=True)
+        if args.indexes
+        else {}
+    )
+    eng = CrawlEngine(spark, root, mode=args.mode, use_bloom=args.bloom, **idx)
     if eng.io.current_version() < 0:
         eng.seed(
             discover_frontier(
