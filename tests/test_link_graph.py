@@ -202,3 +202,22 @@ def test_set_priority_scores_robustness(spark):
     ambig = spark.createDataFrame([("h1", 1, 2)], ["node", "score", "rank"])
     with _pytest.raises(ValueError, match="ambiguous"):
         eng.set_priority_scores(ambig)
+
+
+def test_engine_hits_over_recorded_graph(spark):
+    from crawler_spark.operators.graph import hits as hits_op
+
+    tmp = tempfile.mkdtemp(prefix="linkgraph-")
+    eng, t = _crawl(spark, tmp)
+    edges = eng.link_edges()
+    got = {(r.node, r.hub_e6, r.auth_e6) for r in eng.hits(iters=3).collect()}
+    want = {
+        (r.node, r.hub_e6, r.auth_e6)
+        for r in hits_op(
+            edges, iters=3, src_col="src_hash", dst_col="dst_hash"
+        ).collect()
+    }
+    assert got == want and got
+    # max-rescale invariant holds on the real crawl graph
+    assert max(h for _, h, _ in got) == 1_000_000
+    assert max(a for _, _, a in got) == 1_000_000
