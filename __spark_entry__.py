@@ -986,6 +986,31 @@ def q_top_terms(spark, sf_dir):
     return top_terms(_docs_wide(spark, sf_dir), k=50)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT phi-heavy hitters (phi = 0.2% of all token occurrences)
+    via the two-pass Misra-Gries candidates + exact-verify algorithm:
+    per-task bounded-memory summaries -> pruned candidate broadcast ->
+    exact counts of candidates only. The full vocabulary NEVER
+    shuffles; the result is exactly `HAVING cnt*1e6 >= phi_e6*N`."""
+    from crawler_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(_docs_wide(spark, sf_dir), phi_e6=2_000)
+
+
+_Q_HEAVY_HITTERS_SQL = r"""
+    WITH toks AS (SELECT unnest(list_filter(
+                           string_split_regex(trim(lower(text)), '\s+'),
+                           t -> t <> '')) AS tok
+                  FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(max(tot.n) AS BIGINT) AS total_tokens
+    FROM toks, tot
+    GROUP BY tok
+    HAVING count(*) * 1000000 >= 2000 * max(tot.n)
+"""
+
+
 _Q_TOP_TERMS_SQL = r"""
     WITH toks AS (SELECT DISTINCT doc_id,
                          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
@@ -3738,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
         "top_terms": q_top_terms,
+        "heavy_hitters": q_heavy_hitters,
         "link_graph_stats": q_link_graph_stats,
         "pagerank": q_pagerank,
         "stub_embedding": q_stub_embedding,
@@ -3836,6 +3862,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _Q_LINE_DEDUP_SQL,
         "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,
         "top_terms": _Q_TOP_TERMS_SQL,
+        "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
         "link_graph_stats": _Q_LINK_STATS_SQL,
         "pagerank": _Q_PAGERANK_SQL,
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "caption_pairs",
     "strip_boilerplate",
     "bpe_merges",
+    "heavy_hitters",
 ]
 
 

@@ -1,0 +1,173 @@
+"""Bounded-memory frequency sketches: exact heavy hitters at any scale.
+
+Training-data pipelines need the corpus vocabulary head (stop-token
+guards, tokenizer seeding, boilerplate/template detection, the max_df
+stop-shingle lists used by textdedup.jaccard_pairs / mirror_pairs) —
+but a plain `groupBy(tok)` shuffles the ENTIRE vocabulary: at 100 TB
+that exchange carries billions of distinct keys just to keep the few
+thousand heavy ones. The reference crawler aggregates per-corpus stats
+in pandas on one node (reference `code/app.py` status/summary paths);
+this is the Spark-first, bounded-state replacement.
+
+`heavy_hitters` is the classic TWO-PASS EXACT algorithm (Misra-Gries
+'82 candidates + exact verification — the MapReduce-era standard for
+exact phi-heavy-hitters):
+
+  pass 1 (candidates, bounded memory, NO vocabulary shuffle):
+    each partition streams its token occurrences through a Misra-Gries
+    summary with capacity m = ceil(2e6/phi_e6) (an Arrow-batched
+    mapInPandas keeping a dict of at most m counters; each batch is
+    pre-reduced with a vectorized value_counts before touching the
+    dict). The MG invariant: a token with partition count >= n_p/(m+1)
+    survives, and its kept weight w_p >= count_p - n_p/(m+1).
+    The per-partition summaries (<= m rows each) are summed by token —
+    an exchange of at most m*P tiny rows, NOT the vocabulary — and
+    pruned with the standard mergeable-summaries bound
+    (Agarwal et al., PODS'12):
+        sum_p w_p  >=  C_t - N/(m+1)
+    so every token with true count C_t >= thr := ceil(phi_e6*N/1e6)
+    keeps sum_w >= thr - floor(N/(m+1)) and SURVIVES the prune
+    (m >= 2/phi makes the slack <= phi*N/2, so at most ~2e6/phi_e6
+    candidates survive — a bounded broadcast list at any corpus size).
+  pass 2 (exact, candidate-bounded shuffle):
+    one more corpus scan counts ONLY the broadcast candidates
+    (map-side partial agg reduces each partition to <= |candidates|
+    rows) and keeps cnt*1e6 >= phi_e6*N — the EXACT answer, so the
+    result is hash-certifiable against the one-line SQL
+    `GROUP BY tok HAVING cnt*1e6 >= phi_e6 * total`.
+
+The threshold is the integer phi_e6 (parts-per-million of the total
+token count): all comparisons are int64/int128-safe products, no
+floats anywhere, so Spark and DuckDB agree bit-for-bit.
+
+Scale notes (the part that must survive 100 TB):
+- pass-1 state is O(m) per task regardless of partition size; the
+  summary exchange is O(m*P) rows (m ~ 2e6/phi_e6, P = task count);
+- the candidate list is O(1/phi) rows independent of corpus size —
+  always broadcastable;
+- pass 2 is one scan + one exchange bounded by |candidates| keys;
+- the corpus is never self-joined, the full vocabulary never shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("tok", T.StringType(), False),
+        T.StructField("w", T.LongType(), False),
+    ]
+)
+
+
+def _mg_partition(m: int):
+    """Misra-Gries over a partition's token-array stream.
+
+    Returns a mapInPandas function: keeps at most m counters; on
+    overflow subtracts the (m+1)-th largest weight from all and drops
+    the non-positive (the batched equivalent of m+1 simultaneous
+    decrements — weights stay lower bounds with total slack
+    <= n_p/(m+1))."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # vectorized pre-reduce: exact within-batch counts
+            vc = pdf["toks"].explode().dropna().value_counts()
+            for tok, c in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > m:
+                # subtract the (m+1)-th largest weight; keep positives.
+                # Every removed unit is matched by removals from >= m
+                # other counters, preserving the MG decrement bound.
+                cut = sorted(counters.values(), reverse=True)[m]
+                counters = {t: w - cut for t, w in counters.items() if w > cut}
+        if counters:
+            yield pd.DataFrame(
+                {"tok": list(counters.keys()), "w": list(counters.values())}
+            )
+
+    return run
+
+
+def token_occurrences(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, tok) with MULTIPLICITY — one row per token occurrence
+    (textdedup.tokens is the distinct-per-doc variant). Tokenizer is
+    the shared whitespace/lowercase convention."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    phi_e6: int = 5_000,
+    text_col: str = "text",
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT phi-heavy hitters: every token whose occurrence count is
+    >= phi_e6/1e6 of the corpus total, with its exact count.
+
+    phi_e6 is parts-per-million (5_000 = 0.5%). `capacity` overrides
+    the per-task Misra-Gries size m (default ceil(2e6/phi_e6), the
+    smallest m whose merge slack N/(m+1) <= phi*N/2).
+
+    Output: (tok, cnt, total_tokens) — cnt exact, ordered-by nothing
+    (callers sort); total_tokens on every row so downstream ratios
+    (df/N guards, stop-lists) need no second pass.
+    """
+    if phi_e6 <= 0:
+        raise ValueError("phi_e6 must be a positive parts-per-million integer")
+    m = capacity if capacity is not None else -(-2_000_000 // phi_e6)
+
+    toks_arr = docs.select(
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+        ).alias("toks")
+    )
+
+    # total token count: partial-agg only (no explode shuffle)
+    n_total = toks_arr.select(
+        F.coalesce(F.sum(F.size("toks")), F.lit(0)).cast("long")
+    ).first()[0]
+    spark = docs.sparkSession
+    out_schema = "tok string, cnt long, total_tokens long"
+    if n_total == 0:
+        return spark.createDataFrame([], out_schema)
+    thr = -(-(phi_e6 * n_total) // 1_000_000)  # ceil(phi*N)
+    slack = n_total // (m + 1)
+
+    # ---- pass 1: bounded per-task summaries -> candidate prune ------
+    summaries = toks_arr.mapInPandas(_mg_partition(m), schema=_SUMMARY_SCHEMA)
+    candidates = (
+        summaries.groupBy("tok")
+        .agg(F.sum("w").alias("sum_w"))
+        .filter(F.col("sum_w") >= F.lit(thr - slack))
+        .select("tok")
+    )
+
+    # ---- pass 2: exact verification of the bounded candidate set ----
+    exact = (
+        token_occurrences(docs, text_col)
+        .join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * F.lit(1_000_000) >= F.lit(phi_e6) * F.lit(n_total))
+    )
+    return exact.select("tok", "cnt", F.lit(n_total).cast("long").alias("total_tokens"))

@@ -1,0 +1,101 @@
+"""Exact heavy hitters: Misra-Gries candidates + exact verify.
+
+Certification strategy: the operator must equal the brute-force
+`groupBy(tok) HAVING cnt*1e6 >= phi_e6*N` under every phi and under
+ADVERSARIAL partitioning (heavy tokens spread thin across partitions
+— the case where a naive per-partition top-k loses them and only the
+MG averaging bound keeps them in the candidate set)."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.sketches import heavy_hitters, token_occurrences
+
+
+def _brute(spark_docs, phi_e6):
+    toks = token_occurrences(spark_docs)
+    n = toks.count()
+    return {
+        (r["tok"], r["cnt"], n)
+        for r in toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * 1_000_000 >= phi_e6 * n)
+        .collect()
+    }
+
+
+def _result(df):
+    return {(r["tok"], r["cnt"], r["total_tokens"]) for r in df.collect()}
+
+
+def _corpus(spark, n_docs=400, n_parts=8):
+    """Zipf-ish synthetic docs: token t{j} appears with frequency ~1/j,
+    plus a long tail of unique tokens to keep the vocabulary >> m."""
+    rows = []
+    for i in range(n_docs):
+        words = []
+        for j in range(1, 40):
+            if i % j == 0:
+                words.append(f"t{j}")
+        words.append(f"unique_{i}")  # tail
+        rows.append((i, " ".join(words)))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).repartition(n_parts, "doc_id")
+
+
+@pytest.mark.parametrize("phi_e6", [150_000, 50_000, 10_000, 2_000])
+def test_heavy_hitters_exact_vs_brute_force(spark, phi_e6):
+    docs = _corpus(spark)
+    got = _result(heavy_hitters(docs, phi_e6=phi_e6))
+    want = _brute(docs, phi_e6)
+    assert got == want
+    assert want, "fixture must produce at least one heavy hitter"
+
+
+def test_heavy_hitters_adversarial_partitioning(spark):
+    """Spread each heavy token's occurrences one-per-partition: no
+    partition sees it as locally heavy, but the merged-summary bound
+    must still keep it. Tiny capacity forces constant MG churn."""
+    docs = _corpus(spark, n_docs=300, n_parts=16)
+    # round-robin partitioning by doc_id spreads every token thin
+    docs = docs.repartition(16, F.col("doc_id") % 16)
+    got = _result(heavy_hitters(docs, phi_e6=20_000, capacity=8))
+    want = _brute(docs, 20_000)
+    assert got == want
+
+
+def test_heavy_hitters_partitioning_invariance(spark):
+    docs = _corpus(spark)
+    a = _result(heavy_hitters(docs.repartition(1), phi_e6=10_000))
+    b = _result(heavy_hitters(docs.repartition(13), phi_e6=10_000))
+    assert a == b
+
+
+def test_heavy_hitters_empty_and_blank(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert heavy_hitters(empty, phi_e6=1000).count() == 0
+    blank = spark.createDataFrame([(0, "   "), (1, "")], "doc_id long, text string")
+    assert heavy_hitters(blank, phi_e6=1000).count() == 0
+
+
+def test_heavy_hitters_rejects_bad_phi(spark):
+    docs = _corpus(spark, n_docs=5)
+    with pytest.raises(ValueError):
+        heavy_hitters(docs, phi_e6=0)
+
+
+def test_candidate_capacity_bound_documented(spark):
+    """The default capacity keeps every true heavy hitter even at the
+    exact threshold boundary: token with cnt == ceil(phi*N) must appear."""
+    # 50 docs of one token 'hot' + filler such that hot is exactly at
+    # the threshold for phi = 10%: N = 100, hot = 10.
+    rows = [(i, "hot") for i in range(10)] + [
+        (100 + i, f"f{i}a f{i}b f{i}c") for i in range(30)
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = _result(heavy_hitters(docs, phi_e6=100_000))
+    n = 10 + 90
+    assert ("hot", 10, n) in got
