@@ -2294,6 +2294,146 @@ _Q_BM25_SQL = r"""
 """
 
 
+def _anchor_obs(spark, sf_dir):
+    """Deterministic synthetic anchor observations over the link graph:
+    the anchor text of edge (src -> dst) is the DST doc's first 3
+    tokens — how a real page would be linked to (title words). Both
+    engines derive identical rows from _link_edges + the shared
+    tokenizer."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("dst"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                ),
+                1,
+                3,
+            ),
+        ).alias("anchor"),
+    )
+    return (
+        _link_edges(spark, sf_dir)
+        .join(docs, "dst")
+        .filter(F.col("anchor") != "")
+        .select(
+            F.col("src").alias("src_hash"),
+            F.col("dst").alias("dst_hash"),
+            "anchor",
+        )
+    )
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Per-target anchor documents (retrieval.anchor_docs): each page
+    described by the deduped anchor text of links POINTING AT it —
+    the web-search signal a page's own body can't give. One exchange
+    keyed on dst; the corpus never self-joins."""
+    from crawler_spark.operators.retrieval import anchor_docs
+
+    return anchor_docs(_anchor_obs(spark, sf_dir))
+
+
+_ANCHOR_SQL_CTES = r"""
+    a0 AS (SELECT e.src AS src_hash, e.dst AS dst_hash,
+                  array_to_string(list_filter(
+                      string_split_regex(trim(lower(d.text)), '\s+'),
+                      x -> x <> '')[1:3], ' ') AS anchor
+           FROM edges e JOIN documents d ON d.doc_id = e.dst),
+    obs AS (SELECT DISTINCT dst_hash AS doc_id, src_hash, anchor
+            FROM a0 WHERE anchor <> ''),
+    ad AS (SELECT doc_id,
+                  array_to_string(list_sort(list(anchor)), ' ') AS text,
+                  CAST(count(*) AS BIGINT) AS n_anchors
+           FROM obs GROUP BY doc_id)
+"""
+
+
+_Q_ANCHOR_TEXTS_SQL = (
+    "WITH "
+    + _EDGES_SQL.strip()
+    + ",\n"
+    + _ANCHOR_SQL_CTES.strip()
+    + "\n    SELECT doc_id, text, n_anchors FROM ad"
+)
+
+
+def q_anchor_topk(spark, sf_dir):
+    """Anchor-field BM25: rank pages by how OTHER pages describe them
+    (queries = first-3-token titles of every 31st doc, i.e. exactly the
+    anchor text its in-links carry). Same exact-integer BM25 plan as
+    bm25_topk, run over the anchor documents instead of bodies."""
+    from crawler_spark.operators.retrieval import anchor_docs, bm25_topk
+
+    queries = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 31 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.filter(
+                        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                        lambda t: t != "",
+                    ),
+                    1,
+                    3,
+                ),
+            ).alias("qtext"),
+        )
+    )
+    return bm25_topk(anchor_docs(_anchor_obs(spark, sf_dir)), queries, k=10)
+
+
+_Q_ANCHOR_TOPK_SQL = (
+    "WITH "
+    + _EDGES_SQL.strip()
+    + ",\n"
+    + _ANCHOR_SQL_CTES.strip()
+    + r""",
+    d2 AS (SELECT doc_id,
+                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM ad),
+    dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d2),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS t FROM dd),
+    q AS (SELECT doc_id AS query_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '')[1:3] AS qtoks
+          FROM documents WHERE doc_id % 31 = 0),
+    qterms AS (SELECT DISTINCT query_id, unnest(qtoks) AS tok FROM q),
+    qvocab AS (SELECT DISTINCT tok FROM qterms),
+    p0 AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+    p AS (SELECT doc_id, tok, dl, CAST(count(*) AS BIGINT) AS tf
+          FROM p0 WHERE tok IN (SELECT tok FROM qvocab)
+          GROUP BY doc_id, tok, dl),
+    f AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY tok),
+    scored AS (
+        SELECT qt.query_id, p.doc_id,
+               CAST(SUM(
+                   ((1000000 * (2*(s.n - f.df) + 1)) // (2*f.df + 1)) *
+                   ((1000 * 100 * s.t * p.tf * 22) //
+                    (1000 * s.t * p.tf + 12 * (25 * s.t + 75 * p.dl * s.n)))
+               ) AS BIGINT) AS score_e9
+        FROM qterms qt
+        JOIN p ON qt.tok = p.tok
+        JOIN f ON p.tok = f.tok
+        CROSS JOIN stats s
+        GROUP BY qt.query_id, p.doc_id
+    )
+    SELECT query_id, doc_id, score_e9, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score_e9 DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+"""
+)
+
+
 def q_recrawl_schedule(spark, sf_dir):
     """Change-rate recrawl scheduling (scheduler.recrawl_priorities):
     events replay as a fetch history — 500 URLs over 50 hosts, each
@@ -3764,6 +3904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "top_terms": q_top_terms,
         "heavy_hitters": q_heavy_hitters,
+        "anchor_texts": q_anchor_texts,
+        "anchor_topk": q_anchor_topk,
         "link_graph_stats": q_link_graph_stats,
         "pagerank": q_pagerank,
         "stub_embedding": q_stub_embedding,
@@ -3863,6 +4005,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,
         "top_terms": _Q_TOP_TERMS_SQL,
         "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
+        "anchor_texts": _Q_ANCHOR_TEXTS_SQL,
+        "anchor_topk": _Q_ANCHOR_TOPK_SQL,
         "link_graph_stats": _Q_LINK_STATS_SQL,
         "pagerank": _Q_PAGERANK_SQL,
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "strip_boilerplate",
     "bpe_merges",
     "heavy_hitters",
+    "anchor_topk",
 ]
 
 

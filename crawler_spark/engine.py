@@ -57,6 +57,7 @@ ENGINE_SCHEMAS = {
     "page_vectors": S.PAGE_VECTORS,  # incremental ANN index (opt-in, vector_index=True)
     "postings": S.POSTINGS,  # incremental inverted index (opt-in, lexical_index=True)
     "edges": S.EDGES,  # crawl link graph (opt-in, record_edges=True)
+    "anchors": S.ANCHORS,  # anchor-text observations (opt-in, record_anchors=True)
     "records": S.RECORDS,
     "entity_seen": S.ENTITY_SEEN,
     "host_state": S.HOST_STATE,
@@ -88,6 +89,7 @@ SITE_TABLES = [
     "postings",
     "fetch_fingerprints",
     "edges",
+    "anchors",
     "records",
     "entity_seen",
     "embeddings",
@@ -209,6 +211,13 @@ class CrawlEngine:
         # `site` = source page's site, so C4 cascade deletes ride the
         # generic SITE_TABLES path.
         record_edges: bool = False,
+        # anchor-text observations (anchors table): append per-round
+        # distinct (src_hash, dst_hash, anchor) rows, O(|links|)/round.
+        # Anchor text is how the WEB describes a page; search_anchor()
+        # ranks on it and search_anchored() fuses it with body BM25 —
+        # the classic web-search signal body text alone can't give
+        # (navigation pages, media targets, sparse pages).
+        record_anchors: bool = False,
         # per-fetch content fingerprints (fetch_fingerprints table):
         # append-only observation history (url_hash, round, content_hash)
         # across recrawls, O(|fetched|)/round — feeds fetch_history() /
@@ -283,6 +292,13 @@ class CrawlEngine:
                 "table would silently stay empty"
             )
         self.record_edges = record_edges
+        if record_anchors and not follow_links:
+            raise ValueError(
+                "record_anchors=True requires follow_links=True — anchors "
+                "are observed on the link-follow pass; with it off the "
+                "anchors table would silently stay empty"
+            )
+        self.record_anchors = record_anchors
         self.track_changes = track_changes
         self.lexical_index = lexical_index
         if vector_index and not embed_dim:
@@ -528,27 +544,56 @@ class CrawlEngine:
 
         # --- link discovery (engine extension; scoped to known hosts) ------
         edges = None
+        anchors = None
         if self.follow_links:
             hosts = world["robots"].select("host").distinct()
-            raw_links = (
-                ok.select(
+            if self.record_anchors:
+                # zip-explode keeps each link's anchor text aligned with
+                # its URL through the canonicalize/hash pass; the extra
+                # column rides along (every consumer below selects
+                # explicit columns). arrays_zip null-pads a short or
+                # missing anchors array.
+                exploded = ok.select(
+                    F.col("url_hash").alias("src_hash"),
+                    F.col("site").alias("src_site"),
+                    F.explode(F.arrays_zip("out_links", "out_anchors")).alias("z"),
+                    (F.col("depth") + 1).alias("depth"),
+                ).select(
+                    "src_hash",
+                    "src_site",
+                    F.col("z.out_links").alias("url"),
+                    F.coalesce(F.col("z.out_anchors"), F.lit("")).alias("anchor"),
+                    "depth",
+                )
+            else:
+                exploded = ok.select(
                     F.col("url_hash").alias("src_hash"),
                     F.col("site").alias("src_site"),
                     F.explode("out_links").alias("url"),
                     (F.col("depth") + 1).alias("depth"),
                 )
-                .transform(lambda df: with_url_keys(df, mode=self.mode))
-                .join(F.broadcast(hosts), "host", "left_semi")
-            )
-            if self.record_edges:
-                # cache the exploded+keyed frame: it is consumed twice
-                # (edges append at commit + links aggregate below) and
-                # recomputing it would redo the canonicalize/hash pass
+            raw_links = exploded.transform(
+                lambda df: with_url_keys(df, mode=self.mode)
+            ).join(F.broadcast(hosts), "host", "left_semi")
+            if self.record_edges or self.record_anchors:
+                # cache the exploded+keyed frame: it is consumed 2-3x
+                # (edges/anchors appends at commit + links aggregate
+                # below) and recomputing it would redo the
+                # canonicalize/hash pass
                 raw_links = raw_links.cache()
                 persists.append(raw_links)
+            if self.record_edges:
                 edges = raw_links.select(
                     "src_hash",
                     F.col("url_hash").alias("dst_hash"),
+                    F.col("src_site").alias("site"),
+                    F.lit(rnd).alias("round"),
+                ).distinct()
+            if self.record_anchors:
+                anchors = raw_links.filter(F.col("anchor") != "").select(
+                    "src_hash",
+                    F.col("url_hash").alias("dst_hash"),
+                    "anchor",
                     F.col("src_site").alias("site"),
                     F.lit(rnd).alias("round"),
                 ).distinct()
@@ -683,6 +728,8 @@ class CrawlEngine:
             )
         if edges is not None:
             appends["edges"] = edges
+        if anchors is not None:
+            appends["anchors"] = anchors
         overwrites: dict[str, DataFrame] = {}
         if self.use_bloom:
             # OR the new seen keys into the bucket filters (no rebuild);
@@ -1239,6 +1286,40 @@ class CrawlEngine:
         (src_hash, dst_hash, site, round) rows, O(|links|) appended per
         round alongside the frontier links."""
         return self.io.read(self.spark, "edges")
+
+    def link_anchors(self) -> DataFrame:
+        """Anchor-text observations (record_anchors=True): distinct
+        (src_hash, dst_hash, anchor, site, round) rows per round —
+        re-observations on recrawls append again, like edges."""
+        return self.io.read(self.spark, "anchors")
+
+    def anchor_docs(self) -> DataFrame:
+        """Per-target anchor documents: each crawled page described by
+        the deduped anchor text of every link POINTING AT it (doc_id =
+        dst url_hash). This is the classic web-search signal the body
+        can't give — other pages' words for this page."""
+        from crawler_spark.operators.retrieval import anchor_docs
+
+        return anchor_docs(self.link_anchors())
+
+    def search_anchor(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        """BM25 top-k over the anchor documents (record_anchors=True):
+        rank pages by how the rest of the crawl DESCRIBES them.
+        queries: (query_id, qtext). Returns (query_id, doc_id,
+        score_e9, rank) with doc_id = target page url_hash."""
+        from crawler_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(self.anchor_docs(), queries, k=k, id_col="doc_id")
+
+    def search_anchored(self, queries: DataFrame, k: int = 10, k0: int = 60) -> DataFrame:
+        """Body BM25 + anchor BM25 fused with exact-int64 RRF — the
+        anchor-aware lexical search (a page ranks for words the web
+        uses ABOUT it, even when its own body never says them)."""
+        from crawler_spark.operators.retrieval import rrf_fuse
+
+        body = self.search_lexical(queries, k=k).select("query_id", "doc_id", "rank")
+        anch = self.search_anchor(queries, k=k).select("query_id", "doc_id", "rank")
+        return rrf_fuse([body, anch], k=k, k0=k0)
 
     def link_stats(self) -> DataFrame:
         """(node, out_deg, in_deg) over the crawled link graph — the
@@ -2006,6 +2087,7 @@ class CrawlEngine:
             "postings",
             "fetch_fingerprints",
             "edges",
+            "anchors",
             "records",
             "entity_seen",
             "fetch_log",

@@ -50,11 +50,19 @@ def simulate_fetch(
     host -> 429 regardless of page status (exercises O-SCHED4).
     Status 0 models a timeout (reference crawler.py:998-1002).
     """
+    web_cols = ["url", "status", "spans", "out_links"]
+    if "out_anchors" in web.columns:
+        web_cols.append("out_anchors")
     fetched = (
         scheduled.repartition("salt", "host")
-        .join(web.select("url", "status", "spans", "out_links"), "url", "left")
+        .join(web.select(*web_cols), "url", "left")
         .withColumn("status", F.coalesce("status", F.lit(404)))
     )
+    if "out_anchors" not in web.columns:
+        # legacy web fixtures: links with no anchor bodies
+        fetched = fetched.withColumn(
+            "out_anchors", F.transform("out_links", lambda _: F.lit(""))
+        )
     burst_now = bursts.filter(
         (F.lit(round_no) >= F.col("from_round")) & (F.lit(round_no) <= F.col("to_round"))
     ).select("host", F.lit(True).alias("bursting"))
@@ -91,6 +99,11 @@ def default_urllib_transport(timeout_s: float = 30.0, user_agent: str = USER_AGE
     import urllib.request
 
     href = re.compile(r"""href=["']([^"'#][^"']*)["']""")
+    a_tag = re.compile(
+        r"""<a\s[^>]*href=["']([^"'#][^"']*)["'][^>]*>(.*?)</a>""",
+        re.IGNORECASE | re.DOTALL,
+    )
+    strip_tags = re.compile(r"<[^>]+>")
 
     def get(url: str) -> tuple:
         req = urllib.request.Request(url, headers={"User-Agent": user_agent})
@@ -102,7 +115,7 @@ def default_urllib_transport(timeout_s: float = 30.0, user_agent: str = USER_AGE
             # real status so 429 drives O-SCHED4 backoff and 404/5xx land
             # in the reference's rate_limit/not_found error categories
             # (crawler.py:978-995 records response.status for non-200s)
-            return int(e.code), None, None
+            return int(e.code), None, None, None
         except urllib.error.URLError as e:
             # connect timeouts arrive WRAPPED in URLError — unwrap so
             # fetch_via_http maps them to TIMEOUT(0), not ERROR(599)
@@ -110,7 +123,13 @@ def default_urllib_transport(timeout_s: float = 30.0, user_agent: str = USER_AGE
                 raise TimeoutError(str(e.reason)) from e
             raise
         spans = [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
-        return 200, spans, href.findall(body)
+        links = href.findall(body)
+        # anchor bodies: first <a> occurrence per href, tags stripped,
+        # whitespace collapsed; non-<a> hrefs (link/script tags) get ""
+        bodies: dict[str, str] = {}
+        for tgt, inner in a_tag.findall(body):
+            bodies.setdefault(tgt, " ".join(strip_tags.sub(" ", inner).split()))
+        return 200, spans, links, [bodies.get(t, "") for t in links]
 
     return get
 
@@ -131,11 +150,14 @@ def fetch_via_http(
     of a host's rows land in ONE partition (repartition on salt+host),
     so in-partition pacing is global pacing for that host.
 
-    transport(url) -> (status, spans, out_links); timeouts map to
-    status 0 (reference TIMEOUT, crawler.py:998-1002), other transport
-    failures to 599 (reference ERROR path, crawler.py:1004-1006). The
-    output schema/columns match simulate_fetch exactly, so the round
-    loop is transport-agnostic.
+    transport(url) -> (status, spans, out_links) or
+    (status, spans, out_links, out_anchors) — the 4-tuple form carries
+    index-aligned anchor text for each link (record_anchors consumers);
+    3-tuple transports get "" anchors. Timeouts map to status 0
+    (reference TIMEOUT, crawler.py:998-1002), other transport failures
+    to 599 (reference ERROR path, crawler.py:1004-1006). The output
+    schema/columns match simulate_fetch exactly, so the round loop is
+    transport-agnostic.
     """
     if transport is None:
         transport = default_urllib_transport(timeout_s, user_agent)
@@ -148,6 +170,7 @@ def fetch_via_http(
             T.StructField("status", T.IntegerType(), False),
             T.StructField("spans", S.SPANS, True),
             T.StructField("out_links", T.ArrayType(T.StringType()), True),
+            T.StructField("out_anchors", T.ArrayType(T.StringType()), True),
             T.StructField("bytes", T.LongType(), False),
         ]
     )
@@ -158,7 +181,7 @@ def fetch_via_http(
             if pdf.empty:
                 continue
             pdf = pdf.sort_values(["host", "url"], kind="mergesort").reset_index(drop=True)
-            statuses, spanss, linkss, nbytes = [], [], [], []
+            statuses, spanss, linkss, anchorss, nbytes = [], [], [], [], []
             for host, url in zip(pdf["host"], pdf["url"]):
                 if min_delay_s:
                     prev = last_hit.get(host)
@@ -166,15 +189,23 @@ def fetch_via_http(
                     if prev is not None and now - prev < min_delay_s:
                         time.sleep(min_delay_s - (now - prev))
                     last_hit[host] = time.monotonic()
+                anchors = None
                 try:
-                    status, spans, links = transport(url)
+                    got = transport(url)
+                    if len(got) == 4:
+                        status, spans, links, anchors = got
+                    else:
+                        status, spans, links = got
                 except TimeoutError:
                     status, spans, links = TIMEOUT_STATUS, None, None
                 except Exception:
                     status, spans, links = TRANSPORT_ERROR_STATUS, None, None
+                if anchors is None and links is not None:
+                    anchors = [""] * len(links)
                 statuses.append(int(status))
                 spanss.append(spans)
                 linkss.append(links)
+                anchorss.append(anchors)
                 nbytes.append(
                     sum(len(s.get("text") or "") + len(s.get("media_ref") or "") for s in spans)
                     if status == 200 and spans
@@ -183,6 +214,7 @@ def fetch_via_http(
             pdf = pdf.assign(status=statuses, bytes=nbytes)
             pdf["spans"] = spanss
             pdf["out_links"] = linkss
+            pdf["out_anchors"] = anchorss
             yield pdf[[f.name for f in out_schema.fields]]
 
     return scheduled.repartition("salt", "host").mapInPandas(batch_get, out_schema)

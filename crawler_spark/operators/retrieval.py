@@ -239,6 +239,37 @@ def bm25_from_postings(
     )
 
 
+def anchor_docs(
+    anchors: DataFrame,
+    dst_col: str = "dst_hash",
+    src_col: str = "src_hash",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target ANCHOR DOCUMENTS from an anchor-observation table:
+    doc_id = target page, text = its incoming anchor texts (one per
+    distinct (src, anchor) pair — repetition ACROSS sources is kept on
+    purpose: many pages saying the same words about a target is the
+    anchor-frequency signal BM25 should see) joined in lexicographic
+    order (deterministic; BM25 is bag-of-words so order never affects
+    scores, but hash certification and resumes need a canonical
+    string). n_anchors counts the distinct (src, anchor) observations.
+
+    Re-observations across rounds (recrawls re-append like edges) are
+    collapsed by the distinct, so the document is stable under
+    recrawling. Scale shape: one exchange keyed on dst (the distinct +
+    agg share it); anchors tables are O(|links with text|), far smaller
+    than the corpus, and never join it here."""
+    per_target = anchors.select(
+        F.col(dst_col).alias("doc_id"),
+        F.col(src_col).alias("src"),
+        F.col(anchor_col).alias("anchor"),
+    ).distinct()
+    return per_target.groupBy("doc_id").agg(
+        F.concat_ws(" ", F.sort_array(F.collect_list("anchor"))).alias("text"),
+        F.count("*").alias("n_anchors"),
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k: int = 10,

@@ -37,6 +37,9 @@ WEB = T.StructType(
         T.StructField("status", T.IntegerType(), False),  # 200/404/429/0(timeout)
         T.StructField("spans", SPANS, True),
         T.StructField("out_links", T.ArrayType(T.StringType()), True),
+        # anchor text per out_link, index-aligned (the <a ...>TEXT</a>
+        # body); "" where the link had no usable anchor
+        T.StructField("out_anchors", T.ArrayType(T.StringType()), True),
     ]
 )
 
@@ -129,6 +132,22 @@ EDGES = T.StructType(
     [
         T.StructField("src_hash", T.StringType(), False),
         T.StructField("dst_hash", T.StringType(), False),
+        T.StructField("site", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
+# anchor-text observations (opt-in, CrawlEngine(record_anchors=True)):
+# one row per distinct (src_page, dst_page, anchor text) link seen this
+# round. Anchor text is how the WEB describes a page — classic web
+# search ranks on it alongside body text (retrieval.anchor_docs turns
+# this table into per-target anchor documents for BM25). `site` is the
+# SOURCE page's site so C4 cascade deletes ride the SITE_TABLES path.
+ANCHORS = T.StructType(
+    [
+        T.StructField("src_hash", T.StringType(), False),
+        T.StructField("dst_hash", T.StringType(), False),
+        T.StructField("anchor", T.StringType(), False),
         T.StructField("site", T.StringType(), False),
         T.StructField("round", T.IntegerType(), False),
     ]

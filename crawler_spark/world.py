@@ -209,20 +209,30 @@ def make_world(
             status = 200 if hv < 90 else (404 if hv < 94 else (429 if hv < 97 else 0))
             spans = _page_spans(seed, host, site, p, n_pool) if status == 200 else []
             # out-links: same-host mostly, occasional cross-host / variant form
-            links = []
+            links, anchors = [], []
             for li in range(2 + _h(seed, site, p, "nl") % 4):
                 tgt = _h(seed, site, p, "lnk", li) % cnt
                 if variants and _h(seed, site, p, "lv", li) % 20 == 0:
                     links.append(_variant_url(host, tgt, li))
                 else:
                     links.append(urls[tgt])
+                # index-aligned anchor text; ~1 in 5 links is bare
+                # (image link / empty <a> body) -> ""
+                anchors.append(
+                    ""
+                    if _h(seed, site, p, "anc0", li) % 5 == 0
+                    else f"page {tgt} {_sentence(seed, site, p, 'anc', li, n=3)}"
+                )
             if n_hosts > 1 and _h(seed, site, p, "x") % 10 == 0:
                 oh = hosts[_h(seed, site, p, "xh") % n_hosts]
                 links.append(f"https://{oh}/p/{_h(seed, site, p, 'xp') % 3:05d}")
-            web_rows.append((urls[p], host, status, spans, links))
+                anchors.append(_sentence(seed, site, p, "ancx", n=3))
+            web_rows.append((urls[p], host, status, spans, links, anchors))
             if variants and _h(seed, site, p, "var") % 12 == 0:
                 # twin spelling of the same page: identical content & status
-                web_rows.append((_variant_url(host, p, p), host, status, spans, links))
+                web_rows.append(
+                    (_variant_url(host, p, p), host, status, spans, links, anchors)
+                )
 
         seed_rows.append((urls[0], site))
         # sitemap tree: index -> [a.xml, b.xml.gz]; covers a hash-chosen subset
@@ -251,7 +261,10 @@ def make_world(
 
     return World(
         seed=seed,
-        web=pd.DataFrame(web_rows, columns=["url", "host", "status", "spans", "out_links"]),
+        web=pd.DataFrame(
+            web_rows,
+            columns=["url", "host", "status", "spans", "out_links", "out_anchors"],
+        ),
         seeds=pd.DataFrame(seed_rows, columns=["url", "site"]),
         sitemaps=pd.DataFrame(sm_rows, columns=["sitemap_url", "site", "kind", "entries"]),
         robots=pd.DataFrame(

@@ -157,9 +157,10 @@ def test_default_transport_maps_http_statuses(monkeypatch):
     get = default_urllib_transport()
     assert get("https://h/ok")[0] == 200
     assert get("https://h/ok")[2] == ["https://h/next"]
-    assert get("https://h/429") == (429, None, None)
-    assert get("https://h/404") == (404, None, None)
-    assert get("https://h/500") == (500, None, None)
+    assert get("https://h/ok")[3] == ["n"]  # index-aligned anchor bodies
+    assert get("https://h/429") == (429, None, None, None)
+    assert get("https://h/404") == (404, None, None, None)
+    assert get("https://h/500") == (500, None, None, None)
     with pytest.raises(TimeoutError):
         get("https://h/timeout")  # -> fetch_via_http maps to TIMEOUT(0)
     with pytest.raises(urllib.error.URLError):
