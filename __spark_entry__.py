@@ -1065,6 +1065,38 @@ _EDGES_SQL = """
 """
 
 
+def q_bfs_levels(spark, sf_dir):
+    """Level-synchronous BFS over the deterministic link graph:
+    shortest link distance (<= 6 hops) from the seed set (every 17th
+    doc, the trustrank seed rule). The crawl-audit twin of the
+    frontier's discovery depth — frontier ⋈ edges per level, visited
+    anti-join, early stop on an empty level."""
+    from crawler_spark.operators.graph import bfs_levels
+
+    docs = _t(spark, sf_dir, "documents")
+    sources = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_levels(_link_edges(spark, sf_dir), sources, max_depth=6)
+
+
+_Q_BFS_LEVELS_SQL = (
+    "WITH RECURSIVE "
+    + _EDGES_SQL.strip()
+    + r""",
+    src AS (SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id % 17 = 0),
+    r AS (
+        SELECT node, 0 AS dist FROM src
+        UNION ALL
+        SELECT e.dst AS node, r.dist + 1 AS dist
+        FROM r JOIN edges e ON e.src = r.node
+        WHERE r.dist < 6
+    )
+    SELECT node, CAST(min(dist) AS INT) AS dist FROM r GROUP BY node
+"""
+)
+
+
 def q_link_graph_stats(spark, sf_dir):
     """Per-node in/out degree over the deterministic link graph (crawl
     analytics: in-degree ranks pages for OPIC-style prioritization)."""
@@ -3906,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "anchor_texts": q_anchor_texts,
         "anchor_topk": q_anchor_topk,
+        "bfs_levels": q_bfs_levels,
         "link_graph_stats": q_link_graph_stats,
         "pagerank": q_pagerank,
         "stub_embedding": q_stub_embedding,
@@ -4007,6 +4040,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
         "anchor_texts": _Q_ANCHOR_TEXTS_SQL,
         "anchor_topk": _Q_ANCHOR_TOPK_SQL,
+        "bfs_levels": _Q_BFS_LEVELS_SQL,
         "link_graph_stats": _Q_LINK_STATS_SQL,
         "pagerank": _Q_PAGERANK_SQL,
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,

@@ -1328,6 +1328,34 @@ class CrawlEngine:
 
         return link_graph_stats(self.link_edges(), "src_hash", "dst_hash")
 
+    def seed_distances(self, max_depth: int = 10) -> DataFrame:
+        """True link distance from the SEED pages over the recorded
+        edges (record_edges=True): (url_hash, dist, discovery_depth).
+        discovery_depth is the frontier's crawl-order depth — the gap
+        between the two measures how much politeness budgets delay
+        deep pages (dist <= discovery_depth always; equality means the
+        crawl found each page along a shortest path)."""
+        from crawler_spark.operators.graph import bfs_levels
+
+        frontier = self.io.read(self.spark, "frontier")
+        seeds = frontier.filter(F.col("depth") == 0).select(
+            F.col("url_hash").alias("node")
+        )
+        levels = bfs_levels(
+            self.link_edges(),
+            seeds,
+            max_depth=max_depth,
+            src_col="src_hash",
+            dst_col="dst_hash",
+        )
+        return levels.join(
+            frontier.select(
+                F.col("url_hash").alias("node"), F.col("depth").alias("discovery_depth")
+            ),
+            "node",
+            "left",
+        ).select(F.col("node").alias("url_hash"), "dist", "discovery_depth")
+
     def pagerank(self, iters: int = 5, **kwargs) -> DataFrame:
         """Integer-arithmetic PageRank over the crawled link graph
         (partitioning-invariant scores; see operators/graph.py)."""

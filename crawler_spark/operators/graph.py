@@ -391,3 +391,51 @@ def hits(
             F.coalesce("a", F.lit(0)).cast("long").alias("auth_e6"),
         )
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Unweighted shortest-path distance from a source set, following
+    edge direction: (node, dist) for every node reachable within
+    max_depth hops (dist 0 = the sources themselves).
+
+    The crawl-audit use: the frontier's `depth` is DISCOVERY depth
+    (which round first found the URL under politeness budgets), not
+    graph distance — bfs_levels over the recorded edges gives the true
+    link distance from the seeds, and the gap between the two measures
+    how much the politeness/budget machinery delays deep pages
+    (engine.seed_distances wires this up).
+
+    Scale shape: level-synchronous BFS as DataFrame joins — each round
+    is frontier ⋈ edges (shuffle keyed on src; pre-partition edges by
+    src to co-locate every round) followed by one anti-join against the
+    visited set; lineage truncated per round via localCheckpoint, and
+    the loop stops as soon as a level is empty (one scalar count per
+    round — the same per-iteration driver cost as pagerank's rescale).
+    Visited grows monotonically but stays (node, dist) — O(|reachable
+    nodes|), never edges.
+
+    sources: DataFrame with a `node` column. Nodes keep their native
+    orderable type (md5-hex strings in the engine).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    frontier = sources.select("node").distinct().localCheckpoint(eager=True)
+    visited = frontier.select("node", F.lit(0).alias("dist"))
+    for d in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt.select("node", F.lit(d).alias("dist")))
+        frontier = nxt
+    return visited.select("node", F.col("dist").cast("int").alias("dist"))

@@ -162,3 +162,61 @@ def test_hits_degenerate_graphs(spark):
     # edgeless graph -> no rows
     empty = spark.createDataFrame([], "src long, dst long")
     assert hits(empty, iters=2).count() == 0
+
+
+# --------------------------------------------------------------- bfs_levels
+def _py_bfs(pairs, sources, max_depth):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s, d in pairs:
+        adj[s].append(d)
+    dist = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_depth:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return {(n, d) for n, d in dist.items()}
+
+
+def test_bfs_levels_matches_python_reference(spark):
+    from crawler_spark.operators.graph import bfs_levels
+
+    # deterministic graph with cycles, diamonds, and unreachable parts
+    pairs = [(i, (i * 7 + 3) % 40) for i in range(40)] + [
+        (i, (i * 11 + 5) % 40) for i in range(0, 40, 2)
+    ] + [(100, 101), (101, 100)]  # unreachable 2-cycle
+    got = {
+        (r["node"], r["dist"])
+        for r in bfs_levels(
+            _edges(spark, pairs), _seeds(spark, [0, 17]), max_depth=6
+        ).collect()
+    }
+    assert got == _py_bfs(pairs, [0, 17], 6)
+
+
+def test_bfs_levels_respects_max_depth_and_terminates_on_cycles(spark):
+    from crawler_spark.operators.graph import bfs_levels
+
+    chain = [(i, i + 1) for i in range(20)] + [(20, 0)]  # 21-cycle
+    got = bfs_levels(_edges(spark, chain), _seeds(spark, [0]), max_depth=5)
+    rows = {r["node"]: r["dist"] for r in got.collect()}
+    assert rows == {i: i for i in range(6)}
+
+
+def test_bfs_levels_partitioning_invariance(spark):
+    from crawler_spark.operators.graph import bfs_levels
+
+    pairs = [(i, (i * 3 + 1) % 30) for i in range(30)]
+    a = sorted(
+        map(tuple, bfs_levels(_edges(spark, pairs).repartition(1), _seeds(spark, [5]), 8).collect())
+    )
+    b = sorted(
+        map(tuple, bfs_levels(_edges(spark, pairs).repartition(11), _seeds(spark, [5]), 8).collect())
+    )
+    assert a == b

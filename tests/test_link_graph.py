@@ -221,3 +221,21 @@ def test_engine_hits_over_recorded_graph(spark):
     # max-rescale invariant holds on the real crawl graph
     assert max(h for _, h, _ in got) == 1_000_000
     assert max(a for _, _, a in got) == 1_000_000
+
+
+def test_seed_distances_bound_discovery_depth(spark):
+    """True BFS distance over the recorded edges can never exceed the
+    frontier's discovery depth, and seeds sit at dist 0."""
+    tmp = tempfile.mkdtemp(prefix="linkgraph-")
+    eng, t = _crawl(spark, tmp)
+    sd = eng.seed_distances(max_depth=12).cache()
+    assert sd.count() > 0
+    assert sd.filter(F.col("dist") == 0).count() > 0
+    # every BFS-reached node that the frontier knows satisfies
+    # dist <= discovery_depth (links can only SHORTEN the path)
+    bad = sd.filter(
+        F.col("discovery_depth").isNotNull()
+        & (F.col("dist") > F.col("discovery_depth"))
+    ).count()
+    assert bad == 0
+    sd.unpersist()
