@@ -2466,6 +2466,46 @@ _Q_ANCHOR_TOPK_SQL = (
 )
 
 
+def q_budget_apportion(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment of a 997-fetch round
+    budget across 200 hosts weighted by their document counts: exact
+    integer quotas + remainders, extras to the largest remainders via
+    the DISTRIBUTED global-rank assigner (no single-partition window).
+    sum(budget) == 997 exactly."""
+    from crawler_spark.operators.scheduler import apportion_budget
+
+    weights = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("h"),
+                F.lpad(F.pmod(F.col("doc_id"), F.lit(200)).cast("string"), 3, "0"),
+            ).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("weight"))
+    )
+    return apportion_budget(weights, 997)
+
+
+_Q_BUDGET_APPORTION_SQL = r"""
+    WITH w AS (
+        SELECT 'h' || lpad(CAST(doc_id % 200 AS VARCHAR), 3, '0') AS host,
+               CAST(count(*) AS BIGINT) AS wgt
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(wgt) AS BIGINT) AS W FROM w),
+    b AS (SELECT host, (997 * wgt) // t.W AS base, (997 * wgt) % t.W AS rem
+          FROM w, tot t),
+    l AS (SELECT 997 - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk FROM b)
+    SELECT host,
+           CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+                            THEN 1 ELSE 0 END AS BIGINT) AS budget
+    FROM r
+"""
+
+
 def q_recrawl_schedule(spark, sf_dir):
     """Change-rate recrawl scheduling (scheduler.recrawl_priorities):
     events replay as a fetch history — 500 URLs over 50 hosts, each
@@ -3939,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "anchor_topk": q_anchor_topk,
         "bfs_levels": q_bfs_levels,
+        "budget_apportion": q_budget_apportion,
         "link_graph_stats": q_link_graph_stats,
         "pagerank": q_pagerank,
         "stub_embedding": q_stub_embedding,
@@ -4041,6 +4082,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": _Q_ANCHOR_TEXTS_SQL,
         "anchor_topk": _Q_ANCHOR_TOPK_SQL,
         "bfs_levels": _Q_BFS_LEVELS_SQL,
+        "budget_apportion": _Q_BUDGET_APPORTION_SQL,
         "link_graph_stats": _Q_LINK_STATS_SQL,
         "pagerank": _Q_PAGERANK_SQL,
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,

@@ -366,9 +366,11 @@ class CrawlEngine:
         persists: list[DataFrame] = []
 
         eng_ctl = io.read(spark, "engine_control")
-        cand = gate_candidates(
-            frontier, world["control"], host_state, world["robots"], rnd,
-            extra_flags=eng_ctl,
+        cand = self._apply_host_budgets(
+            gate_candidates(
+                frontier, world["control"], host_state, world["robots"], rnd,
+                extra_flags=eng_ctl,
+            )
         )
         if self.use_bloom:
             # persistent per-bucket filters, incrementally maintained at
@@ -435,6 +437,9 @@ class CrawlEngine:
             max_budget = row[0] or 1
             self._max_budget = max_budget
             self._n_hosts = int(row[1])
+        # host-budget overrides can raise the per-host cap past the
+        # robots max; the schedule window's literal bound must cover it
+        max_budget = max(max_budget, getattr(self, "_budget_override_max", 0))
         scheduled = schedule(
             deduped, rnd, seq_base, self.n_salts, max_budget=max_budget,
             priority=self.priority, persist_registry=persists,
@@ -1269,6 +1274,46 @@ class CrawlEngine:
             )
             .groupBy("url_hash")
             .agg(F.max("pr_score").alias("pr_score"))
+        )
+
+    def set_host_budgets(self, budgets: DataFrame) -> None:
+        """Override per-host crawl budgets for subsequent rounds —
+        typically scheduler.apportion_budget's output (a global fetch
+        capacity split across hosts by quality/change-rate/authority
+        weights, largest-remainder exact). Hosts absent from the table
+        keep their robots crawl_budget; a budget of 0 idles the host.
+
+        The override joins the gated candidates via broadcast (one row
+        per host — tiny at any scale next to the frontier). Pass None
+        to clear."""
+        if budgets is None:
+            self._host_budgets = None
+            self._budget_override_max = 0
+            return
+        self._host_budgets = (
+            budgets.select(
+                "host", F.col("budget").cast("int").alias("_budget_override")
+            )
+            .groupBy("host")
+            .agg(F.max("_budget_override").alias("_budget_override"))
+        )
+        self._budget_override_max = int(
+            self._host_budgets.agg(
+                F.coalesce(F.max("_budget_override"), F.lit(0))
+            ).first()[0]
+        )
+
+    def _apply_host_budgets(self, cand: DataFrame) -> DataFrame:
+        over = getattr(self, "_host_budgets", None)
+        if over is None:
+            return cand
+        return (
+            cand.join(F.broadcast(over), "host", "left")
+            .withColumn(
+                "crawl_budget",
+                F.coalesce("_budget_override", "crawl_budget"),
+            )
+            .drop("_budget_override")
         )
 
     def _join_priority_scores(self, deduped: DataFrame) -> DataFrame:

@@ -456,3 +456,74 @@ def bin_loads(plan: DataFrame) -> DataFrame:
         F.sum("cost").alias("total_cost"),
         F.max("cost").alias("max_cost"),
     )
+
+
+def apportion_budget(
+    weights: DataFrame,
+    total: int,
+    key_col: str = "host",
+    weight_col: str = "weight",
+    persist_registry: list | None = None,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global fetch
+    budget across hosts: budget_i = floor(total*w_i/W) plus one extra
+    for the hosts with the largest remainders, so sum(budget) == total
+    EXACTLY and every budget is within 1 of its ideal proportional
+    share (the apportionment with zero quota violation).
+
+    The crawl use: the per-host crawl_budget is a POLITENESS cap; when
+    the cluster's own fetch capacity is the binding constraint, the
+    operator turns per-host desirability (site quality x change rate x
+    authority — any integer weight) into per-host budgets that spend
+    exactly the round's capacity. Feed the result to
+    engine.set_host_budgets to override the robots default.
+
+    All-integer arithmetic (floor-div quotas, integer remainders) ->
+    hash-certifiable; non-positive/absent weights get 0. If ALL
+    weights are <= 0 the total stays unspent (all budgets 0) — the
+    caller decides the fallback, not the operator. total * max(w) must
+    fit int64 (ANSI mode errors loudly past it) — rescale huge weight
+    units (e.g. pagerank's 1e6-unit scores DIV 1000) rather than
+    switching to floats.
+
+    Scale shape: one tiny agg (W, sum of floors — two scalars), then
+    the remainder ranking reuses assign_global_seq, the engine's
+    distributed total-order assigner — no single-partition window even
+    at 10^7-10^8 hosts. Output: (key_col, budget) for every input host.
+    """
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    w = weights.select(
+        F.col(key_col).alias("_k"),
+        F.greatest(F.coalesce(F.col(weight_col).cast("long"), F.lit(0)), F.lit(0)).alias(
+            "_w"
+        ),
+    ).groupBy("_k").agg(F.sum("_w").alias("_w"))
+    tot = w.agg(
+        F.coalesce(F.sum("_w"), F.lit(0)).cast("long").alias("W"),
+    ).first()
+    W = int(tot["W"])
+    if W == 0 or total == 0:
+        return w.select(F.col("_k").alias(key_col), F.lit(0).cast("long").alias("budget"))
+    # integer DIV/% on nonnegative operands: floor quota + remainder
+    base = w.select(
+        "_k",
+        F.expr(f"CAST({total} * _w AS LONG) DIV {W}").alias("_base"),
+        F.expr(f"CAST({total} * _w AS LONG) % {W}").alias("_rem"),
+    )
+    leftover = total - int(
+        base.agg(F.coalesce(F.sum("_base"), F.lit(0)).cast("long")).first()[0]
+    )
+    ranked = assign_global_seq(
+        base,
+        [F.desc("_rem"), F.asc("_k")],
+        seq_base=0,
+        persist_registry=persist_registry,
+    )
+    return ranked.select(
+        F.col("_k").alias(key_col),
+        (
+            F.col("_base")
+            + F.when(F.col("seq") <= F.lit(leftover), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("budget"),
+    )
