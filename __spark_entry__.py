@@ -2466,6 +2466,42 @@ _Q_ANCHOR_TOPK_SQL = (
 )
 
 
+def q_host_graph(spark, sf_dir):
+    """HOST-level link graph: page edges mapped to 50 hosts (doc_id %
+    50), self-links dropped, n_links = distinct page edges aggregated
+    per host pair — the graph engine.host_rank runs PageRank over for
+    authority-weighted capacity apportionment."""
+    edges = _link_edges(spark, sf_dir)
+
+    def host(c):
+        return F.concat(
+            F.lit("h"), F.lpad(F.pmod(c, F.lit(50)).cast("string"), 3, "0")
+        )
+
+    return (
+        edges.select(
+            host(F.col("src")).alias("src_host"), host(F.col("dst")).alias("dst_host")
+        )
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+_Q_HOST_GRAPH_SQL = (
+    "WITH "
+    + _EDGES_SQL.strip()
+    + r"""
+    SELECT 'h' || lpad(CAST(src % 50 AS VARCHAR), 3, '0') AS src_host,
+           'h' || lpad(CAST(dst % 50 AS VARCHAR), 3, '0') AS dst_host,
+           CAST(count(*) AS BIGINT) AS n_links
+    FROM edges
+    WHERE src % 50 <> dst % 50
+    GROUP BY 1, 2
+"""
+)
+
+
 def q_budget_apportion(spark, sf_dir):
     """Largest-remainder (Hamilton) apportionment of a 997-fetch round
     budget across 200 hosts weighted by their document counts: exact
@@ -3980,6 +4016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_topk": q_anchor_topk,
         "bfs_levels": q_bfs_levels,
         "budget_apportion": q_budget_apportion,
+        "host_graph": q_host_graph,
         "link_graph_stats": q_link_graph_stats,
         "pagerank": q_pagerank,
         "stub_embedding": q_stub_embedding,
@@ -4083,6 +4120,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_topk": _Q_ANCHOR_TOPK_SQL,
         "bfs_levels": _Q_BFS_LEVELS_SQL,
         "budget_apportion": _Q_BUDGET_APPORTION_SQL,
+        "host_graph": _Q_HOST_GRAPH_SQL,
         "link_graph_stats": _Q_LINK_STATS_SQL,
         "pagerank": _Q_PAGERANK_SQL,
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,

@@ -1401,6 +1401,47 @@ class CrawlEngine:
             "left",
         ).select(F.col("node").alias("url_hash"), "dist", "discovery_depth")
 
+    def host_graph(self) -> DataFrame:
+        """The crawl's HOST-level link graph (record_edges=True):
+        distinct (src_host, dst_host) pairs with n_links = how many
+        distinct page-level edges they aggregate, self-links dropped.
+        Host mapping comes from the frontier base (url_hash -> host
+        covers every recorded endpoint; at 10^10 URLs both joins
+        co-locate on the url_hash bucketing)."""
+        hosts = self.io.read(self.spark, "frontier").select("url_hash", "host")
+        e = self.link_edges().select("src_hash", "dst_hash").distinct()
+        return (
+            e.join(hosts.withColumnRenamed("url_hash", "src_hash"), "src_hash")
+            .withColumnRenamed("host", "src_host")
+            .join(
+                hosts.withColumnRenamed("url_hash", "dst_hash").withColumnRenamed(
+                    "host", "dst_host"
+                ),
+                "dst_hash",
+            )
+            .filter(F.col("src_host") != F.col("dst_host"))
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").alias("n_links"))
+        )
+
+    def host_rank(self, iters: int = 5, **kwargs) -> DataFrame:
+        """Integer-arithmetic PageRank over the HOST graph — per-host
+        authority. The capacity loop: feed straight into
+        scheduler.apportion_budget + set_host_budgets so the next
+        round's fetch capacity follows where the web points
+        (`apportion_budget(eng.host_rank().withColumnRenamed('node',
+        'host'), total)` — rescale score_e6 DIV 1000 first if total is
+        large; see apportion_budget's int64 note)."""
+        from crawler_spark.operators.graph import pagerank
+
+        return pagerank(
+            self.host_graph(),
+            iters=iters,
+            src_col="src_host",
+            dst_col="dst_host",
+            **kwargs,
+        )
+
     def pagerank(self, iters: int = 5, **kwargs) -> DataFrame:
         """Integer-arithmetic PageRank over the crawled link graph
         (partitioning-invariant scores; see operators/graph.py)."""

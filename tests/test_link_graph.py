@@ -239,3 +239,47 @@ def test_seed_distances_bound_discovery_depth(spark):
     ).count()
     assert bad == 0
     sd.unpersist()
+
+
+def test_host_graph_and_host_rank_capacity_loop(spark):
+    """Host-level graph: endpoints map through the frontier, self-links
+    dropped, n_links counts distinct page edges; host_rank feeds
+    apportion_budget -> set_host_budgets (the authority-weighted
+    capacity loop) and the next run respects the override."""
+    from crawler_spark.operators.scheduler import apportion_budget
+
+    tmp = tempfile.mkdtemp(prefix="linkgraph-")
+    eng, t = _crawl(spark, tmp)
+    hg = eng.host_graph().cache()
+    rows = hg.collect()
+    assert rows, "cross-host links exist in the fixture"
+    assert all(r["src_host"] != r["dst_host"] for r in rows)
+    # n_links totals == distinct cross-host page edges
+    hosts = eng.io.read(spark, "frontier").select("url_hash", "host")
+    e = (
+        eng.link_edges()
+        .select("src_hash", "dst_hash")
+        .distinct()
+        .join(hosts.withColumnRenamed("url_hash", "src_hash"), "src_hash")
+        .withColumnRenamed("host", "sh")
+        .join(
+            hosts.withColumnRenamed("url_hash", "dst_hash").withColumnRenamed(
+                "host", "dh"
+            ),
+            "dst_hash",
+        )
+        .filter(F.col("sh") != F.col("dh"))
+        .count()
+    )
+    assert hg.agg(F.sum("n_links")).first()[0] == e
+    hr = eng.host_rank(iters=3)
+    assert hr.count() == hg.select(
+        F.col("src_host").alias("h")
+    ).union(hg.select("dst_host")).distinct().count()
+    budgets = apportion_budget(
+        hr.select(F.col("node").alias("host"), F.col(hr.columns[1]).alias("weight")),
+        5,
+    )
+    assert budgets.agg(F.sum("budget")).first()[0] == 5
+    eng.set_host_budgets(budgets)  # applies without error on a live engine
+    hg.unpersist()
