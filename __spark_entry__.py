@@ -682,6 +682,39 @@ _Q_JACCARD_SQL = """
 """
 
 
+def q_stop_shingles(spark, sf_dir):
+    """Share-heavy shingles with exact counts via the bounded-state
+    Misra-Gries two-pass (sketches.heavy_hitters over shingle arrays) —
+    the stop-list jaccard_pairs(stop_list=) consumes so the guard
+    needs NO full-vocabulary df shuffle at 10^9+ docs. phi = 200 ppm
+    (the synthetic corpus is diverse; production uses smaller phi over
+    vastly larger totals)."""
+    from crawler_spark.operators.textdedup import stop_shingles
+
+    return stop_shingles(_docs_wide(spark, sf_dir), phi_e6=200)
+
+
+_Q_STOP_SHINGLES_SQL = r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents
+        WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3
+    ),
+    tokens AS (
+        SELECT doc_id,
+               unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     for i in generate_series(1, len(w) - 2)])) AS tok
+        FROM words
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tokens)
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(max(tot.n) AS BIGINT) AS total_tokens
+    FROM tokens, tot
+    GROUP BY tok
+    HAVING count(*) * 1000000 >= 200 * max(tot.n)
+"""
+
+
 def q_jaccard_pairs_guarded(spark, sf_dir):
     """The scale-safe Jaccard shape: stop-shingle guard ACTIVE (shingles
     with document frequency > max_df are dropped before the posting-list
@@ -4017,6 +4050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels": q_bfs_levels,
         "budget_apportion": q_budget_apportion,
         "host_graph": q_host_graph,
+        "stop_shingles": q_stop_shingles,
         "link_graph_stats": q_link_graph_stats,
         "pagerank": q_pagerank,
         "stub_embedding": q_stub_embedding,
@@ -4121,6 +4155,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_levels": _Q_BFS_LEVELS_SQL,
         "budget_apportion": _Q_BUDGET_APPORTION_SQL,
         "host_graph": _Q_HOST_GRAPH_SQL,
+        "stop_shingles": _Q_STOP_SHINGLES_SQL,
         "link_graph_stats": _Q_LINK_STATS_SQL,
         "pagerank": _Q_PAGERANK_SQL,
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,

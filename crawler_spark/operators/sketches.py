@@ -120,6 +120,7 @@ def heavy_hitters(
     phi_e6: int = 5_000,
     text_col: str = "text",
     capacity: int | None = None,
+    tokens_arr_col: str | None = None,
 ) -> DataFrame:
     """EXACT phi-heavy hitters: every token whose occurrence count is
     >= phi_e6/1e6 of the corpus total, with its exact count.
@@ -127,6 +128,12 @@ def heavy_hitters(
     phi_e6 is parts-per-million (5_000 = 0.5%). `capacity` overrides
     the per-task Misra-Gries size m (default ceil(2e6/phi_e6), the
     smallest m whose merge slack N/(m+1) <= phi*N/2).
+
+    tokens_arr_col switches the counting unit: name an existing
+    array<string> column (shingles, BPE pieces, hosts-per-doc — any
+    unit) and text_col is ignored. textdedup.stop_shingles uses this
+    to derive explicit stop-shingle lists for the jaccard/mirror
+    max_df guards.
 
     Output: (tok, cnt, total_tokens) — cnt exact, ordered-by nothing
     (callers sort); total_tokens on every row so downstream ratios
@@ -136,11 +143,14 @@ def heavy_hitters(
         raise ValueError("phi_e6 must be a positive parts-per-million integer")
     m = capacity if capacity is not None else -(-2_000_000 // phi_e6)
 
-    toks_arr = docs.select(
-        F.filter(
+    unit = (
+        F.col(tokens_arr_col)
+        if tokens_arr_col is not None
+        else F.filter(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
-        ).alias("toks")
+        )
     )
+    toks_arr = docs.select(unit.alias("toks"))
 
     # total token count: partial-agg only (no explode shuffle)
     n_total = toks_arr.select(
@@ -164,7 +174,7 @@ def heavy_hitters(
 
     # ---- pass 2: exact verification of the bounded candidate set ----
     exact = (
-        token_occurrences(docs, text_col)
+        docs.select(F.explode(unit).alias("tok"))
         .join(F.broadcast(candidates), "tok", "left_semi")
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))

@@ -319,6 +319,7 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     max_df: int = 500,
+    stop_list: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard near-dup pairs via inverted-index join.
 
@@ -326,10 +327,22 @@ def jaccard_pairs(
     in one shuffle; shingles with document frequency > max_df are
     dropped first (stop-shingle guard — they contribute little to
     Jaccard but quadratic join volume).
+
+    stop_list: an explicit stop-shingle table (a `tok` column —
+    typically stop_shingles()'s output) REPLACES the max_df pass. The
+    df pass here is a groupBy over the whole shingle vocabulary; at
+    10^9+ docs precompute the heavy shingles with bounded-state
+    stop_shingles and pass them in — the guard becomes one broadcast
+    anti-join and the vocabulary never shuffles.
     """
     t = shingles(docs, text_col)
-    df_cap = t.groupBy("tok").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
-    t = t.join(df_cap.select("tok"), "tok")
+    if stop_list is not None:
+        t = t.join(F.broadcast(stop_list.select("tok")), "tok", "left_anti")
+    else:
+        df_cap = (
+            t.groupBy("tok").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+        )
+        t = t.join(df_cap.select("tok"), "tok")
     sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = t.alias("a"), t.alias("b")
     inter = (
@@ -351,6 +364,38 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def stop_shingles(
+    docs: DataFrame, phi_e6: int = 1_000, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Share-heavy shingles (>= phi_e6 ppm of all distinct-per-doc
+    shingle occurrences) with EXACT counts — the explicit stop-list for
+    jaccard_pairs(stop_list=) / mirror guards.
+
+    Why not jaccard_pairs' own df pass: that pass is groupBy over the
+    ENTIRE shingle vocabulary — at 10^9+ docs it shuffles billions of
+    distinct shingles to find the few thousand heavy ones. This runs
+    sketches.heavy_hitters over the shingle arrays instead: bounded
+    per-task Misra-Gries state, candidate set O(1/phi) at any corpus
+    size, one exact verify pass. The quadratic-blowup shingles (df^2
+    join volume) are by definition share-heavy, so a ppm threshold
+    catches exactly the ones the guard exists for."""
+    from crawler_spark.operators.sketches import heavy_hitters
+
+    base = docs.select(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("w")
+    ).filter(F.size("w") >= n)
+    arr = F.col("w")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j) for j in range(n)]),
+        )
+    )
+    return heavy_hitters(
+        base.select(sh.alias("sh")), phi_e6=phi_e6, tokens_arr_col="sh"
     )
 
 

@@ -99,3 +99,59 @@ def test_candidate_capacity_bound_documented(spark):
     got = _result(heavy_hitters(docs, phi_e6=100_000))
     n = 10 + 90
     assert ("hot", 10, n) in got
+
+
+def test_stop_shingles_matches_exact_counts(spark):
+    """stop_shingles == the exact HAVING over per-doc-distinct shingle
+    occurrences, and jaccard_pairs(stop_list=) == the max_df guard when
+    the list is derived from the same df bound."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.textdedup import (
+        jaccard_pairs,
+        shingles,
+        stop_shingles,
+    )
+
+    rows = []
+    boiler = "all rights reserved contact us now"
+    for i in range(60):
+        body = f"doc {i} body text number {i % 7} alpha beta gamma {i}"
+        # boilerplate on most docs -> share-heavy shingles
+        rows.append((i, body + (" " + boiler if i % 3 else "")))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    got = {
+        (r["tok"], r["cnt"]) for r in stop_shingles(docs, phi_e6=30_000).collect()
+    }
+    t = shingles(docs)
+    n = t.count()
+    want = {
+        (r["tok"], r["cnt"])
+        for r in t.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * 1_000_000 >= 30_000 * n)
+        .collect()
+    }
+    assert got == want and want
+
+    # stop_list path == max_df path when the list IS {df > max_df}
+    max_df = 15
+    heavy = (
+        t.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("tok")
+    )
+    a = sorted(
+        map(tuple, jaccard_pairs(docs, threshold=0.05, max_df=max_df).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            jaccard_pairs(docs, threshold=0.05, stop_list=heavy).collect(),
+        )
+    )
+    assert a == b and a
