@@ -2319,6 +2319,20 @@ def q_bm25_indexed(spark, sf_dir):
     )
 
 
+def q_search_eval(spark, sf_dir):
+    """Retrieval evaluation of the bm25_topk surface against planted
+    relevance: each query is tokens 3..7 of a source doc, so that doc
+    is THE relevant answer — eval_topk reports best_rank / exact-int
+    reciprocal rank / hits. Evaluation is |q| x k rows end-to-end."""
+    from crawler_spark.operators.retrieval import eval_topk
+
+    res = q_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    qrels = _bm25_queries(spark, sf_dir).select(
+        "query_id", F.col("query_id").alias("doc_id")
+    )
+    return eval_topk(res, qrels)
+
+
 _Q_BM25_SQL = r"""
     WITH d AS (
         SELECT doc_id,
@@ -2573,6 +2587,32 @@ _Q_BUDGET_APPORTION_SQL = r"""
                             THEN 1 ELSE 0 END AS BIGINT) AS budget
     FROM r
 """
+
+
+_Q_SEARCH_EVAL_SQL = (
+    "WITH res AS MATERIALIZED ("
+    + _Q_BM25_SQL
+    + r"""),
+    rel AS (SELECT doc_id AS query_id, doc_id
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                     x -> x <> '') AS toks
+                  FROM documents)
+            WHERE doc_id % 29 = 0 AND len(toks) >= 7),
+    hits AS (SELECT r.query_id, CAST(min(r.rank) AS BIGINT) AS best,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM res r JOIN rel ON rel.query_id = r.query_id
+                               AND rel.doc_id = r.doc_id
+             GROUP BY 1),
+    qs AS (SELECT DISTINCT query_id FROM res)
+    SELECT q.query_id,
+           CAST(coalesce(h.best, 0) AS INT) AS best_rank,
+           CAST(CASE WHEN h.best IS NULL THEN 0
+                     ELSE 1000000 // h.best END AS BIGINT) AS rr_e6,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_rel_topk
+    FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+)
 
 
 def q_recrawl_schedule(spark, sf_dir):
@@ -4051,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_apportion": q_budget_apportion,
         "host_graph": q_host_graph,
         "stop_shingles": q_stop_shingles,
+        "search_eval": q_search_eval,
         "link_graph_stats": q_link_graph_stats,
         "pagerank": q_pagerank,
         "stub_embedding": q_stub_embedding,
@@ -4156,6 +4197,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_apportion": _Q_BUDGET_APPORTION_SQL,
         "host_graph": _Q_HOST_GRAPH_SQL,
         "stop_shingles": _Q_STOP_SHINGLES_SQL,
+        "search_eval": _Q_SEARCH_EVAL_SQL,
         "link_graph_stats": _Q_LINK_STATS_SQL,
         "pagerank": _Q_PAGERANK_SQL,
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,

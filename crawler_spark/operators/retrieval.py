@@ -270,6 +270,42 @@ def anchor_docs(
     )
 
 
+def eval_topk(results: DataFrame, qrels: DataFrame) -> DataFrame:
+    """Retrieval evaluation: per-query rank metrics of a top-k result
+    list against relevance judgments.
+
+    results: (query_id, doc_id, rank) — any search surface's output
+    (bm25_topk / brute_force_topk via neighbor_id alias / rrf_fuse).
+    qrels: (query_id, doc_id) relevant pairs — tiny, broadcast.
+
+    Output per query appearing in results: best_rank (first relevant
+    position, 0 = missed), rr_e6 = floor(1e6/best_rank) (the
+    reciprocal-rank term — sum/avg it for MRR without floats),
+    n_rel_topk = relevant docs inside the list (hits@k numerator).
+    Queries with no results at all are absent — mirror that in any
+    twin. All-integer, hash-certifiable; |q| x k rows in, |q| out."""
+    rel = results.join(
+        F.broadcast(qrels.select("query_id", "doc_id").distinct()),
+        ["query_id", "doc_id"],
+    )
+    hits = rel.groupBy("query_id").agg(
+        F.min("rank").alias("_best"), F.count("*").alias("_n")
+    )
+    return (
+        results.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("_best", F.lit(0)).cast("int").alias("best_rank"),
+            F.coalesce(
+                F.expr("1000000 DIV _best"), F.lit(0)
+            ).cast("long").alias("rr_e6"),
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_rel_topk"),
+        )
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k: int = 10,

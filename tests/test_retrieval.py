@@ -134,3 +134,44 @@ def test_recrawl_deterministic_across_partitionings(spark):
     a = recrawl_priorities(_hist(spark, rows).repartition(1), budget=3)
     b = recrawl_priorities(_hist(spark, rows).repartition(16), budget=3)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_eval_topk_metrics(spark):
+    from crawler_spark.operators.retrieval import eval_topk
+
+    results = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),   # rel at rank 2 and 3
+            (2, 20, 1), (2, 21, 2),               # no rel
+            (3, 31, 1),                           # rel at rank 1
+        ],
+        "query_id int, doc_id int, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 11), (1, 12), (3, 31), (4, 99)],  # q4 has no results -> absent
+        "query_id int, doc_id int",
+    )
+    got = {r["query_id"]: (r["best_rank"], r["rr_e6"], r["n_rel_topk"])
+           for r in eval_topk(results, qrels).collect()}
+    assert got == {
+        1: (2, 500000, 2),
+        2: (0, 0, 0),
+        3: (1, 1000000, 1),
+    }
+
+
+def test_eval_topk_bm25_self_retrieval(spark, corpus):
+    """Queries built from a doc's own words must retrieve that doc at
+    rank 1 (it contains every query term)."""
+    from crawler_spark.operators.retrieval import bm25_topk, eval_topk
+    from pyspark.sql import functions as F
+
+    queries = corpus.filter((F.col("doc_id") % 2 == 0) & (F.col("text") != "")).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    res = bm25_topk(corpus, queries, k=5)
+    qrels = queries.select("query_id", F.col("query_id").alias("doc_id"))
+    ev = eval_topk(res, qrels)
+    n = ev.count()
+    assert n > 0
+    assert ev.filter(F.col("best_rank") == 1).count() == n
