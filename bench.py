@@ -829,6 +829,160 @@ def crossover():
         shutil.rmtree(root, ignore_errors=True)
 
 
+# --- heavy-hitter crossover: where does the bounded-state Misra-Gries
+# --- two-pass beat the full-vocabulary groupBy? -------------------------
+
+SKETCH_MARK = ("<!-- SKETCH_CROSSOVER:BEGIN -->", "<!-- SKETCH_CROSSOVER:END -->")
+SKETCH_DOCS = [
+    int(x)
+    for x in os.environ.get(
+        "SPARK_GRAFT_SKETCH_DOCS", "1000000,4000000,12000000"
+    ).split(",")
+]
+
+
+def _patch_marked_section(md: str, marks: tuple) -> None:
+    path = "BENCH/BASELINE.md"
+    os.makedirs("BENCH", exist_ok=True)
+    text = open(path).read() if os.path.exists(path) else "# BENCH\n"
+    if marks[0] in text:
+        text = text.split(marks[0])[0] + md + text.split(marks[1])[1]
+    else:
+        text = text.rstrip() + "\n\n" + md + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def sketch_crossover_md(data: dict) -> str:
+    lines = [
+        SKETCH_MARK[0],
+        "",
+        "## Heavy-hitter crossover: MG two-pass vs full-vocabulary groupBy (measured)",
+        "",
+        "Wide-vocabulary corpus (~12 near-unique tokens/doc + planted heavy",
+        "tokens, phi = 10%): the exact `groupBy(tok) HAVING` must shuffle the",
+        "ENTIRE vocabulary to keep 2 heavy tokens; sketches.heavy_hitters",
+        "shuffles only per-task Misra-Gries summaries (m*P rows) + the",
+        "candidate-bounded verify. Identical results asserted per point.",
+        "Best of 2 after warm-up, same parquet input.",
+        "",
+        "| docs | ~distinct tokens | exact groupBy (s) | MG two-pass (s) | winner |",
+        "|---|---|---|---|---|",
+    ]
+    for r in data["rows"]:
+        w = "exact" if r["exact"] <= r["mg"] else "mg"
+        lines.append(
+            f"| {r['n_docs']:,} | {r['vocab']:,} | {r['exact']} | {r['mg']} | {w} |"
+        )
+    lines += ["", data["conclusion"], "", SKETCH_MARK[1]]
+    return "\n".join(lines)
+
+
+def sketch_crossover():
+    """Synthesize corpora whose vocabulary grows ~linearly with the
+    corpus (the web-text regime: most tokens are near-unique) and time
+    exact-vs-MG heavy hitters at phi=10%, asserting equal output."""
+    from crawler_spark.operators.sketches import heavy_hitters
+
+    phi = 100_000
+    root = tempfile.mkdtemp(prefix="bench-sketch-")
+    rows = []
+    try:
+        spark = get_session(CPUS, None, scaling=True)
+        for n in SKETCH_DOCS:
+            path = os.path.join(root, f"docs{n}")
+            uniq = [
+                F.concat(F.lit(f"u{j}x"), F.col("id").cast("string"))
+                for j in range(10)
+            ]
+            (
+                spark.range(n)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.concat_ws(
+                        " ",
+                        *uniq,
+                        F.lit("hot1"),
+                        F.when(F.col("id") % 2 == 0, F.lit("hot2")).otherwise(
+                            F.concat(F.lit("ux"), F.col("id").cast("string"))
+                        ),
+                    ).alias("text"),
+                )
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            docs = spark.read.parquet(path)
+
+            def exact():
+                toks = docs.select(
+                    F.explode(
+                        F.filter(
+                            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                            lambda t: t != "",
+                        )
+                    ).alias("tok")
+                )
+                ntot = toks.count()
+                return sorted(
+                    (r["tok"], r["cnt"])
+                    for r in toks.groupBy("tok")
+                    .agg(F.count("*").alias("cnt"))
+                    .filter(F.col("cnt") * 1_000_000 >= phi * ntot)
+                    .collect()
+                )
+
+            def mg():
+                return sorted(
+                    (r["tok"], r["cnt"])
+                    for r in heavy_hitters(docs, phi_e6=phi).collect()
+                )
+
+            def best2(fn):
+                fn()  # warm
+                return round(min(_wall(fn) for _ in range(2)), 3)
+
+            def _wall(fn):
+                t0 = time.time()
+                fn()
+                return time.time() - t0
+
+            assert exact() == mg(), "exact and MG must return identical hitters"
+            t_exact, t_mg = best2(exact), best2(mg)
+            rows.append(
+                {"n_docs": n, "vocab": 11 * n, "exact": t_exact, "mg": t_mg}
+            )
+            print(json.dumps({"sketch_point": rows[-1]}))
+        faster = [r for r in rows if r["mg"] < r["exact"]]
+        if faster:
+            conclusion = (
+                f"MG overtakes the exact groupBy from ~{faster[0]['vocab']:,} "
+                "distinct tokens on this box; the gap widens with vocabulary "
+                "size because the exact path's exchange carries every distinct "
+                "token while MG's stays O(m*P + candidates) — at 10^11+ token "
+                "corpora (vocab in the billions) the exact exchange is the "
+                "dominant job cost and the sketch path is the only one whose "
+                "shuffle does not grow."
+            )
+        else:
+            conclusion = (
+                "At these sandbox sizes the exact groupBy's single exchange "
+                "still wins — partial aggregation collapses the per-partition "
+                "vocabulary before the shuffle on this synthetic shape. The "
+                "MG path's advantage appears when the per-partition vocabulary "
+                "no longer fits the partial-agg hash map (real web corpora at "
+                "10^9+ docs), where the exact path spills and re-shuffles "
+                "every distinct token; measure with this same --sketch-crossover "
+                "sweep at larger SPARK_GRAFT_SKETCH_DOCS on the target cluster."
+            )
+        data = {"rows": rows, "phi_e6": phi, "conclusion": conclusion}
+        with open("BENCH/sketch_crossover.json", "w") as f:
+            json.dump(data, f, indent=1)
+        _patch_marked_section(sketch_crossover_md(data), SKETCH_MARK)
+        print(json.dumps({"sketch_crossover": rows, "conclusion": conclusion}))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
@@ -836,7 +990,14 @@ if __name__ == "__main__":
             patch_crossover_into_baseline(
                 crossover_md(json.load(open("BENCH/crossover.json")))
             )
+        if os.path.exists("BENCH/sketch_crossover.json"):
+            _patch_marked_section(
+                sketch_crossover_md(json.load(open("BENCH/sketch_crossover.json"))),
+                SKETCH_MARK,
+            )
     elif "--crossover" in sys.argv:
         crossover()
+    elif "--sketch-crossover" in sys.argv:
+        sketch_crossover()
     else:
         main()

@@ -178,6 +178,11 @@ def heavy_hitters(
         .join(F.broadcast(candidates), "tok", "left_semi")
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") * F.lit(1_000_000) >= F.lit(phi_e6) * F.lit(n_total))
+        .filter(
+            # lits are int32-typed when the VALUE fits; the product is
+            # what overflows (phi_e6 * N past 2^31) — force long math
+            F.col("cnt") * F.lit(1_000_000).cast("long")
+            >= F.lit(phi_e6).cast("long") * F.lit(n_total).cast("long")
+        )
     )
     return exact.select("tok", "cnt", F.lit(n_total).cast("long").alias("total_tokens"))
