@@ -1044,6 +1044,33 @@ _Q_HEAVY_HITTERS_SQL = r"""
 """
 
 
+def q_lang_heavy_hitters(spark, sf_dir):
+    """Per-LANGUAGE exact heavy hitters (heavy_hitters_by): every token
+    >= 0.3% of its language's token total — the per-language stop-list
+    primitive (CCNet-style pipelines gate per language). Same bounded
+    Misra-Gries two-pass with every stage keyed by stratum; totals are
+    joined, never collected."""
+    from crawler_spark.operators.sketches import heavy_hitters_by
+
+    return heavy_hitters_by(_docs_wide(spark, sf_dir), "lang", phi_e6=3_000)
+
+
+_Q_LANG_HEAVY_HITTERS_SQL = r"""
+    WITH toks AS (SELECT lang AS stratum,
+                         unnest(list_filter(
+                             string_split_regex(trim(lower(text)), '\s+'),
+                             t -> t <> '')) AS tok
+                  FROM documents),
+    tot AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY stratum)
+    SELECT t.stratum, t.tok, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(max(tot.n) AS BIGINT) AS total_tokens
+    FROM toks t JOIN tot ON tot.stratum = t.stratum
+    GROUP BY t.stratum, t.tok
+    HAVING count(*) * 1000000 >= 3000 * max(tot.n)
+"""
+
+
 _Q_TOP_TERMS_SQL = r"""
     WITH toks AS (SELECT DISTINCT doc_id,
                          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
@@ -4085,6 +4112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "top_terms": q_top_terms,
         "heavy_hitters": q_heavy_hitters,
+        "lang_heavy_hitters": q_lang_heavy_hitters,
         "anchor_texts": q_anchor_texts,
         "anchor_topk": q_anchor_topk,
         "bfs_levels": q_bfs_levels,
@@ -4191,6 +4219,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,
         "top_terms": _Q_TOP_TERMS_SQL,
         "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
+        "lang_heavy_hitters": _Q_LANG_HEAVY_HITTERS_SQL,
         "anchor_texts": _Q_ANCHOR_TEXTS_SQL,
         "anchor_topk": _Q_ANCHOR_TOPK_SQL,
         "bfs_levels": _Q_BFS_LEVELS_SQL,

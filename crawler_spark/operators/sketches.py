@@ -67,6 +67,14 @@ _SUMMARY_SCHEMA = T.StructType(
     ]
 )
 
+_SUMMARY_BY_SCHEMA = T.StructType(
+    [
+        T.StructField("stratum", T.StringType(), False),
+        T.StructField("tok", T.StringType(), False),
+        T.StructField("w", T.LongType(), False),
+    ]
+)
+
 
 def _mg_partition(m: int):
     """Misra-Gries over a partition's token-array stream.
@@ -141,7 +149,15 @@ def heavy_hitters(
     """
     if phi_e6 <= 0:
         raise ValueError("phi_e6 must be a positive parts-per-million integer")
-    m = capacity if capacity is not None else -(-2_000_000 // phi_e6)
+    min_m = -(-1_000_000 // phi_e6)  # MG survival needs m+1 >= 1/phi
+    m = capacity if capacity is not None else 2 * min_m
+    if m < min_m:
+        raise ValueError(
+            f"capacity {m} < ceil(1/phi) = {min_m}: a phi-heavy token is only "
+            "guaranteed to survive a partition summary when its local share "
+            "phi exceeds the decrement bound 1/(m+1) — smaller capacities can "
+            "silently drop true heavy hitters"
+        )
 
     unit = (
         F.col(tokens_arr_col)
@@ -186,3 +202,121 @@ def heavy_hitters(
         )
     )
     return exact.select("tok", "cnt", F.lit(n_total).cast("long").alias("total_tokens"))
+
+
+def _mg_partition_by(m: int):
+    """Per-STRATUM Misra-Gries over (stratum, token-array) rows: one
+    independent capacity-m summary per stratum per task (state is
+    m x |strata| counters — strata are languages/sources, dozens not
+    millions). The survival bound holds per stratum by the same
+    averaging argument, so the merged per-stratum summaries are a
+    candidate superset for every stratum's own threshold."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        per: dict = {}  # stratum -> {tok: w}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ex = (
+                pdf.rename(columns={"toks": "tok"})
+                .explode("tok")
+                .dropna(subset=["tok"])
+                .groupby(["stratum", "tok"])
+                .size()
+            )
+            for (s, tok), c in ex.items():
+                counters = per.setdefault(s, {})
+                counters[tok] = counters.get(tok, 0) + int(c)
+                if len(counters) > m:
+                    cut = sorted(counters.values(), reverse=True)[m]
+                    per[s] = {t: w - cut for t, w in counters.items() if w > cut}
+        rows = [
+            (s, t, w) for s, counters in per.items() for t, w in counters.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["stratum", "tok", "w"])
+
+    return run
+
+
+def heavy_hitters_by(
+    docs: DataFrame,
+    by_col: str,
+    phi_e6: int = 5_000,
+    text_col: str = "text",
+    capacity: int | None = None,
+    tokens_arr_col: str | None = None,
+) -> DataFrame:
+    """Per-stratum EXACT phi-heavy hitters: for each value of `by_col`
+    (language, source, host...), every token whose count within that
+    stratum is >= phi_e6 ppm of the STRATUM's token total — the
+    per-language stop-list / vocabulary-head primitive (CCNet-style
+    pipelines gate per language, not per corpus).
+
+    Same two-pass shape as heavy_hitters with every stage keyed by
+    stratum: per-task MG summaries (m counters per stratum), merge +
+    prune against per-stratum totals (a JOIN against the tiny totals
+    aggregate — nothing per-stratum is collected), then one exact
+    verify pass over the broadcast (stratum, tok) candidates. The
+    vocabulary never shuffles; candidates are O(1/phi) per stratum.
+
+    Output: (stratum, tok, cnt, total_tokens) — cnt exact within the
+    stratum, total_tokens = that stratum's token total.
+    """
+    if phi_e6 <= 0:
+        raise ValueError("phi_e6 must be a positive parts-per-million integer")
+    min_m = -(-1_000_000 // phi_e6)  # MG survival needs m+1 >= 1/phi
+    m = capacity if capacity is not None else 2 * min_m
+    if m < min_m:
+        raise ValueError(
+            f"capacity {m} < ceil(1/phi) = {min_m}: a phi-heavy token is only "
+            "guaranteed to survive a partition summary when its local share "
+            "phi exceeds the decrement bound 1/(m+1) — smaller capacities can "
+            "silently drop true heavy hitters"
+        )
+
+    unit = (
+        F.col(tokens_arr_col)
+        if tokens_arr_col is not None
+        else F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+        )
+    )
+    base = docs.select(F.col(by_col).alias("stratum"), unit.alias("toks"))
+
+    # per-stratum totals: partial-agg only, |strata| rows — joined, not
+    # collected, so a high-cardinality by_col still distributes
+    totals = base.groupBy("stratum").agg(
+        F.coalesce(F.sum(F.size("toks")), F.lit(0)).cast("long").alias("n_total")
+    )
+
+    summaries = base.mapInPandas(_mg_partition_by(m), schema=_SUMMARY_BY_SCHEMA)
+    thr = (F.lit(phi_e6).cast("long") * F.col("n_total") + F.lit(999_999)) / F.lit(
+        1_000_000
+    )
+    thr = F.floor(thr).cast("long")  # ceil(phi*N) via (x + 1e6-1) div 1e6
+    candidates = (
+        summaries.groupBy("stratum", "tok")
+        .agg(F.sum("w").alias("sum_w"))
+        .join(F.broadcast(totals), "stratum")
+        .filter(
+            F.col("sum_w")
+            >= thr - F.floor(F.col("n_total") / F.lit(m + 1)).cast("long")
+        )
+        .select("stratum", "tok")
+    )
+
+    exact = (
+        base.select("stratum", F.explode("toks").alias("tok"))
+        .join(F.broadcast(candidates), ["stratum", "tok"], "left_semi")
+        .groupBy("stratum", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(totals), "stratum")
+        .filter(
+            F.col("cnt") * F.lit(1_000_000).cast("long")
+            >= F.lit(phi_e6).cast("long") * F.col("n_total")
+        )
+    )
+    return exact.select(
+        "stratum", "tok", "cnt", F.col("n_total").alias("total_tokens")
+    )

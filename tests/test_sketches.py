@@ -58,11 +58,12 @@ def test_heavy_hitters_exact_vs_brute_force(spark, phi_e6):
 def test_heavy_hitters_adversarial_partitioning(spark):
     """Spread each heavy token's occurrences one-per-partition: no
     partition sees it as locally heavy, but the merged-summary bound
-    must still keep it. Tiny capacity forces constant MG churn."""
+    must still keep it. Capacity pinned just above the sound minimum
+    ceil(1/phi) so the MG summaries churn constantly."""
     docs = _corpus(spark, n_docs=300, n_parts=16)
     # round-robin partitioning by doc_id spreads every token thin
     docs = docs.repartition(16, F.col("doc_id") % 16)
-    got = _result(heavy_hitters(docs, phi_e6=20_000, capacity=8))
+    got = _result(heavy_hitters(docs, phi_e6=20_000, capacity=55))
     want = _brute(docs, 20_000)
     assert got == want
 
@@ -155,3 +156,91 @@ def test_stop_shingles_matches_exact_counts(spark):
         )
     )
     assert a == b and a
+
+
+# ------------------------------------------------------- heavy_hitters_by
+def _brute_by(spark_docs, phi_e6):
+    from crawler_spark.operators.sketches import token_occurrences
+
+    toks = spark_docs.select(
+        F.col("lang").alias("stratum"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+            )
+        ).alias("tok"),
+    )
+    tot = toks.groupBy("stratum").agg(F.count("*").alias("n"))
+    return {
+        (r["stratum"], r["tok"], r["cnt"], r["n"])
+        for r in toks.groupBy("stratum", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .join(tot, "stratum")
+        .filter(F.col("cnt") * 1_000_000 >= phi_e6 * F.col("n"))
+        .collect()
+    }
+
+
+def _lang_corpus(spark, n_docs=300, n_parts=8):
+    rows = []
+    langs = ["en", "fr", "de"]
+    for i in range(n_docs):
+        lang = langs[i % 3]
+        words = [f"{lang}_t{j}" for j in range(1, 30) if i % j == 0]
+        words.append(f"{lang}_u{i}")
+        rows.append((i, " ".join(words), lang))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    ).repartition(n_parts, "doc_id")
+
+
+@pytest.mark.parametrize("phi_e6", [100_000, 20_000, 5_000])
+def test_heavy_hitters_by_exact_vs_brute(spark, phi_e6):
+    from crawler_spark.operators.sketches import heavy_hitters_by
+
+    docs = _lang_corpus(spark)
+    got = {
+        (r["stratum"], r["tok"], r["cnt"], r["total_tokens"])
+        for r in heavy_hitters_by(docs, "lang", phi_e6=phi_e6).collect()
+    }
+    want = _brute_by(docs, phi_e6)
+    assert got == want and want
+
+
+def test_heavy_hitters_by_adversarial_partitioning(spark):
+    from crawler_spark.operators.sketches import heavy_hitters_by
+
+    docs = _lang_corpus(spark, n_docs=240).repartition(16, F.col("doc_id") % 16)
+    got = {
+        (r["stratum"], r["tok"], r["cnt"])
+        for r in heavy_hitters_by(docs, "lang", phi_e6=30_000, capacity=38).collect()
+    }
+    want = {(s, t, c) for s, t, c, _ in _brute_by(docs, 30_000)}
+    assert got == want
+
+
+def test_heavy_hitters_by_disjoint_strata_thresholds(spark):
+    """A token heavy in a small stratum but globally light must appear
+    ONLY under that stratum (per-stratum totals, not corpus totals)."""
+    from crawler_spark.operators.sketches import heavy_hitters_by
+
+    rows = [(i, "filler" + str(i), "big") for i in range(500)]
+    rows += [(1000 + i, "rare_hot", "small") for i in range(5)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    got = heavy_hitters_by(docs, "lang", phi_e6=500_000).collect()
+    assert {(r["stratum"], r["tok"], r["cnt"], r["total_tokens"]) for r in got} == {
+        ("small", "rare_hot", 5, 5)
+    }
+
+
+def test_heavy_hitters_rejects_unsound_capacity(spark):
+    from crawler_spark.operators.sketches import heavy_hitters, heavy_hitters_by
+
+    docs = _corpus(spark, n_docs=5)
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(docs, phi_e6=20_000, capacity=8)
+    docs_by = docs.withColumn("lang", F.lit("en"))
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters_by(docs_by, "lang", phi_e6=20_000, capacity=8)
