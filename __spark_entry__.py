@@ -1071,6 +1071,74 @@ _Q_LANG_HEAVY_HITTERS_SQL = r"""
 """
 
 
+def q_revalidate_plan(spark, sf_dir):
+    """Conditional-GET revalidation decision (revalidate.decide, the
+    engine's HTTP-304 recrawl path): a deterministic two-edition view
+    of the documents table — md5(doc_id) buckets pages into vanished
+    (404), server-validated (304), mutated (200 + new hash) and
+    unchanged (200 + equal hash) slices — probed through the SAME
+    operator CrawlEngine.revalidate uses. changed = 0 for 304/equal,
+    1 for a differing 200 hash, NULL for errors (no change evidence)."""
+    from crawler_spark.operators.revalidate import decide
+
+    d = _t(spark, sf_dir, "documents")
+    uh = F.col("doc_id").cast("string")
+    b = F.substring(F.md5(uh), 1, 1)
+    latest = d.select(
+        uh.alias("url_hash"),
+        uh.alias("url"),
+        F.lit("s").alias("site"),
+        F.lit("h").alias("host"),
+        F.lit(1).cast("int").alias("last_round"),
+        F.md5(F.col("text")).alias("content_hash"),
+    )
+    new_text = F.when(
+        b.isin("3", "4", "5"), F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    status = (
+        F.when(b.isin("0", "1"), F.lit(404))
+        .when(b == "2", F.lit(304))
+        .otherwise(F.lit(200))
+        .cast("int")
+    )
+    observed = d.select(
+        uh.alias("url_hash"),
+        status.alias("status"),
+        F.when(status == 200, F.md5(new_text)).alias("new_hash"),
+        F.when(status == 200, F.length(new_text))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bytes"),
+    )
+    return decide(latest, observed)
+
+
+_Q_REVALIDATE_PLAN_SQL = r"""
+    WITH base AS (
+        SELECT CAST(doc_id AS VARCHAR) AS uh, text,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS b
+        FROM documents
+    )
+    SELECT uh AS url_hash, uh AS url, 's' AS site, 'h' AS host,
+           CAST(1 AS INTEGER) AS last_round,
+           md5(text) AS prev_hash,
+           CAST(CASE WHEN b IN ('0','1') THEN 404
+                     WHEN b = '2' THEN 304
+                     ELSE 200 END AS INTEGER) AS status,
+           CASE WHEN b IN ('0','1','2') THEN NULL
+                WHEN b IN ('3','4','5') THEN md5(text || ' v2')
+                ELSE md5(text) END AS new_hash,
+           CAST(CASE WHEN b IN ('0','1','2') THEN 0
+                     WHEN b IN ('3','4','5') THEN length(text || ' v2')
+                     ELSE length(text) END AS BIGINT) AS bytes,
+           CAST(CASE WHEN b = '2' THEN 0
+                     WHEN b IN ('3','4','5') THEN 1
+                     WHEN b IN ('0','1') THEN NULL
+                     ELSE 0 END AS INTEGER) AS changed
+    FROM base
+"""
+
+
 _Q_TOP_TERMS_SQL = r"""
     WITH toks AS (SELECT DISTINCT doc_id,
                          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
@@ -4113,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "heavy_hitters": q_heavy_hitters,
         "lang_heavy_hitters": q_lang_heavy_hitters,
+        "revalidate_plan": q_revalidate_plan,
         "anchor_texts": q_anchor_texts,
         "anchor_topk": q_anchor_topk,
         "bfs_levels": q_bfs_levels,
@@ -4220,6 +4289,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": _Q_TOP_TERMS_SQL,
         "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
         "lang_heavy_hitters": _Q_LANG_HEAVY_HITTERS_SQL,
+        "revalidate_plan": _Q_REVALIDATE_PLAN_SQL,
         "anchor_texts": _Q_ANCHOR_TEXTS_SQL,
         "anchor_topk": _Q_ANCHOR_TOPK_SQL,
         "bfs_levels": _Q_BFS_LEVELS_SQL,

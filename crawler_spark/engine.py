@@ -722,14 +722,18 @@ class CrawlEngine:
         if self.track_changes:
             # one row per successful fetch; md5 over the JSON-rendered
             # span sequence (schema-ordered fields -> deterministic) is
-            # the change detector the recrawl scheduler lags over
+            # the change detector the recrawl scheduler lags over —
+            # shared with revalidate() so conditional-GET comparisons
+            # agree with stored history by construction
+            from crawler_spark.operators.revalidate import span_content_hash
+
             appends["fetch_fingerprints"] = docs.select(
                 F.col("doc_id").alias("url_hash"),
                 "url",
                 "site",
                 "host",
                 F.col("fetched_round").alias("round"),
-                F.md5(F.to_json("spans")).alias("content_hash"),
+                span_content_hash(F.col("spans")).alias("content_hash"),
             )
         if edges is not None:
             appends["edges"] = edges
@@ -1529,13 +1533,26 @@ class CrawlEngine:
         re-enqueued. The next run_round() refetches them under the
         normal gates/politeness/priority machinery.
         """
+        return self._recrawl_commit(targets.select("url_hash").distinct())
+
+    def _recrawl_commit(
+        self, keys: DataFrame, extra_appends: dict[str, DataFrame] | None = None
+    ) -> int:
+        """The one-commit recrawl cascade behind schedule_recrawl, with
+        an extra_appends hook so revalidate() can fold its fingerprint
+        observations + fetch_log lines into the SAME atomic commit (no
+        crash window between 'evidence recorded' and 're-enqueued')."""
         spark, io = self.spark, self.io
-        keys = targets.select("url_hash").distinct()
+        extra = {
+            k: self._w(v) for k, v in (extra_appends or {}).items()
+        }
         seen = io.read(spark, "seen")
         gone = seen.join(keys, "url_hash", "left_semi").cache()
         n = gone.count()
         if n == 0:
             gone.unpersist()
+            if extra:
+                io.commit(io.last_round(), appends=extra)
             return 0
         kept = seen.join(keys, "url_hash", "left_anti")
         doc_keys = keys.withColumnRenamed("url_hash", "doc_id")
@@ -1581,13 +1598,139 @@ class CrawlEngine:
                 F.lit(rnd).cast("int").alias("round"),
             )
         )
+        appends = {"frontier_state": self._w(pend)}
+        appends.update(extra)
         io.commit(
             io.last_round(),
-            appends={"frontier_state": self._w(pend)},
+            appends=appends,
             overwrites=overwrites,
         )
         gone.unpersist()
         return n
+
+    def revalidate(
+        self,
+        world: dict[str, DataFrame] | None = None,
+        targets: DataFrame | None = None,
+        transport=None,
+        min_delay_s: float = 0.0,
+    ) -> dict:
+        """Conditional-GET recrawl (HTTP 304 semantics): probe the
+        freshest stored fingerprint of each target URL against the
+        current web and touch state ONLY where the content changed.
+
+        For every target (default: every URL with a recorded
+        fingerprint; pass `targets` — any DataFrame with url_hash,
+        e.g. the head of recrawl_scores() — to bound the probe set):
+
+        - unchanged (304, or 200 with an equal span-sequence hash):
+          append ONE fetch_fingerprints observation (the changed=0
+          evidence recrawl_priorities' change-rate estimator needs) and
+          a fetch_log(304) line. Documents / records / indexes / seen
+          are untouched — zero churn, unlike schedule_recrawl's blind
+          cascade.
+        - changed (200, different hash): re-enqueue through the
+          one-commit recrawl cascade; the next run_round() refetches
+          under the normal gates/politeness/priority machinery and
+          records the new fingerprint (changed=1 via fetch_history's
+          lag).
+        - error (404/timeout/5xx): fetch_log line only — an error is
+          not change evidence; vanishing is lifecycle's business
+          (refresh_sitemaps / delete_site).
+
+        Everything lands in ONE atomic commit (the unchanged-side
+        appends ride _recrawl_commit's cascade commit), so a kill
+        leaves either the full revalidation pass or none of it.
+
+        Paused/deleted sites are skipped (P5/P6 parity at the current
+        round) via the fixture control windows + the engine's lifecycle
+        flags — a paused site receives no probe traffic.
+
+        In-sandbox, pass `world` (the synthetic-web edition to probe).
+        On a cluster, pass `transport(url, etag) -> (status, spans)`
+        (revalidate.conditional_urllib_transport sends If-None-Match
+        and maps HTTP 304; min_delay_s paces same-host probes).
+
+        Returns {"targets", "unchanged", "changed", "errors"}.
+        """
+        if not self.track_changes:
+            raise ValueError("revalidate() requires CrawlEngine(track_changes=True)")
+        if (world is None) == (transport is None):
+            raise ValueError("pass exactly one of world= or transport=")
+        from crawler_spark.operators import revalidate as RV
+        from crawler_spark.operators.scheduler import control_flags
+
+        spark, io = self.spark, self.io
+        rnd = max(io.last_round(), 0)
+        latest = RV.latest_fingerprints(io.read(spark, "fetch_fingerprints"))
+        if targets is not None:
+            latest = latest.join(
+                targets.select("url_hash").distinct(), "url_hash", "left_semi"
+            )
+        flags = io.read(spark, "engine_control").select("site", "paused", "deleted")
+        if world is not None and "control" in world:
+            flags = flags.unionByName(
+                control_flags(world["control"], rnd).select(
+                    "site", "paused", "deleted"
+                )
+            )
+        blocked = (
+            flags.groupBy("site")
+            .agg(F.max("paused").alias("p"), F.max("deleted").alias("d"))
+            .filter(F.col("p") | F.col("d"))
+            .select("site")
+        )
+        latest = latest.join(F.broadcast(blocked), "site", "left_anti")
+
+        if transport is not None:
+            observed = RV.observe_via_http(latest, transport, min_delay_s=min_delay_s)
+        else:
+            observed = RV.observe_simulated(latest, world["web"])
+        decided = RV.decide(latest, observed).cache()
+        try:
+            counts = {
+                r["changed"]: r["n"]
+                for r in decided.groupBy("changed")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            unchanged = decided.filter(F.col("changed") == 0)
+            fp_rows = unchanged.select(
+                "url_hash",
+                "url",
+                "site",
+                "host",
+                F.lit(rnd).cast("int").alias("round"),
+                F.col("prev_hash").alias("content_hash"),
+            )
+            log_rows = decided.select(
+                F.lit(rnd).cast("int").alias("round"),
+                "url",
+                F.when(F.col("changed") == 0, F.lit(RV.NOT_MODIFIED))
+                .otherwise(F.col("status"))
+                .cast("int")
+                .alias("status"),
+                F.when(F.col("changed") == 1, F.col("bytes"))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("bytes"),
+            )
+            changed_keys = decided.filter(F.col("changed") == 1).select("url_hash")
+            n_changed = self._recrawl_commit(
+                changed_keys,
+                extra_appends={
+                    "fetch_fingerprints": fp_rows,
+                    "fetch_log": log_rows,
+                },
+            )
+        finally:
+            decided.unpersist()
+        return {
+            "targets": sum(counts.values()),
+            "unchanged": counts.get(0, 0),
+            "changed": n_changed,
+            "errors": counts.get(None, 0),
+        }
 
     # ---------------------------------------------------- quality feedback
     def doc_quality(self) -> DataFrame:

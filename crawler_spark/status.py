@@ -109,7 +109,8 @@ def error_log(spark: SparkSession, io: ParquetSnapshotIO, k: int = 200) -> DataF
     )
     return (
         io.read(spark, "fetch_log")
-        .filter(F.col("status") != 200)
+        # 304 is a success (revalidation: not modified), not an error
+        .filter(~F.col("status").isin(200, 304))
         .withColumn("category", cat)
         .orderBy(F.desc("round"), F.desc("url"))
         .limit(k)
