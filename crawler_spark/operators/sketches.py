@@ -291,18 +291,15 @@ def heavy_hitters_by(
     )
 
     summaries = base.mapInPandas(_mg_partition_by(m), schema=_SUMMARY_BY_SCHEMA)
-    thr = (F.lit(phi_e6).cast("long") * F.col("n_total") + F.lit(999_999)) / F.lit(
-        1_000_000
-    )
-    thr = F.floor(thr).cast("long")  # ceil(phi*N) via (x + 1e6-1) div 1e6
+    # ceil(phi*N) and the merge slack in pure int64 `div` arithmetic —
+    # a double-precision floor(x/1e6) loses exactness once phi_e6*N
+    # passes 2^53, which real corpus sizes reach (5e3 ppm × 2e12 tokens)
+    thr = F.expr(f"({phi_e6}L * n_total + 999999L) div 1000000L")
     candidates = (
         summaries.groupBy("stratum", "tok")
         .agg(F.sum("w").alias("sum_w"))
         .join(F.broadcast(totals), "stratum")
-        .filter(
-            F.col("sum_w")
-            >= thr - F.floor(F.col("n_total") / F.lit(m + 1)).cast("long")
-        )
+        .filter(F.col("sum_w") >= thr - F.expr(f"n_total div {m + 1}L"))
         .select("stratum", "tok")
     )
 
