@@ -235,6 +235,10 @@ class CrawlEngine:
         vector_index: bool = False,
         lexical_index: bool = False,
         vector_scale: float = 0.5,
+        # wall-seconds one politeness round represents: maps a 429's
+        # Retry-After delta-seconds to backoff rounds (windows.py's
+        # event-time mapping uses the same constant)
+        seconds_per_round: int = 60,
         # pre-built TableIO overrides root/bucketed_io — the cluster entry
         # point: CrawlEngine(spark, "", io=IcebergTableIO(spark, "crawl",
         # schemas=ENGINE_SCHEMAS)) runs the identical round loop against
@@ -308,6 +312,7 @@ class CrawlEngine:
             )
         self.vector_index = vector_index
         self.vector_scale = float(vector_scale)
+        self.seconds_per_round = int(seconds_per_round)
 
     def _w(self, df: DataFrame) -> DataFrame:
         return df.coalesce(self.coalesce_writes) if self.coalesce_writes else df
@@ -637,12 +642,20 @@ class CrawlEngine:
         )
 
         # --- host backoff state (O-SCHED4): latest-wins append -------------
+        # a server-advertised Retry-After (delta seconds) overrides the
+        # deterministic 3..7-round surrogate: rounds = ceil(s / quantum),
+        # all-integer so engine and oracle agree bit-for-bit
+        spr = self.seconds_per_round
         new_back = (
-            f429.select("host")
-            .distinct()
+            f429.groupBy("host")
+            .agg(F.max("retry_after_s").alias("_ra"))
             .withColumn(
                 "backoff_until_round",
-                F.lit(rnd) + backoff_rounds_expr(F.col("host"), rnd),
+                F.lit(rnd)
+                + F.coalesce(
+                    F.expr(f"cast((_ra + {spr - 1}) div {spr} as int)"),
+                    backoff_rounds_expr(F.col("host"), rnd),
+                ),
             )
             .withColumn("last_round", F.lit(rnd))
             .select("host", "backoff_until_round", "last_round")

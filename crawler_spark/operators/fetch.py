@@ -63,14 +63,32 @@ def simulate_fetch(
         fetched = fetched.withColumn(
             "out_anchors", F.transform("out_links", lambda _: F.lit(""))
         )
-    burst_now = bursts.filter(
-        (F.lit(round_no) >= F.col("from_round")) & (F.lit(round_no) <= F.col("to_round"))
-    ).select("host", F.lit(True).alias("bursting"))
+    ra = (
+        F.col("retry_after_s").cast("int")
+        if "retry_after_s" in bursts.columns
+        else F.lit(None).cast("int")
+    )
+    burst_now = (
+        bursts.filter(
+            (F.lit(round_no) >= F.col("from_round"))
+            & (F.lit(round_no) <= F.col("to_round"))
+        )
+        .select("host", ra.alias("retry_after_s"))
+        # overlapping windows: one row per host, harshest hint wins
+        .groupBy("host")
+        .agg(F.max("retry_after_s").alias("retry_after_s"))
+        .select("host", F.lit(True).alias("bursting"), "retry_after_s")
+    )
     fetched = (
         fetched.join(F.broadcast(burst_now), "host", "left")
         .withColumn(
             "status",
             F.when(F.coalesce("bursting", F.lit(False)), F.lit(429)).otherwise(F.col("status")),
+        )
+        # Retry-After rides only on 429 rows (RFC 9110 §10.2.3)
+        .withColumn(
+            "retry_after_s",
+            F.when(F.col("status") == 429, F.col("retry_after_s")).cast("int"),
         )
         .drop("bursting")
     )
@@ -114,7 +132,13 @@ def default_urllib_transport(timeout_s: float = 30.0, user_agent: str = USER_AGE
             # non-2xx is a RESPONSE, not a transport failure: surface the
             # real status so 429 drives O-SCHED4 backoff and 404/5xx land
             # in the reference's rate_limit/not_found error categories
-            # (crawler.py:978-995 records response.status for non-200s)
+            # (crawler.py:978-995 records response.status for non-200s).
+            # A 429's Retry-After (delta-seconds form, RFC 9110 §10.2.3)
+            # rides as the 5th element and overrides the backoff surrogate.
+            if e.code == 429:
+                ra = (e.headers or {}).get("Retry-After")
+                secs = int(ra) if ra is not None and str(ra).strip().isdigit() else None
+                return 429, None, None, None, secs
             return int(e.code), None, None, None
         except urllib.error.URLError as e:
             # connect timeouts arrive WRAPPED in URLError — unwrap so
@@ -153,7 +177,9 @@ def fetch_via_http(
     transport(url) -> (status, spans, out_links) or
     (status, spans, out_links, out_anchors) — the 4-tuple form carries
     index-aligned anchor text for each link (record_anchors consumers);
-    3-tuple transports get "" anchors. Timeouts map to status 0
+    3-tuple transports get "" anchors. A 5th element carries the 429's
+    Retry-After delta-seconds (overrides the backoff surrogate, like
+    simulate_fetch's bursts.retry_after_s). Timeouts map to status 0
     (reference TIMEOUT, crawler.py:998-1002), other transport failures
     to 599 (reference ERROR path, crawler.py:1004-1006). The output
     schema/columns match simulate_fetch exactly, so the round loop is
@@ -172,6 +198,7 @@ def fetch_via_http(
             T.StructField("out_links", T.ArrayType(T.StringType()), True),
             T.StructField("out_anchors", T.ArrayType(T.StringType()), True),
             T.StructField("bytes", T.LongType(), False),
+            T.StructField("retry_after_s", T.IntegerType(), True),
         ]
     )
 
@@ -181,7 +208,7 @@ def fetch_via_http(
             if pdf.empty:
                 continue
             pdf = pdf.sort_values(["host", "url"], kind="mergesort").reset_index(drop=True)
-            statuses, spanss, linkss, anchorss, nbytes = [], [], [], [], []
+            statuses, spanss, linkss, anchorss, nbytes, retries = [], [], [], [], [], []
             for host, url in zip(pdf["host"], pdf["url"]):
                 if min_delay_s:
                     prev = last_hit.get(host)
@@ -189,10 +216,12 @@ def fetch_via_http(
                     if prev is not None and now - prev < min_delay_s:
                         time.sleep(min_delay_s - (now - prev))
                     last_hit[host] = time.monotonic()
-                anchors = None
+                anchors, retry_after = None, None
                 try:
                     got = transport(url)
-                    if len(got) == 4:
+                    if len(got) == 5:
+                        status, spans, links, anchors, retry_after = got
+                    elif len(got) == 4:
                         status, spans, links, anchors = got
                     else:
                         status, spans, links = got
@@ -206,6 +235,11 @@ def fetch_via_http(
                 spanss.append(spans)
                 linkss.append(links)
                 anchorss.append(anchors)
+                retries.append(
+                    int(retry_after)
+                    if status == 429 and retry_after is not None
+                    else None
+                )
                 nbytes.append(
                     sum(len(s.get("text") or "") + len(s.get("media_ref") or "") for s in spans)
                     if status == 200 and spans
@@ -215,6 +249,7 @@ def fetch_via_http(
             pdf["spans"] = spanss
             pdf["out_links"] = linkss
             pdf["out_anchors"] = anchorss
+            pdf["retry_after_s"] = pd.array(retries, dtype="Int32")
             yield pdf[[f.name for f in out_schema.fields]]
 
     return scheduled.repartition("salt", "host").mapInPandas(batch_get, out_schema)

@@ -55,9 +55,11 @@ class Oracle:
         follow_links: bool = True,
         priority: str = "fifo",
         scores: dict[str, int] | None = None,
+        seconds_per_round: int = 60,
     ):
         self.world = world
         self.mode = mode
+        self.seconds_per_round = int(seconds_per_round)
         self.follow_links = follow_links
         # python twin of scheduler.PRIORITY_ORDERS: the within-host order
         # AND the canonical cross-host tiebreak (rank, site, *order)
@@ -143,6 +145,19 @@ class Oracle:
 
     def _bursting(self, host: str, rnd: int) -> bool:
         return any(b.host == host and b.from_round <= rnd <= b.to_round for b in self.bursts)
+
+    def _retry_after(self, host: str, rnd: int) -> int | None:
+        """Max Retry-After seconds among the host's active burst windows
+        (engine twin: simulate_fetch's groupBy(host).max), None when no
+        active window advertises one."""
+        ras = [
+            int(ra)
+            for b in self.bursts
+            if b.host == host and b.from_round <= rnd <= b.to_round
+            for ra in [getattr(b, "retry_after_s", None)]
+            if ra is not None
+        ]
+        return max(ras) if ras else None
 
     # --- the crawl ----------------------------------------------------------
     def run(
@@ -278,7 +293,15 @@ class Oracle:
                             if prev is None or cand < prev:
                                 new_links[lhash] = cand
                 elif status == 429:
-                    backoff_until[host] = rnd + backoff_rounds(host, rnd)
+                    # Retry-After overrides the surrogate (engine twin:
+                    # run_round's ceil(retry_after_s / seconds_per_round))
+                    ra = self._retry_after(host, rnd)
+                    k = (
+                        -(-ra // self.seconds_per_round)
+                        if ra is not None
+                        else backoff_rounds(host, rnd)
+                    )
+                    backoff_until[host] = rnd + k
                     # stays pending
                 else:
                     row["state"] = "error"

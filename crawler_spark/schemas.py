@@ -75,6 +75,9 @@ BURSTS = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("from_round", T.IntegerType(), False),
         T.StructField("to_round", T.IntegerType(), False),
+        # Retry-After seconds advertised with the 429 (RFC 9110 §10.2.3);
+        # NULL -> the deterministic 3..7-round surrogate (O-SCHED4)
+        T.StructField("retry_after_s", T.IntegerType(), True),
     ]
 )
 

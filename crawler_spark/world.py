@@ -193,6 +193,7 @@ def make_world(
     allow: dict[str, list[str]] | None = None,
     variants: bool = True,
     sitemap_coverage: float = 0.6,
+    retry_after_s: int | None = None,
 ) -> World:
     counts = _url_counts(n_hosts, n_urls)
     hosts = [_host_name(i) for i in range(n_hosts)]
@@ -249,7 +250,9 @@ def make_world(
              (allow or {}).get(host, []), budget)
         )
 
-    burst_rows = [(hosts[min(1, n_hosts - 1)], 2, 3)] if burst else []
+    burst_rows = (
+        [(hosts[min(1, n_hosts - 1)], 2, 3, retry_after_s)] if burst else []
+    )
     control_rows = []
     sites_with_control = set()
     for site, fr, to in pauses or []:
@@ -272,7 +275,11 @@ def make_world(
             columns=["host", "sitemap_urls", "disallow_prefixes",
                      "allow_prefixes", "crawl_budget"],
         ),
-        bursts=pd.DataFrame(burst_rows, columns=["host", "from_round", "to_round"]),
+        bursts=pd.DataFrame(
+            burst_rows,
+            columns=["host", "from_round", "to_round", "retry_after_s"],
+            dtype=object,  # keep ints as ints and None as None (no NaN floats)
+        ),
         control=pd.DataFrame(
             control_rows,
             columns=["site", "paused_from_round", "paused_to_round", "deleted_at_round"],

@@ -134,6 +134,9 @@ def test_default_transport_maps_http_statuses(monkeypatch):
 
     behaviors = {
         "https://h/429": urllib.error.HTTPError("https://h/429", 429, "rate", {}, io.BytesIO(b"")),
+        "https://h/429ra": urllib.error.HTTPError(
+            "https://h/429ra", 429, "rate", {"Retry-After": "120"}, io.BytesIO(b"")
+        ),
         "https://h/404": urllib.error.HTTPError("https://h/404", 404, "nf", {}, io.BytesIO(b"")),
         "https://h/500": urllib.error.HTTPError("https://h/500", 500, "ise", {}, io.BytesIO(b"")),
         "https://h/timeout": urllib.error.URLError(socket.timeout("timed out")),
@@ -158,7 +161,9 @@ def test_default_transport_maps_http_statuses(monkeypatch):
     assert get("https://h/ok")[0] == 200
     assert get("https://h/ok")[2] == ["https://h/next"]
     assert get("https://h/ok")[3] == ["n"]  # index-aligned anchor bodies
-    assert get("https://h/429") == (429, None, None, None)
+    # 429s return the 5-tuple form: Retry-After rides as the 5th element
+    assert get("https://h/429") == (429, None, None, None, None)
+    assert get("https://h/429ra") == (429, None, None, None, 120)
     assert get("https://h/404") == (404, None, None, None)
     assert get("https://h/500") == (500, None, None, None)
     with pytest.raises(TimeoutError):
