@@ -1139,6 +1139,77 @@ _Q_REVALIDATE_PLAN_SQL = r"""
 """
 
 
+def q_holdout_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment (functions.text.
+    holdout_split): every document of a SOURCE lands in one split —
+    near-dups/templates cluster within a leakage unit, so iid per-doc
+    splitting would leak them across train/test. Pure per-row hash +
+    CASE, zero exchanges, hash-stable under corpus growth."""
+    from crawler_spark.functions.text import holdout_split
+
+    d = _t(spark, sf_dir, "documents")
+    return holdout_split(
+        d, {"train": 8, "val": 1, "test": 1}, group_col="source"
+    ).select("doc_id", "split_key", "split")
+
+
+_Q_HOLDOUT_SPLIT_SQL = r"""
+    SELECT doc_id, CAST(source AS VARCHAR) AS split_key,
+           CASE WHEN b < 8 THEN 'train'
+                WHEN b < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, source,
+                 ('0x' || substr(md5('split' || ':' || CAST(source AS VARCHAR)), 1, 8))::UBIGINT % 10 AS b
+          FROM documents) t
+"""
+
+
+def q_split_leakage(spark, sf_dir):
+    """Split-leakage audit (functions.text.cross_split_pairs): feed a
+    deterministic synthetic near-dup pair table through an iid per-doc
+    holdout_split — the pairs straddling splits are exactly the eval
+    contamination a host-grouped split prevents (the companion
+    holdout_split entry). Two equi-joins, no self-joins beyond the pair
+    table itself."""
+    from crawler_spark.functions.text import cross_split_pairs, holdout_split
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n"))
+    pairs = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("doc_id_a"),
+            F.pmod(F.col("doc_id") * 7 + 3, F.col("n")).alias("doc_id_b"),
+        )
+        .filter(F.col("doc_id_a") != F.col("doc_id_b"))
+    )
+    asg = holdout_split(d, {"train": 4, "val": 1})
+    return cross_split_pairs(pairs, asg)
+
+
+_Q_SPLIT_LEAKAGE_SQL = r"""
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    asg AS (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5('split' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 5 < 4
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    ),
+    pairs AS (
+        SELECT d.doc_id AS a, (d.doc_id * 7 + 3) % n.c AS b
+        FROM documents d, n
+        WHERE d.doc_id <> (d.doc_id * 7 + 3) % n.c
+    )
+    SELECT CAST(p.a AS VARCHAR) AS doc_id_a, CAST(p.b AS VARCHAR) AS doc_id_b,
+           sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN asg sa ON sa.doc_id = p.a
+    JOIN asg sb ON sb.doc_id = p.b
+    WHERE sa.split <> sb.split
+"""
+
+
 _Q_TOP_TERMS_SQL = r"""
     WITH toks AS (SELECT DISTINCT doc_id,
                          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
@@ -4182,6 +4253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "lang_heavy_hitters": q_lang_heavy_hitters,
         "revalidate_plan": q_revalidate_plan,
+        "holdout_split": q_holdout_split,
+        "split_leakage": q_split_leakage,
         "anchor_texts": q_anchor_texts,
         "anchor_topk": q_anchor_topk,
         "bfs_levels": q_bfs_levels,
@@ -4290,6 +4363,8 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
         "lang_heavy_hitters": _Q_LANG_HEAVY_HITTERS_SQL,
         "revalidate_plan": _Q_REVALIDATE_PLAN_SQL,
+        "holdout_split": _Q_HOLDOUT_SPLIT_SQL,
+        "split_leakage": _Q_SPLIT_LEAKAGE_SQL,
         "anchor_texts": _Q_ANCHOR_TEXTS_SQL,
         "anchor_topk": _Q_ANCHOR_TOPK_SQL,
         "bfs_levels": _Q_BFS_LEVELS_SQL,

@@ -324,6 +324,86 @@ def bernoulli_sample(
     )
 
 
+def holdout_split(
+    docs: DataFrame,
+    weights: dict[str, int],
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic leakage-safe train/val/test assignment.
+
+    weights: {"train": 98, "val": 1, "test": 1} — integer parts of the
+    total; each id (or group) lands in the split whose cumulative range
+    covers md5_bucket(salt:key) % total. Ranges follow the dict's own
+    order, so the same weights dict always reproduces the same split.
+
+    group_col is the LEAKAGE UNIT: with group_col="host" every page of
+    a host shares one hash and lands in one split — near-duplicates and
+    templated pages cluster within hosts, and a random per-document
+    split would leak them across train/test (the classic eval
+    contamination). None splits per id (iid assumption).
+
+    Scale shape: pure per-row hash + CASE — zero exchanges, pushes into
+    the scan, trivially parallel; re-running on a grown corpus never
+    reassigns an existing key (hash-stable, the feature that makes the
+    split usable incrementally across crawl rounds).
+
+    Output: docs' columns + (split_key, split).
+    """
+    if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative integers with a positive sum")
+    key = F.col(group_col) if group_col is not None else F.col(id_col)
+    total = sum(weights.values())
+    b = md5_bucket(F.concat_ws(":", F.lit(salt), key.cast("string"))) % total
+    expr = None
+    cum = 0
+    for name, w in weights.items():
+        cum += int(w)
+        cond = b < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return docs.withColumn("split_key", key.cast("string")).withColumn(
+        "split", expr
+    )
+
+
+def cross_split_pairs(
+    pairs: DataFrame,
+    assignment: DataFrame,
+    left_col: str = "doc_id_a",
+    right_col: str = "doc_id_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs whose two sides landed
+    in DIFFERENT splits — exactly the pairs that contaminate evaluation
+    (test answers memorized from train near-dups). Feed any pair table
+    (minhash_lsh_pairs, simhash_near_dup_pairs, jaccard_pairs) plus a
+    holdout_split assignment; an empty result certifies the split is
+    leak-free w.r.t. that detector.
+
+    Scale shape: two equi-joins against the (id, split) projection —
+    with a host-grouped split the assignment is derivable from the
+    group so both joins stay co-located on the id layout; no self-joins
+    beyond what the pair table already paid.
+
+    Output: (left id, right id, split_a, split_b).
+    """
+    asg = assignment.select(
+        F.col(id_col).cast("string").alias("_id"), "split"
+    )
+    return (
+        pairs.select(
+            F.col(left_col).cast("string").alias("doc_id_a"),
+            F.col(right_col).cast("string").alias("doc_id_b"),
+        )
+        .join(asg.withColumnRenamed("split", "split_a"), F.col("doc_id_a") == F.col("_id"))
+        .drop("_id")
+        .join(asg.withColumnRenamed("split", "split_b"), F.col("doc_id_b") == F.col("_id"))
+        .drop("_id")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+
+
 def length_quantiles(
     docs: DataFrame,
     text_col: str = "text",

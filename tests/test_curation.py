@@ -386,3 +386,86 @@ def test_pack_sequences_plan_has_no_single_partition_exchange(spark):
     plan = pack_sequences(docs, capacity=256)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+# --- leakage-safe holdout splits ---------------------------------------
+
+
+def test_holdout_split_partitions_every_doc(spark):
+    from crawler_spark.functions.text import holdout_split
+
+    docs = spark.createDataFrame(
+        [(i, f"h{i % 7}.example") for i in range(300)], ["doc_id", "host"]
+    )
+    out = holdout_split(docs, {"train": 8, "val": 1, "test": 1}).collect()
+    assert len(out) == 300
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    assert all(r["split"] is not None for r in out)
+    # deterministic: identical on re-run
+    again = holdout_split(docs, {"train": 8, "val": 1, "test": 1}).collect()
+    assert sorted((r["doc_id"], r["split"]) for r in out) == sorted(
+        (r["doc_id"], r["split"]) for r in again
+    )
+
+
+def test_holdout_split_group_atomicity(spark):
+    from crawler_spark.functions.text import holdout_split
+
+    docs = spark.createDataFrame(
+        [(i, f"h{i % 23}.example") for i in range(500)], ["doc_id", "host"]
+    )
+    out = holdout_split(docs, {"train": 3, "val": 1}, group_col="host").collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["split_key"], set()).add(r["split"])
+    # every host lands wholly in ONE split (the leakage-safety property)
+    assert all(len(s) == 1 for s in by_host.values())
+    # and with 23 hosts both splits are populated
+    assert {r["split"] for r in out} == {"train", "val"}
+
+
+def test_holdout_split_proportions_and_stability(spark):
+    from crawler_spark.functions.text import holdout_split
+
+    docs = spark.createDataFrame([(i,) for i in range(4000)], ["doc_id"])
+    out = holdout_split(docs, {"train": 90, "val": 10}).collect()
+    n_val = sum(1 for r in out if r["split"] == "val")
+    assert 300 <= n_val <= 500  # ~10% of 4000, hash-uniform
+    # hash-stability: a grown corpus never reassigns an existing key
+    grown = spark.createDataFrame([(i,) for i in range(8000)], ["doc_id"])
+    g = {
+        r["doc_id"]: r["split"]
+        for r in holdout_split(grown, {"train": 90, "val": 10}).collect()
+    }
+    assert all(g[r["doc_id"]] == r["split"] for r in out)
+
+
+def test_holdout_split_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from crawler_spark.functions.text import holdout_split
+
+    docs = spark.createDataFrame([(1,)], ["doc_id"])
+    for bad in ({}, {"a": 0}, {"a": -1, "b": 3}):
+        with _pytest.raises(ValueError):
+            holdout_split(docs, bad)
+
+
+def test_cross_split_pairs_finds_exactly_the_leaks(spark):
+    from crawler_spark.functions.text import cross_split_pairs, holdout_split
+
+    docs = spark.createDataFrame(
+        [(i, f"h{i % 11}.example") for i in range(200)], ["doc_id", "host"]
+    )
+    # near-dup pairs WITHIN hosts (i, i+11 share a host class)
+    pairs = spark.createDataFrame(
+        [(i, i + 11) for i in range(150)], ["doc_id_a", "doc_id_b"]
+    )
+    host_split = holdout_split(docs, {"train": 3, "val": 1}, group_col="host")
+    # host-grouped split: intra-host pairs can never leak
+    assert cross_split_pairs(pairs, host_split).count() == 0
+    # per-doc split: the same pairs DO leak across splits
+    doc_split = holdout_split(docs, {"train": 3, "val": 1})
+    leaks = cross_split_pairs(pairs, doc_split).collect()
+    assert leaks  # iid splitting leaks near-dups (that's the audit's point)
+    assert all(r["split_a"] != r["split_b"] for r in leaks)
