@@ -82,6 +82,64 @@ def _longest_match_len(prefixes, url) -> F.Column:
     )
 
 
+# regex metacharacters to escape when compiling a robots rule — every
+# special EXCEPT '*' (the RFC wildcard, handled after escaping)
+_RX_META = r"([.^$+?()\[\]{}|\\])"
+
+
+def compile_robots_rules(prefixes) -> F.Column:
+    """Compile a robots rule array to array<struct<plen, plain, core,
+    rx>> supporting RFC 9309 §2.2.3 special characters: '*' matches any
+    character sequence, a trailing '$' anchors the rule to the URL end.
+
+    Runs ONCE per robots DIM row (the rules table is a broadcast dim),
+    so the per-URL gate pays regex matching only for rules that
+    actually use wildcards — plain prefixes (the overwhelming majority
+    of real robots files) keep the startswith fast path. `plen` is the
+    raw rule's octet length, the RFC's specificity measure ('*'/'$'
+    count toward length, as in Google's reference matcher)."""
+
+    def one(p):
+        anchored = p.endswith("$")
+        core = F.when(anchored, p.substr(F.lit(1), F.length(p) - 1)).otherwise(p)
+        plain = (~core.contains("*")) & (~anchored)
+        esc = F.regexp_replace(core, _RX_META, r"\\$1")
+        rx = F.concat(
+            F.lit("^"),
+            F.regexp_replace(esc, r"\*", ".*"),
+            F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+        )
+        return F.struct(
+            F.length(p).alias("plen"),
+            plain.alias("plain"),
+            core.alias("core"),
+            rx.alias("rx"),
+        )
+
+    return F.transform(F.coalesce(prefixes, F.array()), one)
+
+
+def _longest_rule_len(rules, url) -> F.Column:
+    """Longest-matching compiled rule's length (0 when none match):
+    the RFC 9309 §2.2.2 precedence key over compile_robots_rules
+    output. Plain rules match via startswith; wildcard/anchored rules
+    via regexp_like on the pre-built pattern."""
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.filter(
+                    rules,
+                    lambda r: F.when(
+                        r["plain"], url.startswith(r["core"])
+                    ).otherwise(F.regexp_like(url, r["rx"])),
+                ),
+                lambda r: r["plen"],
+            )
+        ),
+        F.lit(0),
+    )
+
+
 def gate_candidates(
     frontier: DataFrame,
     control: DataFrame,
@@ -120,8 +178,13 @@ def gate_candidates(
         .drop("backoff_until_round")
         .join(
             F.broadcast(
+                # rules compile (regex pre-build for '*'/'$' wildcards)
+                # on the DIM side, once per host, before the broadcast
                 robots.select(
-                    "host", "disallow_prefixes", "allow_prefixes", "crawl_budget"
+                    "host",
+                    compile_robots_rules(F.col("disallow_prefixes")).alias("_drules"),
+                    compile_robots_rules(F.col("allow_prefixes")).alias("_arules"),
+                    "crawl_budget",
                 )
             ),
             "host",
@@ -131,16 +194,10 @@ def gate_candidates(
         # rule wins; an allow at least as specific as the best
         # disallow keeps the URL (tie -> allow). Empty allow lists
         # reduce to the plain any-disallow-blocks behavior.
-        .withColumn(
-            "_dmax",
-            _longest_match_len(F.col("disallow_prefixes"), F.col("url")),
-        )
-        .withColumn(
-            "_amax",
-            _longest_match_len(F.col("allow_prefixes"), F.col("url")),
-        )
+        .withColumn("_dmax", _longest_rule_len(F.col("_drules"), F.col("url")))
+        .withColumn("_amax", _longest_rule_len(F.col("_arules"), F.col("url")))
         .filter(F.col("_dmax") <= F.col("_amax"))
-        .drop("disallow_prefixes", "allow_prefixes", "_dmax", "_amax")
+        .drop("_drules", "_arules", "_dmax", "_amax")
         .withColumn("crawl_budget", F.coalesce("crawl_budget", F.lit(1)))
     )
     return cand

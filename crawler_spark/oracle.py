@@ -36,6 +36,22 @@ def backoff_rounds(host: str, rnd: int) -> int:
     return 3 + int(hashlib.md5(f"{host}:{rnd}".encode()).hexdigest()[:8], 16) % 5
 
 
+def robots_rule_matches(p: str, url: str) -> bool:
+    """Python twin of scheduler.compile_robots_rules + _longest_rule_len
+    matching: RFC 9309 §2.2.3 — '*' matches any sequence, trailing '$'
+    anchors to the URL end, everything else is literal."""
+    import re as _re
+
+    anchored = p.endswith("$")
+    core = p[:-1] if anchored else p
+    if "*" not in core and not anchored:
+        return url.startswith(core)
+    rx = "^" + ".*".join(_re.escape(seg) for seg in core.split("*"))
+    if anchored:
+        rx += "$"
+    return _re.search(rx, url) is not None
+
+
 @dataclass
 class OracleResult:
     crawl_order: list[tuple]  # (round, seq, site, url, status)
@@ -199,14 +215,15 @@ class Oracle:
                     continue
                 rb = self.robots.get(row["host"])
                 if rb is not None:
-                    # longest-match precedence, tie -> allow (RFC 9309)
+                    # longest-match precedence, tie -> allow (RFC 9309);
+                    # rule length counts '*'/'$' (specificity measure)
                     dmax = max(
                         (len(p) for p in rb.disallow_prefixes
-                         if row["url"].startswith(p)), default=0,
+                         if robots_rule_matches(p, row["url"])), default=0,
                     )
                     amax = max(
                         (len(p) for p in getattr(rb, "allow_prefixes", ())
-                         if row["url"].startswith(p)), default=0,
+                         if robots_rule_matches(p, row["url"])), default=0,
                     )
                     if dmax > amax:
                         continue

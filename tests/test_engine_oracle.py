@@ -231,3 +231,69 @@ def test_robots_allow_longest_match(spark, tmp_path):
         u.startswith(allow[host][0]) or u.startswith(allow[host][1])
         for u in crawled_p
     )
+
+
+def test_robots_wildcard_rules_match_like_the_python_twin(spark):
+    """RFC 9309 §2.2.3 special characters: the JVM compiled matcher
+    (compile_robots_rules + _longest_rule_len) and the oracle's Python
+    twin agree on every tricky shape — wildcards, end anchors, regex
+    metacharacters taken literally, empty/universal patterns."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.scheduler import (
+        _longest_rule_len,
+        compile_robots_rules,
+    )
+    from crawler_spark.oracle import robots_rule_matches
+
+    cases = [
+        ("https://h/p/x.php", "*.php$", True),
+        ("https://h/p/x.php?q=1", "*.php$", False),
+        ("https://h/p/x.php?q=1", "*.php", True),
+        ("https://h/fish", "https://h/fish*", True),
+        ("https://h/fi", "https://h/fish*", False),
+        ("https://h/a+b(c).d", "https://h/a+b(c).d", True),
+        ("https://h/aXb", "https://h/a+b", False),  # '+' is literal
+        ("https://h/p/1", "*", True),
+        ("https://h/", "$", False),  # anchors the EMPTY string only
+        ("https://h/a", "https://h/a$", True),
+        ("https://h/ab", "https://h/a$", False),
+        ("https://h/x/deep/y", "https://h/*/y$", True),
+        ("https://h/x/deep/y/z", "https://h/*/y$", False),
+    ]
+    df = spark.createDataFrame(
+        [(u, [p]) for u, p, _ in cases], "url string, rules array<string>"
+    )
+    got = df.select(
+        "url",
+        "rules",
+        (
+            _longest_rule_len(compile_robots_rules(F.col("rules")), F.col("url")) > 0
+        ).alias("m"),
+    ).collect()
+    for (u, p, want), r in zip(cases, got):
+        assert r["m"] == want, (u, p, want)
+        assert robots_rule_matches(p, u) == want, (u, p, want)
+
+
+def test_robots_wildcard_crawl_equality(spark, tmp_path):
+    """Wildcard disallow with a MORE SPECIFIC anchored allow carve-out:
+    engine and oracle agree end-to-end, and only the carve-out pages
+    of the gated host's /p/ space are crawled."""
+    host = "h000.example.com"
+    dis = {host: [f"https://{host}/p/*"]}
+    allow = {host: [f"https://{host}/p/*2$"]}
+    world = make_world(
+        seed=31, n_hosts=3, n_urls=24, budget=4, burst=False,
+        disallow=dis, allow=allow,
+    )
+    eng, ora = crawl_both(spark, tmp_path, world, "reference", max_rounds=10)
+    got = read_all(spark, eng)
+    assert got["order"] == ora.crawl_order
+    assert got["seen"] == set(ora.seen.items())
+    crawled_p = {
+        u for _, _, _, u, _ in got["order"]
+        if u.startswith(f"https://{host}/p/")
+    }
+    assert crawled_p  # the anchored carve-out was reachable
+    assert all(u.endswith("2") for u in crawled_p)
