@@ -314,3 +314,51 @@ def test_parse_robots_txt(spark):
     assert out["b.com"].sitemap_urls == [] and out["b.com"].crawl_budget == 1
     # case-insensitive + whitespace (app.py:59-62)
     assert out["c.com"].sitemap_urls == ["https://c.com/s.xml"]
+
+
+def test_parse_robots_group_selection(spark):
+    """RFC 9309 §2.2.1: rules come from the group naming our product
+    token; the '*' group is the fallback, other bots' groups are
+    ignored; Sitemap lines are group-independent; leading rules before
+    any User-agent line apply unconditionally."""
+    from crawler_spark.sources.robots_txt import parse_robots
+
+    body_star_only = (
+        "User-agent: otherbot\nDisallow: /all\nCrawl-delay: 9\n\n"
+        "User-agent: *\nDisallow: /tmp\nSitemap: https://a/sm.xml\n"
+    )
+    body_named = (
+        "User-agent: *\nDisallow: /star\n\n"
+        "User-agent: a\nUser-Agent: Crawler-Spark\nDisallow: /mine\n"
+        "Allow: /mine/ok\n"
+    )
+    body_leading = "Disallow: /global\n\nUser-agent: otherbot\nDisallow: /other\n"
+    rows = [
+        ("star.example", body_star_only),
+        ("named.example", body_named),
+        ("lead.example", body_leading),
+    ]
+    out = {
+        r.host: r
+        for r in parse_robots(
+            spark.createDataFrame(rows, ["host", "body"])
+        ).collect()
+    }
+    # otherbot's rules (incl. its Crawl-delay) don't bind us; '*' does
+    assert out["star.example"].disallow_prefixes == ["/tmp"]
+    assert out["star.example"].crawl_budget == 1  # default, not 1/9
+    assert out["star.example"].sitemap_urls == ["https://a/sm.xml"]
+    # a group naming our token wins over '*', multi-UA groups work
+    assert out["named.example"].disallow_prefixes == ["/mine"]
+    assert out["named.example"].allow_prefixes == ["/mine/ok"]
+    # leading rules are global; the otherbot group is still ignored
+    assert out["lead.example"].disallow_prefixes == ["/global"]
+    # user_agent=None restores the merge-everything behavior
+    merged = {
+        r.host: r
+        for r in parse_robots(
+            spark.createDataFrame(rows, ["host", "body"]), user_agent=None
+        ).collect()
+    }
+    assert sorted(merged["named.example"].disallow_prefixes) == ["/mine", "/star"]
+    assert sorted(merged["star.example"].disallow_prefixes) == ["/all", "/tmp"]
