@@ -1867,6 +1867,28 @@ _Q_DUP_CLUSTERS_SQL = f"""
 """
 
 
+def q_dup_clusters_incremental(spark, sf_dir):
+    """Incremental cluster maintenance (graph.incremental_components):
+    the SAME LSH pair set as dup_clusters, split deterministically into
+    two arrival batches and folded one at a time — contract-then-solve
+    over each delta. Certified against the IDENTICAL batch
+    reachability oracle: incremental folding must reproduce batch CC
+    exactly (what engine.update_dup_clusters relies on per round)."""
+    from crawler_spark.operators.graph import incremental_components
+    from crawler_spark.operators.textdedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs_wide(spark, sf_dir)).cache()
+    early = F.substring(F.md5(F.concat_ws("|", "doc_a", "doc_b")), 1, 1).isin(
+        *list("01234567")
+    )
+    asg = incremental_components(None, pairs.filter(early))
+    return incremental_components(asg, pairs.filter(~early))
+
+
+# incremental folding must equal batch CC — same oracle by design
+_Q_DUP_CLUSTERS_INCR_SQL = _Q_DUP_CLUSTERS_SQL
+
+
 def q_canonical_corpus(spark, sf_dir):
     """End-to-end dedup pass: documents minus every non-canonical
     near-dup (one doc — the min id — survives per LSH cluster). The
@@ -4255,6 +4277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revalidate_plan": q_revalidate_plan,
         "holdout_split": q_holdout_split,
         "split_leakage": q_split_leakage,
+        "dup_clusters_incremental": q_dup_clusters_incremental,
         "anchor_texts": q_anchor_texts,
         "anchor_topk": q_anchor_topk,
         "bfs_levels": q_bfs_levels,
@@ -4365,6 +4388,7 @@ def oracle_sql() -> dict[str, str]:
         "revalidate_plan": _Q_REVALIDATE_PLAN_SQL,
         "holdout_split": _Q_HOLDOUT_SPLIT_SQL,
         "split_leakage": _Q_SPLIT_LEAKAGE_SQL,
+        "dup_clusters_incremental": _Q_DUP_CLUSTERS_INCR_SQL,
         "anchor_texts": _Q_ANCHOR_TEXTS_SQL,
         "anchor_topk": _Q_ANCHOR_TOPK_SQL,
         "bfs_levels": _Q_BFS_LEVELS_SQL,

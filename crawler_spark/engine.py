@@ -55,6 +55,14 @@ ENGINE_SCHEMAS = {
     "media_signatures": S.MEDIA_SIGNATURES,  # incremental media pHash index (opt-in)
     "fetch_fingerprints": S.FETCH_FINGERPRINTS,  # per-fetch content history (opt-in)
     "page_vectors": S.PAGE_VECTORS,  # incremental ANN index (opt-in, vector_index=True)
+    # incremental near-dup cluster assignment (update_dup_clusters):
+    # every clustered doc, singletons as cluster_id == doc_id
+    "dup_clusters": T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("cluster_id", T.StringType(), False),
+        ]
+    ),
     "postings": S.POSTINGS,  # incremental inverted index (opt-in, lexical_index=True)
     "edges": S.EDGES,  # crawl link graph (opt-in, record_edges=True)
     "anchors": S.ANCHORS,  # anchor-text observations (opt-in, record_anchors=True)
@@ -1167,6 +1175,90 @@ class CrawlEngine:
         appends = {} if sm_errors.isEmpty() else {"fetch_log": self._w(sm_errors)}
         io.commit(rnd, appends=appends, overwrites=overwrites)
         self.add_sites(current)
+
+    def update_dup_clusters(self) -> dict:
+        """Maintain the near-dup CLUSTER assignment incrementally (the
+        dup_clusters table: one row per signed doc, cluster_id = the
+        component's min doc_id, singletons as cluster_id == doc_id).
+
+        Each call folds only the docs signed since the last call:
+        delta pairs via minhash_lsh_delta_pairs (the delta's LSH bands
+        join the signature index — the corpus is never re-bucketed) and
+        graph.incremental_components (contract-then-solve over the
+        delta-sized graph). Per-call cost is O(|new docs|) + joins
+        against the O(n_docs) assignment, NOT O(all pairs) — at 10^10
+        docs that is the difference between re-clustering the crawl
+        history every round and paying for the round's delta.
+
+        Docs cascaded out (delete_site / schedule_recrawl) are pruned
+        from the assignment here; note the standard incremental-CC
+        caveat: a removed BRIDGE doc does not split the cluster it
+        merged — run recluster_dups() for an exact rebuild after bulk
+        deletions.
+
+        Returns {"new_docs", "assignment_rows"}; requires
+        CrawlEngine(dedup_index=True).
+        """
+        if not self.dedup_index:
+            raise ValueError(
+                "update_dup_clusters() requires CrawlEngine(dedup_index=True)"
+            )
+        from crawler_spark.operators.graph import incremental_components
+        from crawler_spark.operators.textdedup import minhash_lsh_delta_pairs
+
+        spark, io = self.spark, self.io
+        sigs = io.read(spark, "doc_signatures").filter(F.col("mh0").isNotNull())
+        asg = io.read(spark, "dup_clusters")
+        current = sigs.select("doc_id")
+        delta_sigs = sigs.join(asg, "doc_id", "left_anti").cache()
+        try:
+            n_delta = delta_sigs.count()
+            if n_delta == 0:
+                pruned = asg.join(current, "doc_id", "left_semi")
+                n_rows = pruned.count()
+                if n_rows != asg.count():
+                    io.commit(
+                        io.last_round(), overwrites={"dup_clusters": self._w(pruned)}
+                    )
+                return {"new_docs": 0, "assignment_rows": n_rows}
+            pairs = minhash_lsh_delta_pairs(sigs, delta_sigs)
+            updated = incremental_components(asg, pairs)
+            singles = (
+                delta_sigs.select("doc_id")
+                .join(updated, "doc_id", "left_anti")
+                .select("doc_id", F.col("doc_id").alias("cluster_id"))
+            )
+            new_asg = (
+                updated.unionByName(singles)
+                .join(current, "doc_id", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            io.commit(
+                io.last_round(), overwrites={"dup_clusters": self._w(new_asg)}
+            )
+            return {"new_docs": n_delta, "assignment_rows": new_asg.count()}
+        finally:
+            delta_sigs.unpersist()
+
+    def recluster_dups(self) -> dict:
+        """Exact batch rebuild of dup_clusters (connected_components
+        over near_dup_pairs) — the re-canonicalization companion of
+        update_dup_clusters after bulk deletions."""
+        if not self.dedup_index:
+            raise ValueError("recluster_dups() requires CrawlEngine(dedup_index=True)")
+        from crawler_spark.operators.graph import connected_components
+
+        spark, io = self.spark, self.io
+        sigs = io.read(spark, "doc_signatures").filter(F.col("mh0").isNotNull())
+        cc = connected_components(self.near_dup_pairs("minhash"))
+        singles = (
+            sigs.select("doc_id")
+            .join(cc, "doc_id", "left_anti")
+            .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        )
+        new_asg = cc.unionByName(singles).localCheckpoint(eager=True)
+        io.commit(io.last_round(), overwrites={"dup_clusters": self._w(new_asg)})
+        return {"assignment_rows": new_asg.count()}
 
     def near_dup_pairs(self, method: str = "minhash", **kwargs) -> DataFrame:
         """Near-dup candidate pairs over the incremental signature index

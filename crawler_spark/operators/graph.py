@@ -113,6 +113,72 @@ def connected_components(
     )
 
 
+def incremental_components(
+    assignment: DataFrame | None,
+    new_pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = MAX_ITERS,
+) -> DataFrame:
+    """Fold a batch of NEW near-dup pairs into an existing
+    (doc_id, cluster_id) assignment WITHOUT re-running connected
+    components over the historical pair set.
+
+    Contract-then-solve: each new edge endpoint maps to its current
+    cluster root (itself when unassigned — two broadcast-or-co-located
+    equi-joins against the assignment), connected_components runs on
+    the CONTRACTED delta graph (O(|new pairs|) edges over roots + new
+    docs, regardless of corpus size), and the resulting root relabeling
+    joins back onto the assignment. Equal BY CONSTRUCTION to batch CC
+    over the union of every pair ever folded (contracting a component
+    to its root preserves connectivity; min-root labels compose because
+    each old root is already its component's min) — and pinned by the
+    3-batch equality test + the dup_clusters_incremental oracle entry.
+
+    At 10^10 docs this is the difference between re-clustering the full
+    pair history every crawl round (O(E_total log n) shuffles) and
+    paying O(|delta| log |delta|) + two joins against an O(n_docs)
+    assignment table.
+
+    Limitation (standard for incremental CC): folding only ADDS edges —
+    removing a doc that bridged two clusters does not split them; run
+    the batch connected_components to re-canonicalize after bulk
+    deletions.
+    """
+    e = _canon(new_pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")))
+    if assignment is None:
+        return connected_components(e, "u", "v", max_iters)
+    asg = assignment.select("doc_id", "cluster_id")
+    ru = asg.select(
+        F.col("doc_id").alias("u"), F.col("cluster_id").alias("_ru")
+    )
+    rv = asg.select(
+        F.col("doc_id").alias("v"), F.col("cluster_id").alias("_rv")
+    )
+    contracted = (
+        e.join(ru, "u", "left")
+        .join(rv, "v", "left")
+        .select(
+            F.coalesce("_ru", F.col("u")).alias("doc_a"),
+            F.coalesce("_rv", F.col("v")).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    delta_cc = connected_components(contracted, "doc_a", "doc_b", max_iters)
+    # relabel old components whose ROOT merged into a new component
+    remap = delta_cc.select(
+        F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("_new")
+    )
+    relabeled = (
+        asg.join(remap, "cluster_id", "left")
+        .select(
+            "doc_id", F.coalesce("_new", F.col("cluster_id")).alias("cluster_id")
+        )
+    )
+    fresh = delta_cc.join(asg, "doc_id", "left_anti")
+    return relabeled.unionByName(fresh)
+
+
 def link_graph_stats(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

@@ -88,6 +88,58 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = N_MINHA
     return t.groupBy("doc_id").agg(*aggs)
 
 
+def _band_rows(sig: DataFrame, k: int, band: int) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows from a minhash signature table
+    — the shared LSH bucketing of the batch and delta pair queries."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "|", *[F.col(f"mh{b * band + j}") for j in range(band)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(k // band)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_key")
+
+
+def minhash_lsh_delta_pairs(
+    signatures: DataFrame,
+    delta_signatures: DataFrame,
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+) -> DataFrame:
+    """Candidate near-dup pairs TOUCHING a delta only: the incremental
+    companion of minhash_lsh_pairs. The delta's band rows equi-join the
+    full signature table's band rows on (band_idx, band_key) — an
+    O(|delta| x bucket-width) join instead of re-bucketing the entire
+    corpus into |bucket|² pair arrays every round. delta-delta pairs
+    come out of the same join because the delta must be a SUBSET of
+    `signatures` (append the delta before querying, as the engine's
+    doc_signatures table does by construction).
+
+    Feeds graph.incremental_components: together they maintain
+    dup-cluster state at O(per-round delta) cost.
+    """
+    d = _band_rows(delta_signatures, k, band).withColumnRenamed("doc_id", "d_id")
+    a = _band_rows(signatures, k, band)
+    return (
+        d.join(a, ["band_idx", "band_key"])
+        .filter(F.col("d_id") != F.col("doc_id"))
+        .select(
+            F.least("d_id", "doc_id").alias("doc_a"),
+            F.greatest("d_id", "doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame | None = None,
     text_col: str = "text",
@@ -110,22 +162,7 @@ def minhash_lsh_pairs(
     shingle pipeline entirely. Recompute-from-docs remains the
     single-query default."""
     sig = signatures if signatures is not None else minhash_signatures(docs, text_col, k)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.concat_ws(
-                            "|", *[F.col(f"mh{b * band + j}") for j in range(band)]
-                        ).alias("band_key"),
-                    )
-                    for b in range(k // band)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.band_key")
+    bands = _band_rows(sig, k, band)
     buckets = (
         bands.groupBy("band_idx", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
