@@ -1139,6 +1139,68 @@ _Q_REVALIDATE_PLAN_SQL = r"""
 """
 
 
+def q_sitemap_bootstrap(spark, sf_dir):
+    """Cold-start recrawl priorities from sitemap hints
+    (scheduler.bootstrap_recrawl_priorities): synthetic <lastmod>/
+    <changefreq> per document (md5-free arithmetic slices so both
+    engines derive identical hints), priority_e6 = changefreq-prior
+    lambda_e6 x staleness vs a FIXED now (no wall clock — the operator
+    takes now_ms explicitly, resume-safe). Certifies the exact-integer
+    scoring + W3C timestamp handling end to end."""
+    from crawler_spark.operators.scheduler import bootstrap_recrawl_priorities
+
+    d = _t(spark, sf_dir, "documents")
+    freqs = F.array(
+        *[
+            F.lit(x)
+            for x in (
+                "always", "hourly", "daily", "weekly", "monthly", "yearly", "never",
+            )
+        ],
+        F.lit(None).cast("string"),
+    )
+    entries = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((F.pmod("doc_id", F.lit(28)) + 1).cast("string"), 2, "0"),
+            F.lit("T00:00:00Z"),
+        ).alias("lastmod"),
+        F.element_at(freqs, (F.pmod("doc_id", F.lit(8)) + 1).cast("int")).alias(
+            "changefreq"
+        ),
+    )
+    return bootstrap_recrawl_priorities(entries, now_ms=1_767_225_600_000)
+
+
+_Q_SITEMAP_BOOTSTRAP_SQL = r"""
+    WITH e AS (
+        SELECT CAST(doc_id AS VARCHAR) AS url,
+               '2024-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                          || 'T00:00:00Z' AS lastmod,
+               list_extract(
+                   ['always','hourly','daily','weekly','monthly','yearly','never',NULL],
+                   CAST((doc_id % 8) + 1 AS INTEGER)
+               ) AS changefreq
+        FROM documents
+    ),
+    scored AS (
+        SELECT url,
+               CAST(epoch(CAST(lastmod AS TIMESTAMPTZ)) * 1000 AS BIGINT) AS lastmod_ms,
+               CAST(CASE lower(trim(changefreq))
+                    WHEN 'always' THEN 500000 WHEN 'hourly' THEN 200000
+                    WHEN 'daily' THEN 50000 WHEN 'weekly' THEN 10000
+                    WHEN 'monthly' THEN 2000 WHEN 'yearly' THEN 200
+                    WHEN 'never' THEN 0 ELSE 10000 END AS BIGINT) AS lambda_e6
+        FROM e
+    )
+    SELECT url, max(lastmod_ms) AS lastmod_ms, max(lambda_e6) AS lambda_e6,
+           max(CAST(lambda_e6 * greatest(1767225600000 - lastmod_ms, 0) AS BIGINT))
+               AS priority_e6
+    FROM scored GROUP BY url
+"""
+
+
 def q_holdout_split(spark, sf_dir):
     """Leakage-safe train/val/test assignment (functions.text.
     holdout_split): every document of a SOURCE lands in one split —
@@ -4278,6 +4340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holdout_split": q_holdout_split,
         "split_leakage": q_split_leakage,
         "dup_clusters_incremental": q_dup_clusters_incremental,
+        "sitemap_bootstrap": q_sitemap_bootstrap,
         "anchor_texts": q_anchor_texts,
         "anchor_topk": q_anchor_topk,
         "bfs_levels": q_bfs_levels,
@@ -4389,6 +4452,7 @@ def oracle_sql() -> dict[str, str]:
         "holdout_split": _Q_HOLDOUT_SPLIT_SQL,
         "split_leakage": _Q_SPLIT_LEAKAGE_SQL,
         "dup_clusters_incremental": _Q_DUP_CLUSTERS_INCR_SQL,
+        "sitemap_bootstrap": _Q_SITEMAP_BOOTSTRAP_SQL,
         "anchor_texts": _Q_ANCHOR_TEXTS_SQL,
         "anchor_topk": _Q_ANCHOR_TOPK_SQL,
         "bfs_levels": _Q_BFS_LEVELS_SQL,

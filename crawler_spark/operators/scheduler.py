@@ -445,6 +445,88 @@ def recrawl_priorities(
     )
 
 
+# changefreq -> prior change probability in ppm-per-ms-scaled units:
+# the sitemap protocol's enumerated hints mapped to the lambda_e6 scale
+# recrawl_priorities estimates from observations, so bootstrap and
+# observed priorities are directly comparable (priority_e6 =
+# lambda_e6 x staleness_ms on both paths). Values decay roughly with
+# the hinted period; 'never' -> 0; absent/unknown -> the 'weekly'-ish
+# default. All integers — hash-certifiable.
+CHANGEFREQ_LAMBDA_E6 = {
+    "always": 500_000,
+    "hourly": 200_000,
+    "daily": 50_000,
+    "weekly": 10_000,
+    "monthly": 2_000,
+    "yearly": 200,
+    "never": 0,
+}
+DEFAULT_CHANGEFREQ_LAMBDA_E6 = 10_000
+
+
+def bootstrap_recrawl_priorities(
+    entries: DataFrame,
+    now_ms: int,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod",
+    changefreq_col: str = "changefreq",
+) -> DataFrame:
+    """Recrawl priorities for NEVER-FETCHED URLs from sitemap hints —
+    the cold-start companion of recrawl_priorities (which needs fetch
+    history): priority_e6 = changefreq-prior lambda_e6 x staleness
+    since <lastmod>.
+
+    entries: parse_sitemap_meta output (or anything with url/lastmod/
+    changefreq columns). lastmod is a W3C datetime string; rows with no
+    parseable lastmod get staleness from epoch 0 (maximally stale —
+    unknown age should rank, not hide). `now_ms` is an explicit
+    argument (no wall clock in-plan: deterministic and resume-safe;
+    pass e.g. the ingest batch's timestamp).
+
+    Output: (url, lastmod_ms, lambda_e6, priority_e6) — feed the head
+    to engine.schedule_recrawl / set_priority_scores exactly like
+    recrawl_scores. Once a URL has observations the estimator's own
+    lambda supersedes this prior (the caller anti-joins fetch history).
+
+    Scale shape: pure per-row expressions + one optional dedup
+    groupBy on url (a URL listed in several sitemaps keeps its max
+    priority) — no self-joins, no collects.
+    """
+    pairs: list = []
+    for k in sorted(CHANGEFREQ_LAMBDA_E6):
+        pairs += [F.lit(k), F.lit(CHANGEFREQ_LAMBDA_E6[k])]
+    lam_map = F.create_map(*pairs)
+    lam = F.coalesce(
+        lam_map[F.lower(F.trim(F.col(changefreq_col)))],
+        F.lit(DEFAULT_CHANGEFREQ_LAMBDA_E6),
+    ).cast("long")
+    # try_to_timestamp: malformed lastmod strings -> NULL -> epoch 0
+    # (ANSI-safe; plain to_timestamp would throw on garbage input)
+    lastmod_ms = F.coalesce(
+        (F.unix_timestamp(F.try_to_timestamp(F.col(lastmod_col))) * 1000).cast(
+            "long"
+        ),
+        F.lit(0).cast("long"),
+    )
+    per_row = (
+        F.col(url_col).alias("url"),
+        lastmod_ms.alias("lastmod_ms"),
+        lam.alias("lambda_e6"),
+        (lam * F.greatest(F.lit(now_ms).cast("long") - lastmod_ms, F.lit(0)))
+        .cast("long")
+        .alias("priority_e6"),
+    )
+    return (
+        entries.select(*per_row)
+        .groupBy("url")
+        .agg(
+            F.max("lastmod_ms").alias("lastmod_ms"),
+            F.max("lambda_e6").alias("lambda_e6"),
+            F.max("priority_e6").alias("priority_e6"),
+        )
+    )
+
+
 def plan_fetch_partitions(
     host_costs: DataFrame,
     n_bins: int,

@@ -90,16 +90,27 @@ LASTMOD = T.StructType(
     ]
 )
 
+META = T.StructType(
+    [
+        T.StructField("sitemap_url", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("lastmod", T.StringType(), True),
+        T.StructField("changefreq", T.StringType(), True),
+        T.StructField("priority", T.StringType(), True),
+    ]
+)
 
-def parse_sitemap_lastmod(raw: DataFrame, url_filter: str | None = None) -> DataFrame:
+
+def parse_sitemap_meta(raw: DataFrame, url_filter: str | None = None) -> DataFrame:
     """(sitemap_url, body) -> one row per <url> entry with its
-    <lastmod> (W3C datetime string or null when absent).
+    <lastmod> / <changefreq> / <priority> children (strings or null).
 
-    The sitemap protocol's freshness hint: production crawlers seed
-    recrawl scheduling with it for never-fetched URLs, where the
-    engine's observed change rates (`recrawl_scores`, Cho &
-    Garcia-Molina) don't exist yet. Wiring: to_timestamp(lastmod) ->
-    staleness prior -> `engine.schedule_recrawl(targets)`; once a URL
+    The sitemap protocol\'s full freshness/importance hints: production
+    crawlers seed recrawl scheduling with them for never-fetched URLs,
+    where the engine\'s observed change rates (`recrawl_scores`, Cho &
+    Garcia-Molina) don\'t exist yet. Wiring:
+    scheduler.bootstrap_recrawl_priorities(meta, now_ms) -> priority_e6
+    -> `engine.set_priority_scores` / `schedule_recrawl`; once a URL
     has fetch history the observed rate supersedes the hint. Same
     mapInPandas shape as parse_sitemaps (per-document XML work, Arrow
     batches, no per-row Spark round trips); index sitemaps yield no
@@ -121,24 +132,37 @@ def parse_sitemap_lastmod(raw: DataFrame, url_filter: str | None = None) -> Data
                     continue
                 if root.tag.rsplit("}", 1)[-1] != "urlset":
                     continue
+
+                def child(el, tag):
+                    c = el.find(f"{{{_NS}}}{tag}")
+                    if c is None:
+                        c = el.find(tag)
+                    return c.text.strip() if c is not None and c.text else None
+
                 for el in list(root.iter(f"{{{_NS}}}url")) or list(root.iter("url")):
-                    loc = el.find(f"{{{_NS}}}loc")
-                    if loc is None:
-                        loc = el.find("loc")
-                    if loc is None or not (loc.text and loc.text.strip()):
+                    u = child(el, "loc")
+                    if not u:
                         continue
-                    u = loc.text.strip()
                     if url_filter and url_filter not in u:
                         continue
-                    lm = el.find(f"{{{_NS}}}lastmod")
-                    if lm is None:
-                        lm = el.find("lastmod")
                     rows.append(
-                        (smu, u, lm.text.strip() if lm is not None and lm.text else None)
+                        (smu, u, child(el, "lastmod"),
+                         child(el, "changefreq"), child(el, "priority"))
                     )
-            yield pd.DataFrame(rows, columns=["sitemap_url", "url", "lastmod"])
+            yield pd.DataFrame(
+                rows,
+                columns=["sitemap_url", "url", "lastmod", "changefreq", "priority"],
+            )
 
-    return raw.select("sitemap_url", "body").mapInPandas(run, LASTMOD)
+    return raw.select("sitemap_url", "body").mapInPandas(run, META)
+
+
+def parse_sitemap_lastmod(raw: DataFrame, url_filter: str | None = None) -> DataFrame:
+    """(sitemap_url, url, lastmod) — the freshness-only projection of
+    parse_sitemap_meta (kept as the stable narrow API)."""
+    return parse_sitemap_meta(raw, url_filter).select(
+        "sitemap_url", "url", "lastmod"
+    )
 
 
 def render_sitemap_xml(
@@ -146,18 +170,28 @@ def render_sitemap_xml(
     entries: list[str],
     gz: bool = False,
     lastmod: dict[str, str] | None = None,
+    changefreq: dict[str, str] | None = None,
+    priority: dict[str, str] | None = None,
 ) -> bytes:
     """Inverse of parse: build wire-format bytes for tests/fixtures.
-    lastmod: optional url -> W3C datetime map rendered per entry."""
+    lastmod/changefreq/priority: optional url -> value maps rendered
+    per entry."""
     if kind == "index":
         root_tag, child_tag = "sitemapindex", "sitemap"
     else:
         root_tag, child_tag = "urlset", "url"
     parts = [f'<?xml version="1.0" encoding="UTF-8"?><{root_tag} xmlns="{_NS}">']
     for e in entries:
-        lm = (lastmod or {}).get(e)
-        lm_xml = f"<lastmod>{lm}</lastmod>" if lm else ""
-        parts.append(f"<{child_tag}><loc>{e}</loc>{lm_xml}</{child_tag}>")
+        extra = ""
+        for tag, vals in (
+            ("lastmod", lastmod),
+            ("changefreq", changefreq),
+            ("priority", priority),
+        ):
+            v = (vals or {}).get(e)
+            if v:
+                extra += f"<{tag}>{v}</{tag}>"
+        parts.append(f"<{child_tag}><loc>{e}</loc>{extra}</{child_tag}>")
     parts.append(f"</{root_tag}>")
     body = "".join(parts).encode()
     return gzip.compress(body) if gz else body

@@ -96,3 +96,63 @@ def test_parse_sitemap_lastmod_filter_and_missing(spark):
     )
     got = parse_sitemap_lastmod(raw, url_filter="/p/").collect()
     assert [(r.url, r.lastmod) for r in got] == [("https://b.com/p/1", None)]
+
+
+def test_parse_sitemap_meta_roundtrip(spark):
+    from crawler_spark.sources.sitemap_xml import (
+        parse_sitemap_meta,
+        render_sitemap_xml,
+    )
+
+    urls = [f"https://h/p/{i}" for i in range(4)]
+    body = render_sitemap_xml(
+        "urlset",
+        urls,
+        lastmod={urls[0]: "2024-01-05T00:00:00Z", urls[1]: "2024-02-01"},
+        changefreq={urls[0]: "daily", urls[2]: "NEVER"},
+        priority={urls[0]: "0.8"},
+    )
+    raw = spark.createDataFrame([("https://h/sm.xml", body)], ["sitemap_url", "body"])
+    got = {r.url: r for r in parse_sitemap_meta(raw).collect()}
+    assert set(got) == set(urls)
+    assert got[urls[0]].lastmod == "2024-01-05T00:00:00Z"
+    assert got[urls[0]].changefreq == "daily"
+    assert got[urls[0]].priority == "0.8"
+    assert got[urls[1]].lastmod == "2024-02-01"
+    assert got[urls[1]].changefreq is None
+    assert got[urls[2]].changefreq == "NEVER"
+    assert got[urls[3]].lastmod is None and got[urls[3]].priority is None
+
+
+def test_bootstrap_recrawl_priorities(spark):
+    from crawler_spark.operators.scheduler import (
+        CHANGEFREQ_LAMBDA_E6,
+        DEFAULT_CHANGEFREQ_LAMBDA_E6,
+        bootstrap_recrawl_priorities,
+    )
+
+    day_ms = 86_400_000
+    now = 20 * day_ms  # 1970-01-21, explicit -> deterministic
+    rows = [
+        ("https://h/a", "1970-01-11T00:00:00Z", "daily"),     # 10 days stale
+        ("https://h/a", "1970-01-16T00:00:00Z", "monthly"),   # dup url, fresher
+        ("https://h/b", "1970-01-11T00:00:00Z", "NEVER"),     # case-insensitive, 0
+        ("https://h/c", None, "hourly"),                      # no lastmod -> epoch 0
+        ("https://h/d", "not a date", None),                  # malformed + no freq
+    ]
+    ent = spark.createDataFrame(rows, ["url", "lastmod", "changefreq"])
+    got = {r.url: r for r in bootstrap_recrawl_priorities(ent, now).collect()}
+    # dup url keeps max of each column independently (doc'd semantics)
+    a = got["https://h/a"]
+    assert a.lastmod_ms == 15 * day_ms
+    assert a.lambda_e6 == CHANGEFREQ_LAMBDA_E6["daily"]
+    assert a.priority_e6 == max(
+        CHANGEFREQ_LAMBDA_E6["daily"] * 10 * day_ms,
+        CHANGEFREQ_LAMBDA_E6["monthly"] * 5 * day_ms,
+    )
+    assert got["https://h/b"].priority_e6 == 0
+    assert got["https://h/c"].lambda_e6 == CHANGEFREQ_LAMBDA_E6["hourly"]
+    assert got["https://h/c"].priority_e6 == CHANGEFREQ_LAMBDA_E6["hourly"] * now
+    d = got["https://h/d"]
+    assert d.lastmod_ms == 0 and d.lambda_e6 == DEFAULT_CHANGEFREQ_LAMBDA_E6
+    assert d.priority_e6 == DEFAULT_CHANGEFREQ_LAMBDA_E6 * now
