@@ -247,6 +247,13 @@ class CrawlEngine:
         # Retry-After delta-seconds to backoff rounds (windows.py's
         # event-time mapping uses the same constant)
         seconds_per_round: int = 60,
+        # S4 cluster path: a ConditionalTransport-style callable
+        # (url -> (status, spans, out_links[, out_anchors[, retry_after]]))
+        # switches run_round from the simulated web join to
+        # fetch_via_http (Arrow-batched, per-host paced). world["web"]/
+        # ["bursts"] are then ignored; robots/control still gate.
+        fetch_transport=None,
+        fetch_min_delay_s: float = 0.0,
         # pre-built TableIO overrides root/bucketed_io — the cluster entry
         # point: CrawlEngine(spark, "", io=IcebergTableIO(spark, "crawl",
         # schemas=ENGINE_SCHEMAS)) runs the identical round loop against
@@ -321,6 +328,8 @@ class CrawlEngine:
         self.vector_index = vector_index
         self.vector_scale = float(vector_scale)
         self.seconds_per_round = int(seconds_per_round)
+        self.fetch_transport = fetch_transport
+        self.fetch_min_delay_s = float(fetch_min_delay_s)
 
     def _w(self, df: DataFrame) -> DataFrame:
         return df.coalesce(self.coalesce_writes) if self.coalesce_writes else df
@@ -475,7 +484,23 @@ class CrawlEngine:
             if r.deleted_at_round is not None and rnd >= r.deleted_at_round
         }
 
-        fetched = simulate_fetch(scheduled, world["web"], world["bursts"], rnd).cache()
+        if self.fetch_transport is not None:
+            # S4 wire path: same output columns as simulate_fetch, so
+            # everything downstream (extract/commit/backoff/metrics)
+            # is transport-agnostic (operator equality pinned in
+            # test_wire_fetch; engine-level wire==sim equality in
+            # test_wire_engine)
+            from crawler_spark.operators.fetch import fetch_via_http
+
+            fetched = fetch_via_http(
+                scheduled,
+                transport=self.fetch_transport,
+                min_delay_s=self.fetch_min_delay_s,
+            ).cache()
+        else:
+            fetched = simulate_fetch(
+                scheduled, world["web"], world["bursts"], rnd
+            ).cache()
         status_counts = {
             r.status: r["count"] for r in fetched.groupBy("status").count().collect()
         }
@@ -2559,7 +2584,8 @@ class CrawlEngine:
         idle = 0
         # small dims: collect control once, keep the big web table hot
         self._control_rows = world["control"].collect()
-        world["web"].cache()
+        if self.fetch_transport is None:
+            world["web"].cache()
         for rnd in range(max(1, start), max_rounds + 1):
             stats = self.run_round(rnd, world)
             history.append(stats)
