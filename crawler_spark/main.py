@@ -39,6 +39,15 @@ def build_args(argv=None):
                    help="maintain the incremental indexes in the round loop "
                         "(near-dup signatures, media pHash, page vectors, "
                         "inverted postings, link graph)")
+    p.add_argument("--revalidate", action="store_true",
+                   help="after the crawl, run a conditional-GET revalidation "
+                        "pass over every fetched URL (implies change "
+                        "tracking); changed pages re-enter the frontier and "
+                        "are refetched by a follow-up round loop")
+    p.add_argument("--dup-clusters", action="store_true",
+                   help="fold newly signed docs into the incremental "
+                        "dup_clusters assignment after the run "
+                        "(implies --indexes)")
     return p.parse_args(argv)
 
 
@@ -58,9 +67,11 @@ def main(argv=None) -> dict:
     idx = (
         dict(dedup_index=True, vector_index=True, embed_dim=16,
              lexical_index=True, record_edges=True)
-        if args.indexes
+        if args.indexes or args.dup_clusters
         else {}
     )
+    if args.revalidate:
+        idx["track_changes"] = True
     eng = CrawlEngine(spark, root, mode=args.mode, use_bloom=args.bloom, **idx)
     if eng.io.current_version() < 0:
         eng.seed(
@@ -78,6 +89,12 @@ def main(argv=None) -> dict:
         "records": eng.io.read(spark, "records").count(),
         "resumable_from": eng.io.last_round(),
     }
+    if args.revalidate:
+        summary["revalidate"] = eng.revalidate(world=tables)
+        if summary["revalidate"]["changed"]:
+            eng.run(tables, max_rounds=eng.io.last_round() + args.rounds)
+    if args.dup_clusters:
+        summary["dup_clusters"] = eng.update_dup_clusters()
     print(json.dumps(summary))
     return summary
 

@@ -108,3 +108,30 @@ def test_ships_via_py_files_and_resumes(tmp_path):
     assert second["seen"] >= first["seen"]
     assert second["seen"] <= 3 * 30  # never exceeds the world
     assert second["resumable_from"] > first["resumable_from"]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on PATH"
+)
+def test_submit_with_revalidate_and_cluster_flags(tmp_path):
+    """The recrawl-era CLI surface in a fresh JVM: --revalidate runs the
+    conditional-GET pass (all 304s on an unchanged world) and
+    --dup-clusters folds the incremental assignment."""
+    zpath = _build_zip(str(tmp_path))
+    driver = str(tmp_path / "driver.py")
+    shutil.copy(os.path.join(REPO, "crawler_spark", "main.py"), driver)
+    data = str(tmp_path / "data")
+
+    out = _run_submit(
+        str(tmp_path), zpath, driver,
+        "--hosts", "3", "--urls", "24", "--rounds", "25",
+        "--budget", "4", "--data-dir", data,
+        "--revalidate", "--dup-clusters",
+    )
+    assert out["fetched"] > 0
+    rv = out["revalidate"]
+    assert rv["targets"] == out["seen"]  # every fetched URL probed
+    assert rv["changed"] == 0 and rv["errors"] == 0  # same world -> all 304
+    assert rv["unchanged"] == out["seen"]
+    dc = out["dup_clusters"]
+    assert dc["assignment_rows"] > 0  # every signed doc got a cluster row
