@@ -475,6 +475,68 @@ _Q_LSH_PAIRS_SQL = f"""
 """
 
 
+def q_minhash_calibration(spark, sf_dir):
+    """Detector calibration, measured not guessed: per LSH candidate
+    pair, the k=8 minhash similarity ESTIMATE next to the EXACT shingle
+    Jaccard, both exact-integer ppm (textdedup.minhash_calibration).
+    The exact side is restricted to the detector's own candidates, so
+    cost is bounded by LSH output — never all-pairs."""
+    from crawler_spark.operators.textdedup import minhash_calibration
+
+    return minhash_calibration(_docs_wide(spark, sf_dir))
+
+
+_MH_AGREE_SQL = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+_Q_MINHASH_CALIBRATION_SQL = f"""
+    WITH {_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id,
+{_MH_COLS}
+        FROM tokens GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM bands a JOIN bands c
+          ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+         AND a.doc_id < c.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tokens GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tokens a
+        JOIN tokens b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        JOIN pairs p ON p.doc_a = a.doc_id AND p.doc_b = b.doc_id
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST({_MH_AGREE_SQL} AS INTEGER) AS mh_agree
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.mh_agree,
+           CAST((e.mh_agree * 1000000) // 8 AS BIGINT) AS est_e6,
+           CAST((COALESCE(i.inter, 0) * 1000000)
+                // (za.sz + zb.sz - COALESCE(i.inter, 0)) AS BIGINT) AS jaccard_e6,
+           CAST(abs((e.mh_agree * 1000000) // 8
+                - (COALESCE(i.inter, 0) * 1000000)
+                  // (za.sz + zb.sz - COALESCE(i.inter, 0))) AS BIGINT) AS err_e6
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes za ON za.doc_id = e.doc_a
+    JOIN sizes zb ON zb.doc_id = e.doc_b
+"""
+
+
 def q_minhash_lsh_pairs_cached(spark, sf_dir):
     """The production two-step shape (round-2 NOTES item 5): the
     signature table is computed ONCE and persisted (here: parquet temp),
@@ -4341,6 +4403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "dup_clusters_incremental": q_dup_clusters_incremental,
         "sitemap_bootstrap": q_sitemap_bootstrap,
+        "minhash_calibration": q_minhash_calibration,
         "anchor_texts": q_anchor_texts,
         "anchor_topk": q_anchor_topk,
         "bfs_levels": q_bfs_levels,
@@ -4453,6 +4516,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _Q_SPLIT_LEAKAGE_SQL,
         "dup_clusters_incremental": _Q_DUP_CLUSTERS_INCR_SQL,
         "sitemap_bootstrap": _Q_SITEMAP_BOOTSTRAP_SQL,
+        "minhash_calibration": _Q_MINHASH_CALIBRATION_SQL,
         "anchor_texts": _Q_ANCHOR_TEXTS_SQL,
         "anchor_topk": _Q_ANCHOR_TOPK_SQL,
         "bfs_levels": _Q_BFS_LEVELS_SQL,

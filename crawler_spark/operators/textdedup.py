@@ -185,6 +185,80 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_calibration(
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Measure the detector instead of trusting it: for every LSH
+    candidate pair, the minhash-ESTIMATED similarity (agreeing
+    signature components / k) next to the EXACT shingle Jaccard — both
+    exact-integer ppm, so the calibration table itself is
+    hash-certifiable against the SQL oracle.
+
+    Use it to pick thresholds empirically (est_e6 >= X vs true
+    jaccard) and to quantify the k=8 estimator's error (err_e6) on
+    YOUR corpus rather than quoting the 1/sqrt(k) folklore bound.
+
+    Scale shape: the exact-Jaccard join is RESTRICTED to the LSH
+    candidate pairs (left_semi before the per-pair count), so the
+    expensive part is bounded by the detector's own output — never
+    all-pairs. Output: (doc_a, doc_b, mh_agree, est_e6, jaccard_e6,
+    err_e6).
+    """
+    sig = signatures if signatures is not None else minhash_signatures(docs, text_col, k)
+    prs = minhash_lsh_pairs(signatures=sig, k=k, band=band)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)]
+    )
+    agree = None
+    for i in range(k):
+        t = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    est = (
+        prs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", agree.cast("int").alias("mh_agree"))
+    )
+    toks = shingles(docs, text_col) if docs is not None else None
+    if toks is None:
+        raise ValueError("minhash_calibration needs docs for the exact-Jaccard side")
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        toks.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(toks.select(F.col("doc_id").alias("doc_b"), "tok"), "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(prs, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "mh_agree",
+            F.expr(f"(mh_agree * 1000000L) div {k}").alias("est_e6"),
+            F.expr(
+                "(coalesce(inter, 0L) * 1000000L)"
+                " div (_sa + _sb - coalesce(inter, 0L))"
+            ).alias("jaccard_e6"),
+            F.expr(
+                f"abs((mh_agree * 1000000L) div {k}"
+                " - (coalesce(inter, 0L) * 1000000L)"
+                " div (_sa + _sb - coalesce(inter, 0L)))"
+            ).alias("err_e6"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame | None = None,
     text_col: str = "text",

@@ -150,3 +150,28 @@ def test_update_requires_dedup_index(spark, tmp_path):
     eng = CrawlEngine(spark, str(tmp_path / "no"), dedup_index=False)
     with pytest.raises(ValueError, match="dedup_index"):
         eng.update_dup_clusters()
+
+
+def test_minhash_calibration_invariants(spark):
+    from crawler_spark.operators.textdedup import (
+        minhash_calibration,
+        minhash_lsh_pairs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+    cal = minhash_calibration(docs).cache()
+    rows = cal.collect()
+    assert rows
+    # one calibration row per LSH candidate pair
+    assert cal.count() == minhash_lsh_pairs(docs).count()
+    for r in rows:
+        assert 0 <= r["mh_agree"] <= 8
+        # every LSH candidate shares >= 1 band -> >= 2 agreeing comps
+        assert r["mh_agree"] >= 2
+        assert r["est_e6"] == (r["mh_agree"] * 1_000_000) // 8
+        assert 0 <= r["jaccard_e6"] <= 1_000_000
+        assert r["err_e6"] == abs(r["est_e6"] - r["jaccard_e6"])
+    cal.unpersist()
