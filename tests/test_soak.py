@@ -56,6 +56,11 @@ def test_long_horizon_soak(spark, tmp_path):
     eng = CrawlEngine(
         spark, root, embed_dim=0, seen_filter="bloom",
         bloom_buckets=4, bloom_expected_per_bucket=16,  # tiny => rebuilds WILL fire
+        # the recrawl-era maintenance surfaces ride the same soak:
+        # per-round signature/fingerprint appends + periodic
+        # revalidation and incremental cluster folds under streaming
+        # ingest + compaction + bloom rebuilds, all on one commit lock
+        dedup_index=True, track_changes=True,
     )
     eng.seed(spark.createDataFrame([], "url string, site string"))
     eng._control_rows = t["control"].collect()
@@ -95,6 +100,12 @@ def test_long_horizon_soak(spark, tmp_path):
                 path_list_high = max(path_list_high, len(eng.io.table_rels(name)))
             if rnd % MAINTAIN_EVERY == 0:
                 rebuilds += eng.rebuild_saturated_blooms()
+                # unchanged world: revalidation must be pure evidence
+                # (zero table churn) and cluster folds must only ever
+                # see genuinely new docs
+                rv = eng.revalidate(world=t)
+                assert rv["changed"] == 0 and rv["errors"] == 0
+                eng.update_dup_clusters()
                 eng.maintain(max_paths=MAX_PATHS)
     finally:
         stream.stop()
@@ -143,6 +154,15 @@ def test_long_horizon_soak(spark, tmp_path):
     fed = set().union(*chunks[: 1 + (SOAK_ROUNDS - 1) // FEED_EVERY])
     missing = fed - frontier_urls - seen_urls
     assert not missing, sorted(missing)[:5]
+    # recrawl-era surfaces stayed consistent over the whole horizon:
+    # every signed doc has exactly one cluster row after a final fold,
+    # and the revalidation passes produced only changed=0 evidence
+    eng.update_dup_clusters()
+    signed = eng.io.read(spark, "doc_signatures").filter("mh0 is not null").count()
+    asg = eng.io.read(spark, "dup_clusters")
+    assert asg.count() == signed
+    assert asg.select("doc_id").distinct().count() == signed
+    assert eng.fetch_history().agg(F.sum("changed")).collect()[0][0] == 0
     # --- resume after the soak -------------------------------------------
     eng2 = CrawlEngine(
         spark, root, embed_dim=0, seen_filter="bloom",
