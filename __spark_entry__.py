@@ -1798,6 +1798,50 @@ _Q_BACKOFF_SQL = """
 """
 
 
+def q_retry_backoff(spark, sf_dir):
+    """Retry-After-aware 429 backoff (run_round's arithmetic): a
+    server-advertised delta-seconds hint overrides the md5 surrogate
+    via all-integer ceil(s / 60); hosts without a hint (md5 slice ->
+    NULL) keep the deterministic 3..7 surrogate. Certifies the exact
+    coalesce + ceil-div the engine and oracle share."""
+    from crawler_spark.operators.scheduler import backoff_rounds_expr
+
+    hosts = (
+        _t(spark, sf_dir, "documents").select(F.col("source").alias("host")).distinct()
+    )
+    # hint for ~half the hosts: 30..330s derived from the host hash
+    b = F.conv(F.substring(F.md5("host"), 1, 2), 16, 10).cast("long")
+    hint = F.when(b % 2 == 0, (b % 300 + 30).cast("int"))
+    return hosts.select(
+        "host",
+        hint.alias("retry_after_s"),
+        (
+            F.lit(4)
+            + F.coalesce(
+                F.expr("cast((retry_after_s + 59) div 60 as int)"),
+                backoff_rounds_expr(F.col("host"), 4),
+            )
+        ).alias("backoff_until_round"),
+    )
+
+
+_Q_RETRY_BACKOFF_SQL = """
+    WITH h AS (SELECT DISTINCT source AS host FROM documents),
+    hinted AS (
+        SELECT host,
+               ('0x' || substr(md5(host), 1, 2))::BIGINT AS b
+        FROM h
+    )
+    SELECT host,
+           CAST(CASE WHEN b % 2 = 0 THEN b % 300 + 30 END AS INT) AS retry_after_s,
+           CAST(4 + COALESCE(
+               (CASE WHEN b % 2 = 0 THEN b % 300 + 30 END + 59) // 60,
+               3 + (('0x' || substr(md5(host || ':' || '4'), 1, 8))::BIGINT % 5)
+           ) AS INT) AS backoff_until_round
+    FROM hinted
+"""
+
+
 def q_seed_dispatch(spark, sf_dir):
     """P2+F5+P4 raw-seed dispatch (app.py:281-291,370): sitemap-vs-site
     URL dispatch, robots-first with /sitemap.xml fallback, site-name
@@ -4404,6 +4448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_incremental": q_dup_clusters_incremental,
         "sitemap_bootstrap": q_sitemap_bootstrap,
         "minhash_calibration": q_minhash_calibration,
+        "retry_backoff": q_retry_backoff,
         "anchor_texts": q_anchor_texts,
         "anchor_topk": q_anchor_topk,
         "bfs_levels": q_bfs_levels,
@@ -4517,6 +4562,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters_incremental": _Q_DUP_CLUSTERS_INCR_SQL,
         "sitemap_bootstrap": _Q_SITEMAP_BOOTSTRAP_SQL,
         "minhash_calibration": _Q_MINHASH_CALIBRATION_SQL,
+        "retry_backoff": _Q_RETRY_BACKOFF_SQL,
         "anchor_texts": _Q_ANCHOR_TEXTS_SQL,
         "anchor_topk": _Q_ANCHOR_TOPK_SQL,
         "bfs_levels": _Q_BFS_LEVELS_SQL,
