@@ -4398,6 +4398,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "retry_backoff": q_retry_backoff,
+        "anchor_texts": q_anchor_texts,
+        "anchor_topk": q_anchor_topk,
+        "bfs_levels": q_bfs_levels,
+        "budget_apportion": q_budget_apportion,
+        "host_graph": q_host_graph,
+        "stop_shingles": q_stop_shingles,
+        "search_eval": q_search_eval,
+        "link_graph_stats": q_link_graph_stats,
+        "pagerank": q_pagerank,
+        "multimodal_resize": q_multimodal_resize,
+        "media_phash": q_media_phash,
+        "media_near_dup": q_media_near_dup,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_overlap": q_winnow_overlap,
+        "dup_clusters": q_dup_clusters,
+        "canonical_corpus": q_canonical_corpus,
+        "bm25_topk": q_bm25_topk,
+        "recrawl_schedule": q_recrawl_schedule,
+        "lm_score": q_lm_score,
+        "trap_hosts": q_trap_hosts,
+        "lm_buckets": q_lm_buckets,
+        "mixture_weights": q_mixture_weights,
+        "token_budget_mix": q_token_budget_mix,
+        "fetch_plan": q_fetch_plan,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_dedup": q_cdc_dedup,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "quantize_embeddings": q_quantize_embeddings,
+        "quantized_topk": q_quantized_topk,
+        "semdedup": q_semdedup,
+        "hybrid_topk": q_hybrid_topk,
+        "exact_substr_spans": q_exact_substr_spans,
+        "exact_substr_strip": q_exact_substr_strip,
+        "trustrank": q_trustrank,
+        "mirror_sites": q_mirror_sites,
+        "interleaved_stats": q_interleaved_stats,
+        "caption_pairs": q_caption_pairs,
+        "caption_quality": q_caption_quality,
+        "strip_boilerplate": q_strip_boilerplate,
+        "span_langs": q_span_langs,
+        "pack_segments": q_pack_segments,
+        "pack_fill": q_pack_fill,
+        "perceptron_weights": q_perceptron_weights,
+        "hits": q_hits,
+        "bm25_indexed": q_bm25_indexed,
+        "bpe_merges": q_bpe_merges,
         "frontier_schedule_round": q_frontier_schedule_round,
         "score_schedule": q_score_schedule,
         "seen_antijoin": q_seen_antijoin,
@@ -4448,16 +4496,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_incremental": q_dup_clusters_incremental,
         "sitemap_bootstrap": q_sitemap_bootstrap,
         "minhash_calibration": q_minhash_calibration,
-        "retry_backoff": q_retry_backoff,
-        "anchor_texts": q_anchor_texts,
-        "anchor_topk": q_anchor_topk,
-        "bfs_levels": q_bfs_levels,
-        "budget_apportion": q_budget_apportion,
-        "host_graph": q_host_graph,
-        "stop_shingles": q_stop_shingles,
-        "search_eval": q_search_eval,
-        "link_graph_stats": q_link_graph_stats,
-        "pagerank": q_pagerank,
         "stub_embedding": q_stub_embedding,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
@@ -4469,49 +4507,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_round": q_crawl_round,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "media_phash": q_media_phash,
-        "media_near_dup": q_media_near_dup,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_overlap": q_winnow_overlap,
-        "dup_clusters": q_dup_clusters,
-        "canonical_corpus": q_canonical_corpus,
-        "bm25_topk": q_bm25_topk,
-        "recrawl_schedule": q_recrawl_schedule,
-        "lm_score": q_lm_score,
-        "trap_hosts": q_trap_hosts,
-        "lm_buckets": q_lm_buckets,
-        "mixture_weights": q_mixture_weights,
-        "token_budget_mix": q_token_budget_mix,
-        "fetch_plan": q_fetch_plan,
-        "cdc_chunks": q_cdc_chunks,
-        "cdc_dedup": q_cdc_dedup,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "quantize_embeddings": q_quantize_embeddings,
-        "quantized_topk": q_quantized_topk,
-        "semdedup": q_semdedup,
-        "hybrid_topk": q_hybrid_topk,
-        "exact_substr_spans": q_exact_substr_spans,
-        "exact_substr_strip": q_exact_substr_strip,
-        "trustrank": q_trustrank,
-        "mirror_sites": q_mirror_sites,
-        "interleaved_stats": q_interleaved_stats,
-        "caption_pairs": q_caption_pairs,
-        "caption_quality": q_caption_quality,
-        "strip_boilerplate": q_strip_boilerplate,
-        "span_langs": q_span_langs,
-        "pack_segments": q_pack_segments,
-        "pack_fill": q_pack_fill,
-        "perceptron_weights": q_perceptron_weights,
-        "hits": q_hits,
-        "bm25_indexed": q_bm25_indexed,
-        "bpe_merges": q_bpe_merges,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "retry_backoff": _Q_RETRY_BACKOFF_SQL,
+        "anchor_texts": _Q_ANCHOR_TEXTS_SQL,
+        "anchor_topk": _Q_ANCHOR_TOPK_SQL,
+        "bfs_levels": _Q_BFS_LEVELS_SQL,
+        "budget_apportion": _Q_BUDGET_APPORTION_SQL,
+        "host_graph": _Q_HOST_GRAPH_SQL,
+        "stop_shingles": _Q_STOP_SHINGLES_SQL,
+        "search_eval": _Q_SEARCH_EVAL_SQL,
+        "link_graph_stats": _Q_LINK_STATS_SQL,
+        "pagerank": _Q_PAGERANK_SQL,
+        "multimodal_resize": _Q_MULTIMODAL_RESIZE_SQL,
+        "media_phash": _Q_MEDIA_PHASH_SQL,
+        "media_near_dup": _Q_MEDIA_NEAR_DUP_SQL,
+        "winnow_fingerprints": _Q_WINNOW_FP_SQL,
+        "winnow_overlap": _Q_WINNOW_OVERLAP_SQL,
+        "dup_clusters": _Q_DUP_CLUSTERS_SQL,
+        "canonical_corpus": _Q_CANONICAL_CORPUS_SQL,
+        "bm25_topk": _Q_BM25_SQL,
+        "recrawl_schedule": _Q_RECRAWL_SQL,
+        "lm_score": _Q_LM_SCORE_SQL,
+        "trap_hosts": _Q_TRAP_HOSTS_SQL,
+        "lm_buckets": _Q_LM_BUCKETS_SQL,
+        "mixture_weights": _Q_MIXTURE_WEIGHTS_SQL,
+        "token_budget_mix": _Q_TOKEN_BUDGET_MIX_SQL,
+        "fetch_plan": _Q_FETCH_PLAN_SQL,
+        "cdc_chunks": _Q_CDC_CHUNKS_SQL,
+        "cdc_dedup": _Q_CDC_DEDUP_SQL,
+        "dsir_weights": _Q_DSIR_WEIGHTS_SQL,
+        "dsir_select": _Q_DSIR_SELECT_SQL,
+        "quantize_embeddings": _Q_QUANTIZE_SQL,
+        "quantized_topk": _Q_QUANTIZED_TOPK_SQL,
+        "semdedup": _Q_SEMDEDUP_SQL,
+        "hybrid_topk": _Q_HYBRID_TOPK_SQL,
+        "exact_substr_spans": _Q_EXACT_SUBSTR_SPANS_SQL,
+        "exact_substr_strip": _Q_EXACT_SUBSTR_STRIP_SQL,
+        "trustrank": _Q_TRUSTRANK_SQL,
+        "mirror_sites": _Q_MIRROR_SITES_SQL,
+        "interleaved_stats": _Q_INTERLEAVED_STATS_SQL,
+        "caption_pairs": _Q_CAPTION_PAIRS_SQL,
+        "caption_quality": _Q_CAPTION_QUALITY_SQL,
+        "strip_boilerplate": _Q_STRIP_BOILERPLATE_SQL,
+        "span_langs": _Q_SPAN_LANGS_SQL,
+        "pack_segments": _Q_PACK_SEGMENTS_SQL,
+        "pack_fill": _Q_PACK_FILL_SQL,
+        "perceptron_weights": _Q_PERCEPTRON_SQL,
+        "hits": _Q_HITS_SQL,
+        "bm25_indexed": _Q_BM25_SQL,
         "frontier_schedule_round": _Q_FRONTIER_SCHEDULE_SQL,
         "score_schedule": _Q_SCORE_SCHEDULE_SQL,
         "seen_antijoin": _Q_SEEN_ANTIJOIN_SQL,
@@ -4562,16 +4609,6 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters_incremental": _Q_DUP_CLUSTERS_INCR_SQL,
         "sitemap_bootstrap": _Q_SITEMAP_BOOTSTRAP_SQL,
         "minhash_calibration": _Q_MINHASH_CALIBRATION_SQL,
-        "retry_backoff": _Q_RETRY_BACKOFF_SQL,
-        "anchor_texts": _Q_ANCHOR_TEXTS_SQL,
-        "anchor_topk": _Q_ANCHOR_TOPK_SQL,
-        "bfs_levels": _Q_BFS_LEVELS_SQL,
-        "budget_apportion": _Q_BUDGET_APPORTION_SQL,
-        "host_graph": _Q_HOST_GRAPH_SQL,
-        "stop_shingles": _Q_STOP_SHINGLES_SQL,
-        "search_eval": _Q_SEARCH_EVAL_SQL,
-        "link_graph_stats": _Q_LINK_STATS_SQL,
-        "pagerank": _Q_PAGERANK_SQL,
         "stub_embedding": _Q_STUB_EMBEDDING_SQL,
         "embedding_near_dup": _Q_EMBEDDING_NEAR_DUP_SQL,
         "ivf_topk": _Q_IVF_TOPK_SQL,
@@ -4581,43 +4618,6 @@ def oracle_sql() -> dict[str, str]:
         "backoff_rounds": _Q_BACKOFF_SQL,
         "seed_dispatch": _Q_SEED_DISPATCH_SQL,
         "multimodal_features": _Q_MULTIMODAL_SQL,
-        "multimodal_resize": _Q_MULTIMODAL_RESIZE_SQL,
-        "media_phash": _Q_MEDIA_PHASH_SQL,
-        "media_near_dup": _Q_MEDIA_NEAR_DUP_SQL,
-        "winnow_fingerprints": _Q_WINNOW_FP_SQL,
-        "winnow_overlap": _Q_WINNOW_OVERLAP_SQL,
-        "dup_clusters": _Q_DUP_CLUSTERS_SQL,
-        "canonical_corpus": _Q_CANONICAL_CORPUS_SQL,
-        "bm25_topk": _Q_BM25_SQL,
-        "recrawl_schedule": _Q_RECRAWL_SQL,
-        "lm_score": _Q_LM_SCORE_SQL,
-        "lm_buckets": _Q_LM_BUCKETS_SQL,
-        "trap_hosts": _Q_TRAP_HOSTS_SQL,
-        "mixture_weights": _Q_MIXTURE_WEIGHTS_SQL,
-        "token_budget_mix": _Q_TOKEN_BUDGET_MIX_SQL,
-        "fetch_plan": _Q_FETCH_PLAN_SQL,
-        "cdc_chunks": _Q_CDC_CHUNKS_SQL,
-        "cdc_dedup": _Q_CDC_DEDUP_SQL,
-        "dsir_weights": _Q_DSIR_WEIGHTS_SQL,
-        "dsir_select": _Q_DSIR_SELECT_SQL,
-        "quantize_embeddings": _Q_QUANTIZE_SQL,
-        "quantized_topk": _Q_QUANTIZED_TOPK_SQL,
-        "semdedup": _Q_SEMDEDUP_SQL,
-        "hybrid_topk": _Q_HYBRID_TOPK_SQL,
-        "exact_substr_spans": _Q_EXACT_SUBSTR_SPANS_SQL,
-        "exact_substr_strip": _Q_EXACT_SUBSTR_STRIP_SQL,
-        "trustrank": _Q_TRUSTRANK_SQL,
-        "mirror_sites": _Q_MIRROR_SITES_SQL,
-        "interleaved_stats": _Q_INTERLEAVED_STATS_SQL,
-        "caption_pairs": _Q_CAPTION_PAIRS_SQL,
-        "caption_quality": _Q_CAPTION_QUALITY_SQL,
-        "strip_boilerplate": _Q_STRIP_BOILERPLATE_SQL,
-        "span_langs": _Q_SPAN_LANGS_SQL,
-        "pack_segments": _Q_PACK_SEGMENTS_SQL,
-        "pack_fill": _Q_PACK_FILL_SQL,
-        "perceptron_weights": _Q_PERCEPTRON_SQL,
-        "hits": _Q_HITS_SQL,
-        "bm25_indexed": _Q_BM25_SQL,
         # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
         # engine state / iterative k-means)
     }
