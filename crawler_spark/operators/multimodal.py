@@ -214,6 +214,8 @@ def media_near_dup_pairs(
     max_hamming: int = 3,
     phashes: DataFrame | None = None,
     n_blocks: int | None = None,
+    max_bucket: int | None = 100_000,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate media pairs by payload pHash Hamming distance —
     the media twin of text simhash near-dup, reusing the same Manku
@@ -221,7 +223,10 @@ def media_near_dup_pairs(
     quadratically blow up a single row). phashes=: pass a persisted
     media_phash() table to pay only the join. n_blocks defaults to
     max_hamming + 1 — the pigeonhole minimum for lossless blocking
-    (wider thresholds need more blocks than text simhash's 4)."""
+    (wider thresholds need more blocks than text simhash's 4).
+    max_bucket/observation: the degenerate-block guard, threaded to
+    simhash_near_dup_pairs — a corpus of identical tracking pixels
+    would otherwise make one block value do B² join work."""
     from crawler_spark.operators.textdedup import simhash_near_dup_pairs
 
     if media is None and phashes is None:
@@ -246,7 +251,11 @@ def media_near_dup_pairs(
         )
     )
     pairs = simhash_near_dup_pairs(
-        signatures=sig, max_hamming=max_hamming, n_blocks=n_blocks
+        signatures=sig,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        max_bucket=max_bucket,
+        observation=observation,
     )
     return pairs.select(
         F.col("doc_a").alias("ref_a"), F.col("doc_b").alias("ref_b"), "hamming"

@@ -114,6 +114,8 @@ def minhash_lsh_delta_pairs(
     delta_signatures: DataFrame,
     k: int = N_MINHASH,
     band: int = BAND_SIZE,
+    max_bucket: int | None = 1000,
+    observation=None,
 ) -> DataFrame:
     """Candidate near-dup pairs TOUCHING a delta only: the incremental
     companion of minhash_lsh_pairs. The delta's band rows equi-join the
@@ -126,9 +128,33 @@ def minhash_lsh_delta_pairs(
 
     Feeds graph.incremental_components: together they maintain
     dup-cluster state at O(per-round delta) cost.
+
+    max_bucket: same hot-bucket guard as minhash_lsh_pairs — a
+    degenerate band key on the FULL side turns the delta join into
+    |delta ∩ key| × |bucket| rows per key. Keys whose full-side bucket
+    exceeds max_bucket are anti-joined out (the over-cap key set is
+    tiny, so it broadcasts); observation= reports
+    (hot_buckets, hot_bucket_docs) with the action. None disables.
     """
     d = _band_rows(delta_signatures, k, band).withColumnRenamed("doc_id", "d_id")
     a = _band_rows(signatures, k, band)
+    if max_bucket is not None:
+        hot = (
+            a.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("n_ids"))
+            .filter(F.col("n_ids") > max_bucket)
+        )
+        if observation is not None:
+            hot = hot.observe(
+                observation,
+                F.count("*").alias("hot_buckets"),
+                F.coalesce(F.sum("n_ids"), F.lit(0)).alias("hot_bucket_docs"),
+            )
+        d = d.join(
+            F.broadcast(hot.select("band_idx", "band_key")),
+            ["band_idx", "band_key"],
+            "left_anti",
+        )
     return (
         d.join(a, ["band_idx", "band_key"])
         .filter(F.col("d_id") != F.col("doc_id"))
@@ -146,6 +172,8 @@ def minhash_lsh_pairs(
     k: int = N_MINHASH,
     band: int = BAND_SIZE,
     signatures: DataFrame | None = None,
+    max_bucket: int | None = 1000,
+    observation=None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band.
 
@@ -160,7 +188,19 @@ def minhash_lsh_pairs(
     table (minhash_signatures written to parquet / cached once) and the
     pairs query drops to band-explode + one groupBy, skipping the
     shingle pipeline entirely. Recompute-from-docs remains the
-    single-query default."""
+    single-query default.
+
+    max_bucket: hot-bucket guard. A degenerate band key (empty or
+    boilerplate docs all sharing one signature band) makes a single
+    task materialize a |bucket|-element array and a |bucket|² pair
+    burst that AQE cannot split (it is one row). Buckets wider than
+    max_bucket are dropped — they are not near-dup SIGNAL (every
+    member is a near-certain duplicate of every other; exact dedup or
+    lsh_hot_buckets + per-bucket canonical election handles them at
+    linear cost) — and the drop is never silent: pass a
+    pyspark.sql.Observation as observation= to get
+    (hot_buckets, hot_bucket_docs) metrics with the action, or audit
+    the survivors' complement with lsh_hot_buckets(). None disables."""
     sig = signatures if signatures is not None else minhash_signatures(docs, text_col, k)
     bands = _band_rows(sig, k, band)
     buckets = (
@@ -168,6 +208,17 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.withColumn("_hot", F.size("ids") > max_bucket)
+        if observation is not None:
+            buckets = buckets.observe(
+                observation,
+                F.sum(F.col("_hot").cast("long")).alias("hot_buckets"),
+                F.sum(
+                    F.when(F.col("_hot"), F.size("ids")).otherwise(0)
+                ).alias("hot_bucket_docs"),
+            )
+        buckets = buckets.filter(~F.col("_hot")).drop("_hot")
     ids = F.col("ids")
     pair_arr = F.flatten(
         F.transform(
@@ -182,6 +233,34 @@ def minhash_lsh_pairs(
         buckets.select(F.explode(pair_arr).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+def lsh_hot_buckets(
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    k: int = N_MINHASH,
+    band: int = BAND_SIZE,
+    signatures: DataFrame | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The buckets minhash_lsh_pairs(max_bucket=...) drops, as data:
+    (band_idx, band_key, n_ids, sample_id) — the audit complement of
+    the hot-bucket guard (no-silent-caps). n_ids is exact; sample_id is
+    one member (min doc_id) so an operator can spot-check what the
+    degenerate band actually is (usually empty/boilerplate text).
+    Constant state per bucket — no collect_list: materializing a hot
+    bucket's id array in one row is the exact pathology the guard
+    exists to prevent."""
+    sig = signatures if signatures is not None else minhash_signatures(docs, text_col, k)
+    return (
+        _band_rows(sig, k, band)
+        .groupBy("band_idx", "band_key")
+        .agg(
+            F.count("*").alias("n_ids"),
+            F.min("doc_id").alias("sample_id"),
+        )
+        .filter(F.col("n_ids") > max_bucket)
     )
 
 
@@ -305,6 +384,8 @@ def simhash_near_dup_pairs(
     bits: int = 64,
     n_blocks: int = 4,
     signatures: DataFrame | None = None,
+    max_bucket: int | None = 100_000,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming,
     blocked the Manku/Charikar way: split the signature into n_blocks
@@ -334,7 +415,20 @@ def simhash_near_dup_pairs(
     Hamming filter (XOR + bit_count per word) runs BEFORE the distinct,
     so the dedup shuffle sees only the surviving near-dup pairs instead
     of every block-bucket candidate (candidates outnumber survivors by
-    ~100x at sf0.1 — the distinct was the dominant exchange)."""
+    ~100x at sf0.1 — the distinct was the dominant exchange).
+
+    max_bucket: degeneracy tripwire, not a recall knob. Healthy 16-bit
+    blocks spread N docs over 65536 values (~N/65536 per bucket); a
+    DEGENERATE block value — the all-zeros signature every empty doc
+    hashes to — concentrates millions and makes that one join key do
+    B² work that even AQE's skew split pays for. Block values whose
+    bucket exceeds max_bucket are anti-joined out of BOTH sides (the
+    over-cap key set is tiny and broadcasts); pairs inside a dropped
+    bucket are near-identical by construction and belong to exact
+    dedup, not the Hamming search. Set observation= (a
+    pyspark.sql.Observation) for (hot_buckets, hot_bucket_docs)
+    metrics with the action; None disables. Default 100k sits well
+    above any healthy bucket at 10^10 docs."""
     if docs is None and signatures is None:
         raise ValueError("pass docs or signatures")
     assert max_hamming < n_blocks, "pigeonhole guarantee needs max_hamming < n_blocks"
@@ -366,6 +460,23 @@ def simhash_near_dup_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "sw", "b.block_idx", "b.block_val")
+    if max_bucket is not None:
+        hot = (
+            blocks.groupBy("block_idx", "block_val")
+            .agg(F.count("*").alias("n_ids"))
+            .filter(F.col("n_ids") > max_bucket)
+        )
+        if observation is not None:
+            hot = hot.observe(
+                observation,
+                F.count("*").alias("hot_buckets"),
+                F.coalesce(F.sum("n_ids"), F.lit(0)).alias("hot_bucket_docs"),
+            )
+        blocks = blocks.join(
+            F.broadcast(hot.select("block_idx", "block_val")),
+            ["block_idx", "block_val"],
+            "left_anti",
+        )
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = None
     for i in range(len(word_spans)):
