@@ -56,11 +56,23 @@ ENGINE_SCHEMAS = {
     "fetch_fingerprints": S.FETCH_FINGERPRINTS,  # per-fetch content history (opt-in)
     "page_vectors": S.PAGE_VECTORS,  # incremental ANN index (opt-in, vector_index=True)
     # incremental near-dup cluster assignment (update_dup_clusters):
-    # every clustered doc, singletons as cluster_id == doc_id
+    # every clustered doc, singletons as cluster_id == doc_id.
+    # Delta-state pair like frontier/frontier_state: the base is only
+    # rewritten at compaction; each fold APPENDS its relabeling to
+    # dup_cluster_state (O(|relabel|) bytes, never O(n_docs)).
     "dup_clusters": T.StructType(
         [
             T.StructField("doc_id", T.StringType(), False),
             T.StructField("cluster_id", T.StringType(), False),
+        ]
+    ),
+    "dup_cluster_state": T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            # NULL = tombstone: the doc cascaded out (delete_site /
+            # recrawl) and its assignment row is pruned on read
+            T.StructField("cluster_id", T.StringType(), True),
+            T.StructField("fold", T.IntegerType(), False),  # latest wins
         ]
     ),
     "postings": S.POSTINGS,  # incremental inverted index (opt-in, lexical_index=True)
@@ -169,6 +181,30 @@ def read_host_state_view(spark: SparkSession, io: ParquetSnapshotIO) -> DataFram
     )
 
 
+def read_dup_clusters_view(spark: SparkSession, io: ParquetSnapshotIO) -> DataFrame:
+    """Effective near-dup cluster assignment: base rows with the
+    latest-fold delta applied (same delta-state pattern as the
+    frontier). A NULL-cluster delta is a tombstone — the doc cascaded
+    out — and drops the row. Full outer on doc_id because folds also
+    INSERT rows (new docs) the base has never seen; compaction
+    (engine.maintain) folds the state chain back into the base."""
+    base = io.read(spark, "dup_clusters")
+    deltas = io.read(spark, "dup_cluster_state")
+    latest = deltas.groupBy("doc_id").agg(
+        F.max(F.struct("fold", "cluster_id")).alias("_fc")
+    )
+    return (
+        base.join(latest, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.when(F.col("_fc").isNull(), F.col("cluster_id"))
+            .otherwise(F.col("_fc.cluster_id"))
+            .alias("cluster_id"),
+        )
+        .filter(F.col("cluster_id").isNotNull())
+    )
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -185,6 +221,13 @@ class CrawlEngine:
         n_lineage_buckets: int = 8,
         coalesce_writes: int | None = 1,
         embed_dim: int = 16,  # 0 disables the downstream pipeline
+        # real-model drop-in: f(text Column) -> array<float> Column of
+        # width embed_dim (e.g. models.matrix_embedder wrapping a numpy
+        # matrix behind an Arrow pandas_udf). None = the deterministic
+        # hash_embedding stand-in. A custom embedder whose components
+        # leave [-0.5, 0.5) should pass a matching vector_scale for the
+        # quantized page-vector index.
+        embedder=None,
         priority: str = "fifo",  # scheduler PRIORITY_ORDERS key
         # DEFAULT is the adaptive bucketed layout (round-2 VERDICT: the
         # flat frontier⋈state merge + seen anti-join shuffle O(|frontier|)
@@ -327,12 +370,27 @@ class CrawlEngine:
             )
         self.vector_index = vector_index
         self.vector_scale = float(vector_scale)
+        self.embedder = embedder
         self.seconds_per_round = int(seconds_per_round)
         self.fetch_transport = fetch_transport
         self.fetch_min_delay_s = float(fetch_min_delay_s)
 
     def _w(self, df: DataFrame) -> DataFrame:
         return df.coalesce(self.coalesce_writes) if self.coalesce_writes else df
+
+    def _embed_col(self, text_col):
+        """The engine's ONE embedding spelling: the configured real
+        model (embedder=) or the deterministic hash stand-in. Every
+        embedding the engine ever computes — downstream records, the
+        page-vector index, semantic-search query vectors — goes through
+        here, so swapping in a real model swaps ALL of them coherently
+        (index vectors and query vectors must come from the same
+        model)."""
+        from crawler_spark.operators.downstream import hash_embedding
+
+        if self.embedder is not None:
+            return self.embedder(text_col)
+        return hash_embedding(text_col, self.embed_dim)
 
     # ------------------------------------------------------------------ seed
     def seed(self, frontier_urls: DataFrame) -> None:
@@ -557,7 +615,8 @@ class CrawlEngine:
             )
 
             new_emb = embed_new_records(
-                records, io.read(spark, "embeddings"), rnd, self.embed_dim
+                records, io.read(spark, "embeddings"), rnd, self.embed_dim,
+                embed_fn=self.embedder,
             )
             new_upl = select_for_upload(new_emb, io.read(spark, "uploaded"), rnd)
             if self.upload_transport is not None:
@@ -1216,10 +1275,18 @@ class CrawlEngine:
         history every round and paying for the round's delta.
 
         Docs cascaded out (delete_site / schedule_recrawl) are pruned
-        from the assignment here; note the standard incremental-CC
-        caveat: a removed BRIDGE doc does not split the cluster it
-        merged — run recluster_dups() for an exact rebuild after bulk
-        deletions.
+        from the assignment here (as tombstone deltas); note the
+        standard incremental-CC caveat: a removed BRIDGE doc does not
+        split the cluster it merged — run recluster_dups() for an exact
+        rebuild after bulk deletions.
+
+        Commit discipline: each fold APPENDS its relabeling to
+        dup_cluster_state — changed/new/tombstoned rows only, latest
+        fold wins on read (read_dup_clusters_view) — so a maintenance
+        call writes O(|relabel|) bytes. The previous shape rewrote the
+        whole O(n_docs) assignment per fold: a corpus-sized write per
+        maintenance call at 10^10 docs. maintain() compacts the state
+        chain into the base exactly like frontier/frontier_state.
 
         Returns {"new_docs", "assignment_rows"}; requires
         CrawlEngine(dedup_index=True).
@@ -1228,42 +1295,74 @@ class CrawlEngine:
             raise ValueError(
                 "update_dup_clusters() requires CrawlEngine(dedup_index=True)"
             )
-        from crawler_spark.operators.graph import incremental_components
+        from crawler_spark.operators.graph import incremental_component_deltas
         from crawler_spark.operators.textdedup import minhash_lsh_delta_pairs
 
         spark, io = self.spark, self.io
         sigs = io.read(spark, "doc_signatures").filter(F.col("mh0").isNotNull())
-        asg = io.read(spark, "dup_clusters")
+        view = read_dup_clusters_view(spark, io)
         current = sigs.select("doc_id")
-        delta_sigs = sigs.join(asg, "doc_id", "left_anti").cache()
+        live = view.join(current, "doc_id", "left_semi").cache()
+        tombstones = view.join(current, "doc_id", "left_anti").select(
+            "doc_id", F.lit(None).cast("string").alias("cluster_id")
+        )
+        delta_sigs = sigs.join(live, "doc_id", "left_anti").cache()
         try:
             n_delta = delta_sigs.count()
+            n_live = live.count()
             if n_delta == 0:
-                pruned = asg.join(current, "doc_id", "left_semi")
-                n_rows = pruned.count()
-                if n_rows != asg.count():
-                    io.commit(
-                        io.last_round(), overwrites={"dup_clusters": self._w(pruned)}
-                    )
-                return {"new_docs": 0, "assignment_rows": n_rows}
+                n_tomb = tombstones.count()
+                if n_tomb > 0:
+                    self._append_cluster_fold(tombstones)
+                return {"new_docs": 0, "assignment_rows": n_live}
             pairs = minhash_lsh_delta_pairs(sigs, delta_sigs)
-            updated = incremental_components(asg, pairs)
+            rel = incremental_component_deltas(live, pairs)
             singles = (
                 delta_sigs.select("doc_id")
-                .join(updated, "doc_id", "left_anti")
+                .join(rel, "doc_id", "left_anti")
                 .select("doc_id", F.col("doc_id").alias("cluster_id"))
             )
-            new_asg = (
-                updated.unionByName(singles)
-                .join(current, "doc_id", "left_semi")
-                .localCheckpoint(eager=True)
+            # rel may relabel a doc that also tombstones this fold only
+            # if it were still in `live`; live is semi-joined to current,
+            # so the two delta sets are disjoint by construction
+            self._append_cluster_fold(
+                rel.unionByName(singles).unionByName(tombstones)
             )
-            io.commit(
-                io.last_round(), overwrites={"dup_clusters": self._w(new_asg)}
-            )
-            return {"new_docs": n_delta, "assignment_rows": new_asg.count()}
+            return {"new_docs": n_delta, "assignment_rows": n_live + n_delta}
         finally:
             delta_sigs.unpersist()
+            live.unpersist()
+
+    def _append_cluster_fold(self, rows: DataFrame) -> None:
+        """Append one fold's (doc_id, cluster_id|NULL) deltas with the
+        next fold sequence number. One tiny scalar agg for the sequence;
+        the append is the only table write."""
+        io = self.io
+        prev = (
+            io.read(self.spark, "dup_cluster_state")
+            .agg(F.max("fold"))
+            .collect()[0][0]
+        )
+        fold_no = (prev if prev is not None else 0) + 1
+        io.commit(
+            io.last_round(),
+            appends={
+                "dup_cluster_state": self._w(
+                    rows.select(
+                        "doc_id",
+                        "cluster_id",
+                        F.lit(fold_no).cast("int").alias("fold"),
+                    )
+                )
+            },
+        )
+
+    def dup_cluster_view(self) -> DataFrame:
+        """The effective (doc_id, cluster_id) assignment — base table
+        merged with the append-only fold deltas (latest fold wins,
+        tombstones pruned). Consumers read THIS, not the raw
+        dup_clusters table, which lags until compaction."""
+        return read_dup_clusters_view(self.spark, self.io)
 
     def recluster_dups(self) -> dict:
         """Exact batch rebuild of dup_clusters (connected_components
@@ -1282,7 +1381,13 @@ class CrawlEngine:
             .select("doc_id", F.col("doc_id").alias("cluster_id"))
         )
         new_asg = cc.unionByName(singles).localCheckpoint(eager=True)
-        io.commit(io.last_round(), overwrites={"dup_clusters": self._w(new_asg)})
+        io.commit(
+            io.last_round(),
+            overwrites={
+                "dup_clusters": self._w(new_asg),
+                "dup_cluster_state": self._empty("dup_cluster_state"),
+            },
+        )
         return {"assignment_rows": new_asg.count()}
 
     def near_dup_pairs(self, method: str = "minhash", **kwargs) -> DataFrame:
@@ -1931,10 +2036,9 @@ class CrawlEngine:
         incremental index and a batch recompute agree by construction).
         Per-row expressions only — zero exchanges."""
         from crawler_spark.operators.ann import quantize_vec, sign_lsh_bucket
-        from crawler_spark.operators.downstream import hash_embedding
         from crawler_spark.operators.textdedup import doc_text
 
-        emb = hash_embedding(doc_text(), self.embed_dim)
+        emb = self._embed_col(doc_text())
         qv = quantize_vec(emb, F.lit(self.vector_scale))
         return docs.select(
             "doc_id",
@@ -2001,11 +2105,10 @@ class CrawlEngine:
         partition-pruned scan. Returns (query_id, rank, neighbor_id,
         iscore)."""
         from crawler_spark.operators.ann import quantize_vec, sign_lsh_bucket
-        from crawler_spark.operators.downstream import hash_embedding
         from pyspark.sql import Window
 
         qv = quantize_vec(
-            hash_embedding(F.col("qtext"), self.embed_dim),
+            self._embed_col(F.col("qtext")),
             F.lit(self.vector_scale),
         )
         q = queries.select(
@@ -2069,15 +2172,14 @@ class CrawlEngine:
         vectors and switch to lsh_bucketed_topk/ivf_topk — this method
         is the exact re-rank baseline."""
         from crawler_spark.operators.ann import brute_force_topk
-        from crawler_spark.operators.downstream import hash_embedding
 
         corpus = self._page_corpus().select(
             F.col("doc_id").alias("vec_id"),
-            hash_embedding(F.col("text"), self.embed_dim).alias("embedding"),
+            self._embed_col(F.col("text")).alias("embedding"),
         )
         qv = queries.select(
             "query_id",
-            hash_embedding(F.col("qtext"), self.embed_dim).alias("qv"),
+            self._embed_col(F.col("qtext")).alias("qv"),
         )
         return brute_force_topk(corpus, k=k, queries=qv)
 
@@ -2496,6 +2598,18 @@ class CrawlEngine:
                 self.io.last_round(),
                 overwrites={
                     "host_state": self._w(read_host_state_view(self.spark, self.io))
+                },
+            )
+        if len(self.io.table_rels("dup_cluster_state")) + len(
+            self.io.table_rels("dup_clusters")
+        ) > max_paths:
+            self.io.commit(
+                self.io.last_round(),
+                overwrites={
+                    "dup_clusters": self._w(
+                        read_dup_clusters_view(self.spark, self.io)
+                    ),
+                    "dup_cluster_state": self._empty("dup_cluster_state"),
                 },
             )
         if self.use_bloom:

@@ -145,6 +145,31 @@ def incremental_components(
     the batch connected_components to re-canonicalize after bulk
     deletions.
     """
+    deltas = incremental_component_deltas(assignment, new_pairs, a_col, b_col, max_iters)
+    if assignment is None:
+        return deltas
+    unchanged = assignment.select("doc_id", "cluster_id").join(
+        deltas, "doc_id", "left_anti"
+    )
+    return unchanged.unionByName(deltas)
+
+
+def incremental_component_deltas(
+    assignment: DataFrame | None,
+    new_pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = MAX_ITERS,
+) -> DataFrame:
+    """The CHANGED rows of incremental_components only: docs whose
+    cluster label this fold creates (new docs) or rewrites (old
+    components whose root merged). The O(|affected|) core that
+    delta-state cluster maintenance commits — at 10^10 docs the fold's
+    WRITE must be sized by the relabeling, not the assignment, exactly
+    as the frontier commits state transitions instead of the frontier.
+
+    incremental_components == (assignment minus these doc_ids) ∪ these,
+    which is how it is now defined."""
     e = _canon(new_pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")))
     if assignment is None:
         return connected_components(e, "u", "v", max_iters)
@@ -169,14 +194,13 @@ def incremental_components(
     remap = delta_cc.select(
         F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("_new")
     )
-    relabeled = (
-        asg.join(remap, "cluster_id", "left")
-        .select(
-            "doc_id", F.coalesce("_new", F.col("cluster_id")).alias("cluster_id")
-        )
+    changed = (
+        asg.join(remap, "cluster_id")
+        .filter(F.col("_new") != F.col("cluster_id"))
+        .select("doc_id", F.col("_new").alias("cluster_id"))
     )
     fresh = delta_cc.join(asg, "doc_id", "left_anti")
-    return relabeled.unionByName(fresh)
+    return changed.unionByName(fresh)
 
 
 def link_graph_stats(

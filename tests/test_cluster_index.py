@@ -106,7 +106,7 @@ def clustered(spark, tmp_path):
 
 def test_engine_incremental_clusters_equal_batch(spark, clustered):
     eng, _, s1, s2 = clustered
-    asg = eng.io.read(spark, "dup_clusters")
+    asg = eng.dup_cluster_view()
     batch = connected_components(eng.near_dup_pairs("minhash"))
     # non-singleton rows match the batch clustering exactly
     assert _asg(asg.filter("doc_id <> cluster_id")) == _asg(
@@ -121,6 +121,34 @@ def test_engine_incremental_clusters_equal_batch(spark, clustered):
     assert s3["assignment_rows"] == asg.count()
 
 
+def test_fold_commits_are_delta_sized(spark, clustered):
+    """The round-4 delta-state discipline: a fold APPENDS its relabel
+    to dup_cluster_state; the O(n_docs) base is written only by
+    compaction/rebuild. At 10^10 docs the difference is a corpus-sized
+    write per maintenance call."""
+    eng, _, s1, s2 = clustered
+    # folds never created (let alone rewrote) the base table
+    assert eng.io.table_rels("dup_clusters") == []
+    state = eng.io.read(spark, "dup_cluster_state")
+    # fold 1: every row is a then-new doc
+    assert state.filter("fold = 1").count() == s1["new_docs"]
+    # fold 2: sized by the delta + its relabeling, not the corpus
+    f2 = state.filter("fold = 2").count()
+    assert 0 < f2 < s2["assignment_rows"]
+    # a no-op fold appends nothing
+    rels_before = list(eng.io.table_rels("dup_cluster_state"))
+    eng.update_dup_clusters()
+    assert eng.io.table_rels("dup_cluster_state") == rels_before
+    # compaction folds the chain into the base and preserves the view
+    want = _asg(eng.dup_cluster_view())
+    eng.maintain(max_paths=0)
+    assert eng.io.read(spark, "dup_cluster_state").count() == 0
+    assert len(eng.io.table_rels("dup_cluster_state")) <= 1  # one empty v-dir
+    assert len(eng.io.table_rels("dup_clusters")) == 1
+    assert _asg(eng.dup_cluster_view()) == want
+    assert _asg(eng.io.read(spark, "dup_clusters")) == want
+
+
 def test_engine_prune_after_delete_and_exact_rebuild(spark, clustered):
     eng, tables, _, _ = clustered
     site = (
@@ -133,12 +161,12 @@ def test_engine_prune_after_delete_and_exact_rebuild(spark, clustered):
     eng.delete_site(site)
     eng.run(tables, max_rounds=14)  # the cascade commit happens in a round
     stats = eng.update_dup_clusters()
-    asg = eng.io.read(spark, "dup_clusters")
+    asg = eng.dup_cluster_view()
     remaining = eng.io.read(spark, "doc_signatures").filter("mh0 is not null")
     assert asg.count() == remaining.count() == stats["assignment_rows"]
     # exact rebuild agrees with batch clustering post-delete
     eng.recluster_dups()
-    rebuilt = eng.io.read(spark, "dup_clusters")
+    rebuilt = eng.dup_cluster_view()
     batch = connected_components(eng.near_dup_pairs("minhash"))
     assert _asg(rebuilt.filter("doc_id <> cluster_id")) == _asg(
         batch.filter("doc_id <> cluster_id")

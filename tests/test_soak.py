@@ -159,7 +159,7 @@ def test_long_horizon_soak(spark, tmp_path):
     # and the revalidation passes produced only changed=0 evidence
     eng.update_dup_clusters()
     signed = eng.io.read(spark, "doc_signatures").filter("mh0 is not null").count()
-    asg = eng.io.read(spark, "dup_clusters")
+    asg = eng.dup_cluster_view()
     assert asg.count() == signed
     assert asg.select("doc_id").distinct().count() == signed
     assert eng.fetch_history().agg(F.sum("changed")).collect()[0][0] == 0
