@@ -69,9 +69,15 @@ def hash_embedding(text_col, dim: int = 16):
 
 
 def embed_new_records(
-    records: DataFrame, embeddings: DataFrame, round_no: int, dim: int = 16
+    records: DataFrame,
+    embeddings: DataFrame,
+    round_no: int,
+    dim: int = 16,
+    embed_fn=None,
 ) -> DataFrame:
-    """J3 + F12 + stub model -> new embeddings rows (EMBEDDINGS schema).
+    """J3 + F12 + model -> new embeddings rows (EMBEDDINGS schema).
+    embed_fn: f(text Column) -> array<float> Column — a real model
+    adapter (models.matrix_embedder); None = hash_embedding stand-in.
 
     key = entity_key if present else page url (reference keys embedding
     entries by the record's url field, crawler.py:396-399)."""
@@ -111,10 +117,13 @@ def embed_new_records(
         F.map_filter(base, lambda k, _v: ~F.array_contains(F.map_keys(prims), k)),
         prims,
     )
+    embed = embed_fn if embed_fn is not None else (
+        lambda c: hash_embedding(c, dim)
+    )
     return prepared.select(
         "key",
         "site",
-        hash_embedding(F.col("embed_text"), dim).alias("embedding"),
+        embed(F.col("embed_text")).alias("embedding"),
         F.lit(round_no).alias("round"),
         metadata.alias("metadata"),
         F.col("payload_json").alias("schema_json"),
