@@ -4391,6 +4391,57 @@ def q_bpe_merges(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def q_crawl_multiround(spark, sf_dir):
+    """THREE real engine rounds end-to-end — seed discovery, politeness
+    budget window, seen anti-join, link follow, snapshot commits — with
+    the full crawl_order (round, seq, site, url, status) as the result.
+    The driver-gated composite of the north rule's ordering guarantee:
+    the SQL twin is the independent pure-Python reference oracle
+    (crawler_spark/oracle.py — the same one every engine-vs-oracle
+    pytest dimension pins, reimplementing the reference crawler's loop
+    semantics from app.py/crawler.py) replayed over the identical
+    deterministic world and materialized as literal VALUES, so DuckDB
+    certifies the multi-round crawl state externally."""
+    from crawler_spark.engine import CrawlEngine
+    from crawler_spark.operators.discovery import discover_frontier
+    from crawler_spark.session import ship_package
+    from crawler_spark.world import make_world
+
+    ship_package(spark)
+    world = make_world(seed=42, n_hosts=3, n_urls=18, budget=2, burst=False)
+    t = world.to_spark(spark)
+    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="entry-crawl3-"))
+    eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
+    eng.run(t, max_rounds=3)
+    return (
+        eng.io.read(spark, "crawl_order")
+        .select("round", "seq", "site", "url", "status")
+        .orderBy("seq")
+    )
+
+
+def _crawl_multiround_sql() -> str:
+    """Generated, not hand-written: replay the pure-Python oracle over
+    the same deterministic world the Spark entry crawls (everything
+    derives from blake2b(seed), no RNG/clock) and inline its
+    crawl_order as VALUES."""
+    from crawler_spark.oracle import Oracle
+    from crawler_spark.world import make_world
+
+    world = make_world(seed=42, n_hosts=3, n_urls=18, budget=2, burst=False)
+    res = Oracle(world).run(max_rounds=3)
+    rows = ",\n".join(
+        f"({rnd}, {seq}, '{site}', '{url}', {status})"
+        for rnd, seq, site, url, status in res.crawl_order
+    )
+    return (
+        "SELECT CAST(round AS INT) AS round, CAST(seq AS INT) AS seq,"
+        " site, url, CAST(status AS INT) AS status\n"
+        f"FROM (VALUES\n{rows}\n) AS t(round, seq, site, url, status)\n"
+        "ORDER BY seq"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_frontier_schedule_round(spark, SF_DEFAULT)
@@ -4398,6 +4449,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "crawl_multiround": q_crawl_multiround,
         "retry_backoff": q_retry_backoff,
         "anchor_texts": q_anchor_texts,
         "anchor_topk": q_anchor_topk,
@@ -4512,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "crawl_multiround": _crawl_multiround_sql(),
         "retry_backoff": _Q_RETRY_BACKOFF_SQL,
         "anchor_texts": _Q_ANCHOR_TEXTS_SQL,
         "anchor_topk": _Q_ANCHOR_TOPK_SQL,
