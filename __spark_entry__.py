@@ -4442,6 +4442,63 @@ def _crawl_multiround_sql() -> str:
     )
 
 
+def q_model_embed(spark, sf_dir):
+    """The real-model adapter path under the external gate: an integer
+    weight MATRIX executed by operators.models.int_matrix_embedding —
+    an Arrow-batched pandas_udf over a SparkContext broadcast, i.e. the
+    exact execution shape a real fastText/word2vec model ships in —
+    certified bit-for-bit against a pure-SQL twin (explode tokens,
+    md5-bucket each, sum the bucket's weight row). The matrix is a
+    closed-form integer formula so BOTH sides derive it independently:
+    W[b, j] = ((7b + 13j) mod 23) - 11, 16 buckets x 4 dims."""
+    import numpy as np
+
+    from crawler_spark.operators.models import int_matrix_embedding
+    from crawler_spark.session import ship_package
+
+    ship_package(spark)
+    b = np.arange(16).reshape(-1, 1)
+    j = np.arange(4).reshape(1, -1)
+    w = ((7 * b + 13 * j) % 23) - 11
+    embed = int_matrix_embedding(spark, w)
+    docs = _docs_wide(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    e = embed(F.col("text"))
+    return docs.select(
+        "doc_id", *[e[i].alias(f"e{i}") for i in range(4)]
+    )
+
+
+_Q_MODEL_EMBED_SQL = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, tok
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), bt AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 16 AS BIGINT) AS b
+  FROM toks
+), sums AS (
+  SELECT doc_id,
+         SUM((7 * b + 13 * 0) % 23 - 11) AS e0,
+         SUM((7 * b + 13 * 1) % 23 - 11) AS e1,
+         SUM((7 * b + 13 * 2) % 23 - 11) AS e2,
+         SUM((7 * b + 13 * 3) % 23 - 11) AS e3
+  FROM bt GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       CAST(coalesce(s.e0, 0) AS BIGINT) AS e0,
+       CAST(coalesce(s.e1, 0) AS BIGINT) AS e1,
+       CAST(coalesce(s.e2, 0) AS BIGINT) AS e2,
+       CAST(coalesce(s.e3, 0) AS BIGINT) AS e3
+FROM documents d LEFT JOIN sums s ON CAST(d.doc_id AS VARCHAR) = s.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_frontier_schedule_round(spark, SF_DEFAULT)
@@ -4450,6 +4507,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_multiround": q_crawl_multiround,
+        "model_embed": q_model_embed,
         "retry_backoff": q_retry_backoff,
         "anchor_texts": q_anchor_texts,
         "anchor_topk": q_anchor_topk,
@@ -4565,6 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "crawl_multiround": _crawl_multiround_sql(),
+        "model_embed": _Q_MODEL_EMBED_SQL,
         "retry_backoff": _Q_RETRY_BACKOFF_SQL,
         "anchor_texts": _Q_ANCHOR_TEXTS_SQL,
         "anchor_topk": _Q_ANCHOR_TOPK_SQL,
