@@ -222,6 +222,7 @@ def run_schedule_job(
     bloom_path: str | None = None,
     budget: int = BUDGET,
     force_two_phase: bool = False,
+    probe_mode: str = "broadcast",
 ):
     """The measured hot path: candidates -> dedup -> budget -> order -> salt.
 
@@ -243,10 +244,10 @@ def run_schedule_job(
         from crawler_spark.operators import cuckoo as CK
 
         filters = spark.read.schema(CK.CUCKOO_SCHEMA).parquet(bloom_path)
-        deduped = CK.cuckoo_prefilter(frontier, filters, seen, 64)
+        deduped = CK.cuckoo_prefilter(frontier, filters, seen, 64, probe_mode=probe_mode)
     elif bloom_path:
         blooms = spark.read.schema(D.BLOOM_SCHEMA).parquet(bloom_path)
-        deduped = D.bloom_prefilter(frontier, blooms, seen, 64)
+        deduped = D.bloom_prefilter(frontier, blooms, seen, 64, probe_mode=probe_mode)
     else:
         deduped = D.exact_anti_join(frontier, seen)
     persists: list = []
@@ -756,6 +757,20 @@ def crossover_md(data: dict) -> str:
         "— a one-time cost amortized by incremental per-round maintenance",
         "(update_blooms ORs new keys in; cuckoo inserts/deletes are native).",
         "",
+    ]
+    last = data["rows"][-1]
+    if "bloom_cogroup" in last:
+        lines += [
+            f"Cogroup probe at the largest point ({last['n_seen']:,} keys, forced"
+            " past the broadcast budget — filters stay partitioned on their",
+            "bucket, keys shuffle to them via cogrouped applyInPandas):"
+            f" bloom {last['bloom_cogroup']} s, cuckoo {last['cuckoo_cogroup']} s.",
+            "This is the engine's auto-selected mode when the filter set exceeds",
+            "bloom_broadcast_budget_bytes (256 MiB default) — the >10^9-seen-keys",
+            "regime where no executor can hold every bucket filter resident.",
+            "",
+        ]
+    lines += [
         data["conclusion"],
         "",
         CROSS_MARK[1],
@@ -816,16 +831,29 @@ def crossover():
             cpath = write_cuckoos(spark, sub, spath)
             cuckoo_build = round(time.time() - t0, 3)
             cuckoo = best_of(lambda: run_schedule_job(spark, fpath, spath, cpath))
-            rows.append(
-                {
-                    "n_seen": n_seen,
-                    "exact": exact,
-                    "bloom": bloom,
-                    "cuckoo": cuckoo,
-                    "bloom_build": bloom_build,
-                    "cuckoo_build": cuckoo_build,
-                }
-            )
+            row = {
+                "n_seen": n_seen,
+                "exact": exact,
+                "bloom": bloom,
+                "cuckoo": cuckoo,
+                "bloom_build": bloom_build,
+                "cuckoo_build": cuckoo_build,
+            }
+            if n_seen == CROSS_SEEN[-1]:
+                # the partitioned-filters path that engages past
+                # bloom_broadcast_budget_bytes (engine auto-select):
+                # forced here so its wall is ON RECORD, not argued
+                row["bloom_cogroup"] = best_of(
+                    lambda: run_schedule_job(
+                        spark, fpath, spath, bpath, probe_mode="cogroup"
+                    )
+                )
+                row["cuckoo_cogroup"] = best_of(
+                    lambda: run_schedule_job(
+                        spark, fpath, spath, cpath, probe_mode="cogroup"
+                    )
+                )
+            rows.append(row)
             print(json.dumps({"crossover_point": rows[-1]}))
             shutil.rmtree(sub, ignore_errors=True)
         lo, hi = rows[0], rows[-1]
