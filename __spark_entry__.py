@@ -475,6 +475,37 @@ _Q_LSH_PAIRS_SQL = f"""
 """
 
 
+def q_lsh_hot_buckets(spark, sf_dir):
+    """The hot-bucket guard's audit complement (no-silent-caps): band
+    buckets wider than max_bucket, with exact width and one sample
+    member — constant state per bucket, no pair expansion. max_bucket=1
+    here so the small-SF corpus yields real rows (every multi-doc
+    bucket); production uses the guard default far above healthy
+    widths."""
+    from crawler_spark.operators.textdedup import lsh_hot_buckets
+
+    return lsh_hot_buckets(_docs_wide(spark, sf_dir), max_bucket=1)
+
+
+_Q_LSH_HOT_BUCKETS_SQL = f"""
+    WITH {_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id,
+{_MH_COLS}
+        FROM tokens GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+    )
+    SELECT band_idx, band_key, CAST(COUNT(*) AS BIGINT) AS n_ids,
+           MIN(doc_id) AS sample_id
+    FROM bands GROUP BY band_idx, band_key HAVING COUNT(*) > 1
+"""
+
+
 def q_minhash_calibration(spark, sf_dir):
     """Detector calibration, measured not guessed: per LSH candidate
     pair, the k=8 minhash similarity ESTIMATE next to the EXACT shingle
@@ -4556,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "bm25_indexed": q_bm25_indexed,
         "bpe_merges": q_bpe_merges,
+        "lsh_hot_buckets": q_lsh_hot_buckets,
         "frontier_schedule_round": q_frontier_schedule_round,
         "score_schedule": q_score_schedule,
         "seen_antijoin": q_seen_antijoin,
@@ -4671,6 +4703,7 @@ def oracle_sql() -> dict[str, str]:
         "perceptron_weights": _Q_PERCEPTRON_SQL,
         "hits": _Q_HITS_SQL,
         "bm25_indexed": _Q_BM25_SQL,
+        "lsh_hot_buckets": _Q_LSH_HOT_BUCKETS_SQL,
         "frontier_schedule_round": _Q_FRONTIER_SCHEDULE_SQL,
         "score_schedule": _Q_SCORE_SCHEDULE_SQL,
         "seen_antijoin": _Q_SEEN_ANTIJOIN_SQL,
