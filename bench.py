@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "revalidate_plan",
     "holdout_split",
     "dup_clusters_incremental",
+    # round-4 additions (new keys)
+    "model_embed",
+    "lsh_hot_buckets",
+    "crawl_multiround",
 ]
 
 
