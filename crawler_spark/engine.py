@@ -1328,7 +1328,20 @@ class CrawlEngine:
             self._append_cluster_fold(
                 rel.unionByName(singles).unionByName(tombstones)
             )
-            return {"new_docs": n_delta, "assignment_rows": n_live + n_delta}
+            # no-silent-caps: report what the delta join's hot-bucket
+            # guard dropped. Counted from the audit frame, NOT an
+            # Observation — the fold's first action is a localCheckpoint
+            # inside connected_components, which materializes via the
+            # RDD path and never delivers observed metrics (obs.get
+            # would return a schema-less row and toPyRow asserts).
+            from crawler_spark.operators.textdedup import lsh_hot_buckets
+
+            n_hot = lsh_hot_buckets(signatures=sigs, max_bucket=1000).count()
+            return {
+                "new_docs": n_delta,
+                "assignment_rows": n_live + n_delta,
+                "hot_buckets_dropped": int(n_hot),
+            }
         finally:
             delta_sigs.unpersist()
             live.unpersist()

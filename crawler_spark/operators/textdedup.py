@@ -200,7 +200,13 @@ def minhash_lsh_pairs(
     linear cost) — and the drop is never silent: pass a
     pyspark.sql.Observation as observation= to get
     (hot_buckets, hot_bucket_docs) metrics with the action, or audit
-    the survivors' complement with lsh_hot_buckets(). None disables."""
+    the survivors' complement with lsh_hot_buckets(). None disables.
+
+    Observation caveat: metrics are delivered only by a proper SQL
+    action (count/collect/write) on the returned frame; a consumer
+    whose first materialization is df.localCheckpoint() goes through
+    the RDD path and never populates them — use lsh_hot_buckets()
+    there (engine.update_dup_clusters does exactly this)."""
     sig = signatures if signatures is not None else minhash_signatures(docs, text_col, k)
     bands = _band_rows(sig, k, band)
     buckets = (

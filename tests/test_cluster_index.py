@@ -132,6 +132,8 @@ def test_fold_commits_are_delta_sized(spark, clustered):
     state = eng.io.read(spark, "dup_cluster_state")
     # fold 1: every row is a then-new doc
     assert state.filter("fold = 1").count() == s1["new_docs"]
+    # guard metrics surfaced (no degenerate buckets in this world)
+    assert s2["hot_buckets_dropped"] == 0
     # fold 2: sized by the delta + its relabeling, not the corpus
     f2 = state.filter("fold = 2").count()
     assert 0 < f2 < s2["assignment_rows"]
