@@ -444,6 +444,14 @@ def simhash_near_dup_pairs(
     )
     w = bits // n_blocks
     sig = signatures if signatures is not None else simhash(docs, text_col, bits)
+    if signatures is None:
+        # recompute-from-docs path: the plan references sig three ways
+        # (both self-join sides + the hot-key aggregate) and Spark would
+        # run the whole token->md5->sign pipeline once per reference.
+        # The signature frame is tiny (doc_id + bit-string) next to that
+        # pipeline — truncate it once. Production passes signatures= and
+        # skips this entirely.
+        sig = sig.localCheckpoint(eager=False)
     word_spans = [(i * 32 + 1, min(32, bits - i * 32)) for i in range((bits + 31) // 32)]
     sig_words = F.array(
         *[
