@@ -241,15 +241,20 @@ def media_near_dup_pairs(
             "near-dup query."
         )
 
-    sig = (
-        phashes.select(
+    if phashes is not None:
+        sig = phashes.select(
             F.col("media_ref").alias("doc_id"), F.col("phash").alias("simhash")
         )
-        if phashes is not None
-        else media_phash(media).select(
-            F.col("media_ref").alias("doc_id"), F.col("phash").alias("simhash")
+    else:
+        # recompute-from-payloads: the downstream block join references
+        # the signatures three ways (both sides + hot-key agg); truncate
+        # the tiny pHash frame once instead of re-hashing payload grams
+        # per reference (same rationale as simhash_near_dup_pairs)
+        sig = (
+            media_phash(media)
+            .select(F.col("media_ref").alias("doc_id"), F.col("phash").alias("simhash"))
+            .localCheckpoint(eager=False)
         )
-    )
     pairs = simhash_near_dup_pairs(
         signatures=sig,
         max_hamming=max_hamming,
