@@ -724,9 +724,15 @@ def winnow_overlap_pairs(
     Inverted-index join on fp with the same stop-fp document-frequency
     guard as jaccard_pairs: hot fingerprints (shared boilerplate in more
     than max_df docs) are dropped before the self-join."""
-    fp = winnow_fingerprints(docs, k, w, text_col, max_len).select(
-        "doc_id", "fp"
-    ).distinct()
+    fp = (
+        winnow_fingerprints(docs, k, w, text_col, max_len)
+        .select("doc_id", "fp")
+        .distinct()
+        # referenced three ways (df guard + both join sides); truncate
+        # the small (doc_id, fp) frame once instead of re-running the
+        # per-position md5 winnowing pipeline per reference
+        .localCheckpoint(eager=False)
+    )
     keep = fp.groupBy("fp").agg(F.count("*").alias("df")).filter(
         F.col("df") <= max_df
     )
