@@ -571,7 +571,10 @@ def jaccard_pairs(
     stop_shingles and pass them in — the guard becomes one broadcast
     anti-join and the vocabulary never shuffles.
     """
-    t = shingles(docs, text_col)
+    # the postings frame is referenced up to five ways (df guard, size
+    # agg, both join sides); truncate the (doc_id, tok) frame once
+    # instead of re-shingling the corpus per reference
+    t = shingles(docs, text_col).localCheckpoint(eager=False)
     if stop_list is not None:
         t = t.join(F.broadcast(stop_list.select("tok")), "tok", "left_anti")
     else:
