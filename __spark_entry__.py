@@ -4530,6 +4530,73 @@ FROM documents d LEFT JOIN sums s ON CAST(d.doc_id AS VARCHAR) = s.doc_id
 """
 
 
+def q_robots_parse(spark, sf_dir):
+    """S1 under the external gate: REAL robots.txt text — synthesized
+    deterministically per nation row (sitemap + disallow + allow +
+    crawl-delay lines, some hosts with a blank/comment-only body) — run
+    through sources.robots_txt.parse_robots, the same parser the wire
+    crawl uses. The oracle derives the expected rules from the
+    generation formula in pure SQL, so the parser's line handling
+    (case-insensitive keys, first-colon split, trim, file order,
+    delay->budget) is certified against an independent spelling.
+    Arrays are flattened to '|'-joined strings for the hash compare."""
+    from crawler_spark.sources.robots_txt import parse_robots
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("k")
+    )
+    host = F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".example.com"))
+    body = F.when(
+        F.col("k") % 5 == 4,
+        F.lit("# mirrors disabled\n\n"),  # no rules at all
+    ).otherwise(
+        F.concat(
+            F.lit("# synthetic robots\n"),
+            F.lit("SiteMap: https://"), host, F.lit("/sm_a.xml\n"),
+            F.lit("Disallow: /private"), F.col("k").cast("string"), F.lit("\n"),
+            F.lit("sitemap: https://"), host, F.lit("/sm_b.xml.gz\n"),
+            F.lit("Allow: /private"), F.col("k").cast("string"), F.lit("/ok\n"),
+            F.lit("Crawl-Delay: 0."), (F.col("k") % 4 + 1).cast("string"), F.lit("\n"),
+            F.lit("Disallow: /tmp\n"),
+        )
+    )
+    raw = n.select(host.alias("host"), body.alias("body"))
+    parsed = parse_robots(raw, default_budget=1)
+    return parsed.select(
+        "host",
+        # sitemap collection order is not file-pinned (RFC: group-
+        # independent set); sort for a stable compare
+        F.concat_ws("|", F.array_sort("sitemap_urls")).alias("sitemaps"),
+        F.concat_ws("|", "disallow_prefixes").alias("disallows"),
+        F.concat_ws("|", "allow_prefixes").alias("allows"),
+        F.col("crawl_budget").cast("int").alias("crawl_budget"),
+    )
+
+
+_Q_ROBOTS_PARSE_SQL = """
+WITH n AS (
+  SELECT CAST(n_nationkey AS INT) AS k,
+         'h' || CAST(n_nationkey AS INT) || '.example.com' AS host
+  FROM nation
+)
+SELECT host,
+  CASE WHEN k % 5 = 4 THEN ''
+       ELSE 'https://' || host || '/sm_a.xml|https://' || host || '/sm_b.xml.gz'
+  END AS sitemaps,
+  CASE WHEN k % 5 = 4 THEN ''
+       ELSE '/private' || CAST(k AS VARCHAR) || '|/tmp'
+  END AS disallows,
+  CASE WHEN k % 5 = 4 THEN ''
+       ELSE '/private' || CAST(k AS VARCHAR) || '/ok'
+  END AS allows,
+  -- floor(1/delay) with delay = (k%4+1)/10: 0.1->10, 0.2->5, 0.3->3, 0.4->2
+  CAST(CASE WHEN k % 5 = 4 THEN 1
+            ELSE CAST(10 / (k % 4 + 1) AS INT)
+  END AS INT) AS crawl_budget
+FROM n
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_frontier_schedule_round(spark, SF_DEFAULT)
@@ -4588,6 +4655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": q_bm25_indexed,
         "bpe_merges": q_bpe_merges,
         "lsh_hot_buckets": q_lsh_hot_buckets,
+        "robots_parse": q_robots_parse,
         "frontier_schedule_round": q_frontier_schedule_round,
         "score_schedule": q_score_schedule,
         "seen_antijoin": q_seen_antijoin,
@@ -4704,6 +4772,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _Q_HITS_SQL,
         "bm25_indexed": _Q_BM25_SQL,
         "lsh_hot_buckets": _Q_LSH_HOT_BUCKETS_SQL,
+        "robots_parse": _Q_ROBOTS_PARSE_SQL,
         "frontier_schedule_round": _Q_FRONTIER_SCHEDULE_SQL,
         "score_schedule": _Q_SCORE_SCHEDULE_SQL,
         "seen_antijoin": _Q_SEEN_ANTIJOIN_SQL,
