@@ -4597,6 +4597,48 @@ FROM n
 """
 
 
+def q_robots_groups(spark, sf_dir):
+    """RFC 9309 §2.2.1 user-agent GROUP SELECTION under the external
+    gate: per nation row the robots body gets (by k mod 3) only OUR
+    token's group, only the '*' group, or both — plus a pre-group
+    global rule that applies unconditionally. Expected precedence: a
+    group naming our product token (case-insensitive) wins; '*' is the
+    fallback only when no group names us; pre-group rules always apply.
+    The oracle derives the expected disallow list from the same mod-3
+    formula in pure SQL."""
+    from crawler_spark.sources.robots_txt import parse_robots
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("k")
+    )
+    host = F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".example.com"))
+    ks = F.col("k").cast("string")
+    mine = F.concat(
+        F.lit("User-Agent: CRAWLER-SPARK\nDisallow: /mine"), ks, F.lit("\n")
+    )
+    star = F.concat(F.lit("User-agent: *\nDisallow: /star"), ks, F.lit("\n"))
+    body = F.concat(
+        F.lit("Disallow: /global\n"),  # pre-group: applies to everyone
+        F.when(F.col("k") % 3 == 0, mine)
+        .when(F.col("k") % 3 == 1, star)
+        .otherwise(F.concat(mine, star)),
+    )
+    raw = n.select(host.alias("host"), body.alias("body"))
+    return parse_robots(raw).select(
+        "host", F.concat_ws("|", "disallow_prefixes").alias("disallows")
+    )
+
+
+_Q_ROBOTS_GROUPS_SQL = """
+SELECT 'h' || CAST(CAST(n_nationkey AS INT) AS VARCHAR) || '.example.com' AS host,
+  CASE WHEN CAST(n_nationkey AS INT) % 3 = 1
+       THEN '/global|/star' || CAST(CAST(n_nationkey AS INT) AS VARCHAR)
+       ELSE '/global|/mine' || CAST(CAST(n_nationkey AS INT) AS VARCHAR)
+  END AS disallows
+FROM nation
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_frontier_schedule_round(spark, SF_DEFAULT)
@@ -4656,6 +4698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "lsh_hot_buckets": q_lsh_hot_buckets,
         "robots_parse": q_robots_parse,
+        "robots_groups": q_robots_groups,
         "frontier_schedule_round": q_frontier_schedule_round,
         "score_schedule": q_score_schedule,
         "seen_antijoin": q_seen_antijoin,
@@ -4773,6 +4816,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_indexed": _Q_BM25_SQL,
         "lsh_hot_buckets": _Q_LSH_HOT_BUCKETS_SQL,
         "robots_parse": _Q_ROBOTS_PARSE_SQL,
+        "robots_groups": _Q_ROBOTS_GROUPS_SQL,
         "frontier_schedule_round": _Q_FRONTIER_SCHEDULE_SQL,
         "score_schedule": _Q_SCORE_SCHEDULE_SQL,
         "seen_antijoin": _Q_SEEN_ANTIJOIN_SQL,
