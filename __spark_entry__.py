@@ -4639,6 +4639,67 @@ FROM nation
 """
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """S2 under the external gate: REAL sitemap XML — three <url>
+    entries per nation row with lastmod/changefreq/priority children,
+    every third sitemap gzip-compressed (deterministic mtime=0) — run
+    through sources.sitemap_xml.parse_sitemap_meta, the Arrow
+    mapInPandas parser the wire crawl uses (gzip sniff + namespace-
+    tolerant ElementTree walk). The oracle regenerates the expected
+    rows from the same formula in pure SQL. The 25-row fixture dim is
+    built driver-side (world synthesis, not corpus data)."""
+    import gzip as _gz
+
+    from crawler_spark.session import ship_package
+    from crawler_spark.sources.sitemap_xml import parse_sitemap_meta
+
+    ship_package(spark)
+    ks = sorted(
+        r.k for r in _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").cast("int").alias("k"))
+        .collect()
+    )
+    rows = []
+    for k in ks:
+        host = f"h{k}.example.com"
+        urls = "".join(
+            f"<url><loc>https://{host}/p{i}</loc>"
+            f"<lastmod>2024-0{i % 9 + 1}-01</lastmod>"
+            f"<changefreq>daily</changefreq>"
+            f"<priority>0.{(k + i) % 10}</priority></url>"
+            for i in range(3)
+        )
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{urls}</urlset>"
+        )
+        gz = k % 3 == 0
+        body = _gz.compress(xml.encode(), mtime=0) if gz else xml.encode()
+        rows.append(
+            (f"https://{host}/sitemap.xml" + (".gz" if gz else ""), bytearray(body))
+        )
+    raw = spark.createDataFrame(rows, "sitemap_url string, body binary")
+    return parse_sitemap_meta(raw)
+
+
+_Q_SITEMAP_PARSE_SQL = """
+WITH n AS (
+  SELECT CAST(n_nationkey AS INT) AS k FROM nation
+), u AS (
+  SELECT k, CAST(i AS INT) AS i FROM n, range(0, 3) t(i)
+)
+SELECT
+  'https://h' || CAST(k AS VARCHAR) || '.example.com/sitemap.xml'
+    || CASE WHEN k % 3 = 0 THEN '.gz' ELSE '' END AS sitemap_url,
+  'https://h' || CAST(k AS VARCHAR) || '.example.com/p' || CAST(i AS VARCHAR) AS url,
+  '2024-0' || CAST(i % 9 + 1 AS VARCHAR) || '-01' AS lastmod,
+  'daily' AS changefreq,
+  '0.' || CAST((k + i) % 10 AS VARCHAR) AS priority
+FROM u
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_frontier_schedule_round(spark, SF_DEFAULT)
@@ -4699,6 +4760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_hot_buckets": q_lsh_hot_buckets,
         "robots_parse": q_robots_parse,
         "robots_groups": q_robots_groups,
+        "sitemap_parse": q_sitemap_parse,
         "frontier_schedule_round": q_frontier_schedule_round,
         "score_schedule": q_score_schedule,
         "seen_antijoin": q_seen_antijoin,
@@ -4817,6 +4879,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_hot_buckets": _Q_LSH_HOT_BUCKETS_SQL,
         "robots_parse": _Q_ROBOTS_PARSE_SQL,
         "robots_groups": _Q_ROBOTS_GROUPS_SQL,
+        "sitemap_parse": _Q_SITEMAP_PARSE_SQL,
         "frontier_schedule_round": _Q_FRONTIER_SCHEDULE_SQL,
         "score_schedule": _Q_SCORE_SCHEDULE_SQL,
         "seen_antijoin": _Q_SEEN_ANTIJOIN_SQL,
