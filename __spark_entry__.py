@@ -4700,6 +4700,59 @@ FROM u
 """
 
 
+def q_url_strip_tracking(spark, sf_dir):
+    """Tracking-param removal (functions.urls.strip_tracking_col): the
+    campaign-link dedup collapse — utm_*/click-id query params dropped
+    JVM-side with higher-order array ops, everything else (param order
+    included) preserved byte-for-byte. URLs synthesized per nation row
+    with a mix of tracked and legitimate params (some URLs all-tracked,
+    some param-free)."""
+    from crawler_spark.functions.urls import strip_tracking_col
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("k")
+    )
+    ks = F.col("k").cast("string")
+    url = F.when(
+        F.col("k") % 4 == 3,
+        F.concat(F.lit("https://h"), ks, F.lit(".example.com/plain")),
+    ).when(
+        F.col("k") % 4 == 2,
+        F.concat(
+            F.lit("https://h"), ks,
+            F.lit(".example.com/p?utm_source=news&GCLID=zz"), ks,
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://h"), ks, F.lit(".example.com/p?id="), ks,
+            F.lit("&utm_campaign=x&b="), (F.col("k") % 3).cast("string"),
+            F.lit("&fbclid=abc"), ks,
+        )
+    )
+    return n.select(
+        "k", url.alias("url"), strip_tracking_col(url).alias("stripped")
+    )
+
+
+_Q_URL_STRIP_TRACKING_SQL = """
+WITH n AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation)
+SELECT k,
+  CASE WHEN k % 4 = 3 THEN 'https://h' || CAST(k AS VARCHAR) || '.example.com/plain'
+       WHEN k % 4 = 2 THEN 'https://h' || CAST(k AS VARCHAR)
+            || '.example.com/p?utm_source=news&GCLID=zz' || CAST(k AS VARCHAR)
+       ELSE 'https://h' || CAST(k AS VARCHAR) || '.example.com/p?id=' || CAST(k AS VARCHAR)
+            || '&utm_campaign=x&b=' || CAST(k % 3 AS VARCHAR)
+            || '&fbclid=abc' || CAST(k AS VARCHAR)
+  END AS url,
+  CASE WHEN k % 4 = 3 THEN 'https://h' || CAST(k AS VARCHAR) || '.example.com/plain'
+       WHEN k % 4 = 2 THEN 'https://h' || CAST(k AS VARCHAR) || '.example.com/p'
+       ELSE 'https://h' || CAST(k AS VARCHAR) || '.example.com/p?id=' || CAST(k AS VARCHAR)
+            || '&b=' || CAST(k % 3 AS VARCHAR)
+  END AS stripped
+FROM n
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_frontier_schedule_round(spark, SF_DEFAULT)
@@ -4761,6 +4814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "robots_groups": q_robots_groups,
         "sitemap_parse": q_sitemap_parse,
+        "url_strip_tracking": q_url_strip_tracking,
         "frontier_schedule_round": q_frontier_schedule_round,
         "score_schedule": q_score_schedule,
         "seen_antijoin": q_seen_antijoin,
@@ -4880,6 +4934,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_parse": _Q_ROBOTS_PARSE_SQL,
         "robots_groups": _Q_ROBOTS_GROUPS_SQL,
         "sitemap_parse": _Q_SITEMAP_PARSE_SQL,
+        "url_strip_tracking": _Q_URL_STRIP_TRACKING_SQL,
         "frontier_schedule_round": _Q_FRONTIER_SCHEDULE_SQL,
         "score_schedule": _Q_SCORE_SCHEDULE_SQL,
         "seen_antijoin": _Q_SEEN_ANTIJOIN_SQL,

@@ -28,12 +28,30 @@ from pyspark.sql import functions as F
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
-def canonicalize_url(url: str) -> str:
+# click/campaign identifiers that never change the resource a URL names
+# (public convention: Google/Meta/Microsoft/Mailchimp/Yandex click ids +
+# the utm_* campaign family). Stripping them before hashing collapses
+# the classic crawl-dedup explosion where every inbound campaign link
+# spells the same page differently.
+TRACKING_PARAMS = frozenset(
+    {"gclid", "fbclid", "msclkid", "dclid", "yclid", "igshid", "mc_cid", "mc_eid"}
+)
+TRACKING_PREFIX = "utm_"
+
+
+def is_tracking_param(key: str) -> bool:
+    k = key.lower()
+    return k in TRACKING_PARAMS or k.startswith(TRACKING_PREFIX)
+
+
+def canonicalize_url(url: str, strip_tracking: bool = False) -> str:
     """Plain-Python canonicalizer (engine 'scaled' mode; F4 in SURVEY.md).
 
     lowercase scheme+host, strip fragment, strip default port, sort query
     params by (key, value), empty path -> '/'. Identity on unparseable
-    input.
+    input. strip_tracking=True additionally drops utm_*/click-id params
+    (TRACKING_PARAMS) before sorting — opt-in so reference-mode dedup
+    equality is untouched.
     """
     try:
         parts = urlsplit(url)
@@ -45,8 +63,38 @@ def canonicalize_url(url: str) -> str:
     if sep and port == _DEFAULT_PORTS.get(scheme) and "]" not in port:
         netloc = host
     path = parts.path or "/"
-    query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
+    pairs = parse_qsl(parts.query, keep_blank_values=True)
+    if strip_tracking:
+        pairs = [(k, v) for k, v in pairs if not is_tracking_param(k)]
+    query = urlencode(sorted(pairs))
     return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def strip_tracking_col(url: Column | str) -> Column:
+    """JVM-side tracking-param removal: drop utm_*/click-id query params
+    from a URL column, preserving everything else byte-for-byte (param
+    order included — this is NOT the full canonicalizer, it composes
+    with it). Pure higher-order array ops on the split query string —
+    no UDF, fuses into the scan projection, and is SQL-expressible so
+    the oracle twin reproduces it exactly. Assumes fragments are
+    already stripped (crawl discipline; '#...' would ride the last
+    param otherwise)."""
+    c = F.col(url) if isinstance(url, str) else url
+    base = F.substring_index(c, "?", 1)
+    # everything after the FIRST '?' (substring_index(-1) would split at
+    # the last one if a value itself contains '?')
+    q = F.when(c.contains("?"), c.substr(F.length(base) + 2, F.length(c))).otherwise(
+        F.lit("")
+    )
+    key = lambda p: F.lower(F.substring_index(p, "=", 1))  # noqa: E731
+    tracked = lambda p: key(p).startswith(TRACKING_PREFIX) | key(p).isin(  # noqa: E731
+        *sorted(TRACKING_PARAMS)
+    )
+    kept = F.filter(F.split(q, "&"), lambda p: ~tracked(p) & (p != ""))
+    newq = F.array_join(kept, "&")
+    return F.when(
+        ~c.contains("?") | (newq == ""), base
+    ).otherwise(F.concat(base, F.lit("?"), newq))
 
 
 def md5_hex(url: str) -> str:
@@ -81,6 +129,14 @@ from pyspark.sql import types as _T  # noqa: E402
 @F.pandas_udf(_T.StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return urls.map(canonicalize_url)
+
+
+@F.pandas_udf(_T.StringType())
+def canonicalize_strip_udf(urls: pd.Series) -> pd.Series:
+    """canonicalize_url(strip_tracking=True) over Arrow batches — the
+    campaign-link-collapsing dedup key; compose with strip_tracking_col
+    when the rest of the URL must stay raw."""
+    return urls.map(lambda u: canonicalize_url(u, strip_tracking=True))
 
 
 def host_col(url: Column | str) -> Column:

@@ -66,3 +66,50 @@ def test_spark_md5_equals_python(spark):
     )
     for r in df.collect():
         assert r.h == md5_hex(r.url)
+
+
+def test_canonicalize_strip_tracking():
+    from crawler_spark.functions.urls import canonicalize_url
+
+    u = "https://Ex.com/p?utm_source=a&id=7&fbclid=x&b=2"
+    assert canonicalize_url(u) == "https://ex.com/p?b=2&fbclid=x&id=7&utm_source=a"
+    assert canonicalize_url(u, strip_tracking=True) == "https://ex.com/p?b=2&id=7"
+    # all params tracked -> bare path; no query stays identity
+    assert (
+        canonicalize_url("https://ex.com/p?utm_a=1&gclid=2", strip_tracking=True)
+        == "https://ex.com/p"
+    )
+    assert canonicalize_url("https://ex.com/p", strip_tracking=True) == "https://ex.com/p"
+
+
+def test_strip_tracking_col_matches_python(spark):
+    from crawler_spark.functions.urls import strip_tracking_col
+
+    urls = [
+        "https://ex.com/p?id=1&utm_campaign=x&b=2",
+        "https://ex.com/p?UTM_SOURCE=caps&GCLID=z",  # case-insensitive keys
+        "https://ex.com/p?b=2&a=1",  # untouched, order preserved
+        "https://ex.com/plain",
+        "https://ex.com/p?",  # empty query -> base
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {r.url: r.s for r in df.select("url", strip_tracking_col("url").alias("s")).collect()}
+    assert got[urls[0]] == "https://ex.com/p?id=1&b=2"
+    assert got[urls[1]] == "https://ex.com/p"
+    assert got[urls[2]] == "https://ex.com/p?b=2&a=1"
+    assert got[urls[3]] == "https://ex.com/plain"
+    assert got[urls[4]] == "https://ex.com/p"
+
+
+def test_canonicalize_strip_udf_collapses_campaign_twins(spark):
+    from crawler_spark.functions.urls import canonicalize_strip_udf
+
+    df = spark.createDataFrame(
+        [
+            ("https://Ex.com/p?id=7&utm_source=mail",),
+            ("https://ex.com/p?utm_source=ads&id=7&gclid=z",),
+        ],
+        ["url"],
+    )
+    out = [r.c for r in df.select(canonicalize_strip_udf("url").alias("c")).collect()]
+    assert out[0] == out[1] == "https://ex.com/p?id=7"
