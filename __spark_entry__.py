@@ -4753,6 +4753,52 @@ FROM n
 """
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode NFC normalization (functions.text.normalize_text_udf):
+    decomposed combining sequences (e+U+0301, n+U+0303) synthesized per
+    nation row, composed by the Arrow pandas_udf (Python unicodedata)
+    and certified against DuckDB's ICU nfc_normalize — two independent
+    Unicode implementations must agree bit-for-bit. raw_len vs norm_len
+    shows the composition actually happened (5→3 code points in the
+    'café-ñ' fragment)."""
+    from crawler_spark.functions.text import normalize_text_udf
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("k")
+    )
+    # literal code points: Spark's chr() is ASCII-mod-256 (chr(769) ->
+    # \x01), so the combining marks ride in as Python literals; the
+    # DuckDB twin uses its code-point chr() to build the same string
+    raw = F.concat(
+        F.lit("caf"), F.lit("e"), F.lit("\u0301"),
+        F.lit(" n"), F.lit("\u0303"),
+        F.lit(" k="), F.col("k").cast("string"),
+    )
+    norm = normalize_text_udf("NFC", strip_invisible=False)(raw)
+    return n.select(
+        "k",
+        norm.alias("norm"),
+        F.length(raw).cast("int").alias("raw_len"),
+        F.length(norm).cast("int").alias("norm_len"),
+    )
+
+
+_Q_TEXT_NORMALIZE_SQL = """
+WITH n AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation),
+s AS (
+  SELECT k,
+         'caf' || chr(101) || chr(769) || ' n' || chr(771)
+           || ' k=' || CAST(k AS VARCHAR) AS raw
+  FROM n
+)
+SELECT k,
+       nfc_normalize(raw) AS norm,
+       CAST(length(raw) AS INT) AS raw_len,
+       CAST(length(nfc_normalize(raw)) AS INT) AS norm_len
+FROM s
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_frontier_schedule_round(spark, SF_DEFAULT)
@@ -4815,6 +4861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_groups": q_robots_groups,
         "sitemap_parse": q_sitemap_parse,
         "url_strip_tracking": q_url_strip_tracking,
+        "text_normalize": q_text_normalize,
         "frontier_schedule_round": q_frontier_schedule_round,
         "score_schedule": q_score_schedule,
         "seen_antijoin": q_seen_antijoin,
@@ -4935,6 +4982,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_groups": _Q_ROBOTS_GROUPS_SQL,
         "sitemap_parse": _Q_SITEMAP_PARSE_SQL,
         "url_strip_tracking": _Q_URL_STRIP_TRACKING_SQL,
+        "text_normalize": _Q_TEXT_NORMALIZE_SQL,
         "frontier_schedule_round": _Q_FRONTIER_SCHEDULE_SQL,
         "score_schedule": _Q_SCORE_SCHEDULE_SQL,
         "seen_antijoin": _Q_SEEN_ANTIJOIN_SQL,

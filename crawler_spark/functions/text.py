@@ -918,3 +918,51 @@ def repetition_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("top_2gram_frac")
     )
     return docs.select("doc_id", *out)
+
+
+# --- unicode normalization (multilingual curation pass) --------------------
+
+# zero-width / bidi-control code points that survive decoding but carry
+# no text: ZWSP/ZWNJ/ZWJ, word joiner, BOM, soft hyphen, LRM/RLM and the
+# directional embedding/override/isolate family (public Unicode ranges)
+ZERO_WIDTH = "".join(
+    chr(c)
+    for c in (
+        [0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF, 0x00AD, 0x200E, 0x200F]
+        + list(range(0x202A, 0x202F))
+        + list(range(0x2066, 0x206A))
+    )
+)
+
+
+def normalize_text_udf(form: str = "NFC", strip_invisible: bool = True):
+    """Arrow-batched Unicode text normalizer: composes combining
+    sequences to the given form (NFC default — the web-crawl curation
+    standard: é as one code point, not e+U+0301, so dedup hashing and
+    tokenization see one spelling) and optionally strips zero-width /
+    bidi-control characters (ZERO_WIDTH — invisible in rendering,
+    poison for exact-hash dedup and token counting).
+
+    Vectorized pandas str ops over Arrow batches — never per-row Spark
+    round trips; the pure-NFC path is oracle-certified against DuckDB's
+    ICU nfc_normalize (two independent Unicode implementations must
+    agree bit-for-bit). Returns f(text Column) -> Column."""
+    import unicodedata
+
+    from pyspark.sql import types as _T
+
+    table = {ord(c): None for c in ZERO_WIDTH} if strip_invisible else None
+
+    def _norm(texts):
+        def one(t):
+            if t is None:
+                return None
+            s = unicodedata.normalize(form, t)
+            return s.translate(table) if table else s
+
+        return texts.map(one)
+
+    # legacy-style declaration: the module's postponed annotations would
+    # leave 'pd.Series' hints unresolvable for a function-local UDF
+    norm_udf = F.pandas_udf(_norm, _T.StringType())
+    return lambda c: norm_udf(F.col(c) if isinstance(c, str) else c)

@@ -113,3 +113,31 @@ def test_canonicalize_strip_udf_collapses_campaign_twins(spark):
     )
     out = [r.c for r in df.select(canonicalize_strip_udf("url").alias("c")).collect()]
     assert out[0] == out[1] == "https://ex.com/p?id=7"
+
+
+def test_normalize_text_strips_invisibles(spark):
+    from crawler_spark.functions.text import ZERO_WIDTH, normalize_text_udf
+
+    rows = [
+        ("a", "café x"),          # decomposed é
+        ("b", "zero​width‍ joined﻿"),
+        ("c", "bidi‪override‬ end"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    norm = normalize_text_udf("NFC", strip_invisible=True)
+    got = {r.id: r.n for r in df.select("id", norm("t").alias("n")).collect()}
+    assert got["a"] == "café x"
+    assert got["b"] == "zerowidth joined"
+    assert got["c"] == "bidioverride end"
+    assert got["d"] is None
+    assert all(c not in (got["b"] + got["c"]) for c in ZERO_WIDTH)
+    # NFKC folds compatibility forms (ligature fi, fullwidth digits)
+    nfkc = normalize_text_udf("NFKC", strip_invisible=False)
+    out = (
+        spark.createDataFrame([("x", "ﬁle １２")], ["id", "t"])
+        .select(nfkc("t").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert out == "file 12"
