@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "model_embed",
     "lsh_hot_buckets",
     "crawl_multiround",
+    "robots_parse",
+    "robots_groups",
+    "sitemap_parse",
+    "url_strip_tracking",
+    "text_normalize",
 ]
 
 
