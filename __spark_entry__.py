@@ -3626,10 +3626,16 @@ _Q_DSIR_SELECT_SQL = _DSIR_WEIGHTS_SQL + r"""
 def q_quantize_embeddings(spark, sf_dir):
     """Int8-style global-scale quantization of the embedding corpus —
     the 4x-bytes scale lever for every downstream ANN op. floor of one
-    IEEE multiply + one divide per component: bit-identical in SQL."""
+    IEEE multiply + one divide per component: bit-identical in SQL.
+    Entry output is EXPLODED to scalar rows (vec_id, idx, q) — gate
+    results must never carry array/map columns (the driver
+    canonicalizer sorts raw pandas values, where a list cell throws
+    `unhashable type`)."""
     from crawler_spark.operators.ann import quantize_embeddings
 
-    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.posexplode("qv").alias("idx", "q")
+    )
 
 
 _QUANT_CTE = """
@@ -3644,7 +3650,10 @@ _QUANT_CTE = """
         FROM embeddings, m
     )
 """
-_Q_QUANTIZE_SQL = f"WITH {_QUANT_CTE} SELECT vec_id, qv FROM q8"
+_Q_QUANTIZE_SQL = f"""WITH {_QUANT_CTE}
+    SELECT vec_id, CAST(UNNEST(range(len(qv))) AS INT) AS idx,
+           UNNEST(qv) AS q
+    FROM q8"""
 
 
 def q_quantized_topk(spark, sf_dir):

@@ -26,10 +26,13 @@ def ddb():
 
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """EXACTLY the driver's canonicalization: columns sorted by name,
+    rows sorted by all columns on RAW values (no str-casting — a
+    str-cast here masked the r04 `quantize_embeddings` crash, where a
+    list-valued cell makes pandas sort_values throw `unhashable
+    type`). If an entry emits an array/map column, this mirror must
+    crash the same way the driver does."""
     pdf = pdf[sorted(pdf.columns)].copy()
-    for c in pdf.columns:
-        if pdf[c].dtype == object:
-            pdf[c] = pdf[c].astype(str)
     pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
     return pdf
 
@@ -56,6 +59,30 @@ def test_rows_only_queries(spark, name):
     df = entrymod.queries()[name](spark, SF_DIR)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+# Entries whose construction runs the full engine (minutes each); their
+# scalar-only output shape is pinned by their own gate tests above.
+_COMPOSITE = {"crawl_multiround", "crawl_round"}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(entrymod.queries()) - _COMPOSITE)
+)
+def test_entry_output_is_scalar_only(spark, name):
+    """No entry may emit array/map/struct-typed result columns: the
+    driver canonicalizer sorts raw pandas values, and any non-hashable
+    cell (list/dict) crashes it — the r04 `quantize_embeddings`
+    failure class. Schema-only check, no job runs."""
+    from pyspark.sql import types as T
+
+    df = entrymod.queries()[name](spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"{name}: non-scalar output columns {bad}"
 
 
 def test_entry_smoke(spark):
