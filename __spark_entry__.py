@@ -23,6 +23,7 @@ multimodal decode) return rows-only checks per the driver contract.
 
 from __future__ import annotations
 
+import functools
 import tempfile
 from collections.abc import Callable
 
@@ -1575,9 +1576,11 @@ _Q_HITS_SQL = _hits_sql(3)
 
 def q_crawl_round(spark, sf_dir):
     """One real engine scheduling round on the deterministic synthetic
-    world (gates -> dedup -> budget window -> fetch -> commit). Not
-    SQL-expressible (multi-table snapshot state); covered exactly by the
-    pure-Python oracle in tests/test_engine_oracle.py."""
+    world (gates -> dedup -> budget window -> fetch -> commit).
+    Oracled via the crawl_multiround VALUES pattern: the independent
+    pure-Python reference (crawler_spark/oracle.py) replays the same
+    deterministic world for one round at oracle-build time and its
+    crawl_order is inlined as VALUES."""
     from crawler_spark.engine import CrawlEngine
     from crawler_spark.operators.discovery import discover_frontier
     from crawler_spark.session import ship_package
@@ -1589,23 +1592,182 @@ def q_crawl_round(spark, sf_dir):
     t = world.to_spark(spark)
     eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="entry-crawl-"))
     eng.seed(discover_frontier(t["seeds"], t["robots"], t["sitemaps"]))
-    eng._control_rows = []
     eng.run_round(1, t)
-    return eng.io.read(spark, "crawl_order").orderBy("seq")
+    return (
+        eng.io.read(spark, "crawl_order")
+        .select("round", "seq", "site", "url", "status")
+        .orderBy("seq")
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _crawl_round_sql() -> str:
+    """One-round twin of _crawl_multiround_sql: replay the pure-Python
+    oracle over the identical deterministic world, inline crawl_order
+    as VALUES."""
+    from crawler_spark.oracle import Oracle
+    from crawler_spark.world import make_world
+
+    world = make_world(seed=42, n_hosts=3, n_urls=18, budget=2, burst=False)
+    res = Oracle(world).run(max_rounds=1)
+    rows = ",\n".join(
+        f"({rnd}, {seq}, '{site}', '{url}', {status})"
+        for rnd, seq, site, url, status in res.crawl_order
+    )
+    return (
+        "SELECT CAST(round AS INT) AS round, CAST(seq AS INT) AS seq,"
+        " site, url, CAST(status AS INT) AS status\n"
+        f"FROM (VALUES\n{rows}\n) AS t(round, seq, site, url, status)\n"
+        "ORDER BY seq"
+    )
 
 
 def q_ivf_kmeans_topk(spark, sf_dir):
     """IVF top-k over a kmeans_train codebook (Lloyd iterations as
-    DataFrame jobs, crawler_spark/operators/ann.py). Rows-only: the
-    iterative trainer isn't SQL-expressible; the oracle-checked
-    `ivf_topk` entry pins the identical query shape on the
-    deterministic stand-in codebook, and the trained-vs-stand-in recall
-    gain is asserted in tests/test_operators.py."""
+    DataFrame jobs, crawler_spark/operators/ann.py). Oracled via the
+    crawl_multiround VALUES pattern: kmeans_train is deliberately
+    partition-order-invariant (integer init hash + exact decimal-sum
+    means), so an independent numpy Lloyd's replay at oracle-build
+    time reproduces the trained codebook — and hence the search
+    result — bit-for-bit (see _ivf_kmeans_topk_sql)."""
     from crawler_spark.operators.ann import ivf_topk, kmeans_train
 
     emb = _t(spark, sf_dir, "embeddings")
     cent = kmeans_train(emb, n_centroids=16, n_iters=3)
     return ivf_topk(emb, [0, 1, 2, 3, 4], k=5, n_centroids=16, nprobe=2, centroids=cent)
+
+
+@functools.lru_cache(maxsize=1)
+def _ivf_kmeans_topk_sql() -> str:
+    """Generated, not hand-written: an independent numpy/decimal
+    replay of kmeans_train + ivf_topk over the same sf0.01 embeddings,
+    inlined as VALUES. Exactness contract (each piece verified against
+    Spark semantics):
+    - float->double widening is exact; dot/norm folds replicate
+      F.aggregate's sequential left-to-right order (vectorized across
+      rows, looped across dims);
+    - per-cell means replicate the decimal(27,12) sum: each element
+      rounds HALF_UP at 12dp on its SHORTEST double repr (Spark's
+      BigDecimal.valueOf path), sums exactly as integers, converts via
+      correctly-rounded Fraction->float, then one IEEE divide by count;
+    - init groups replicate the pure-int64 Knuth multiplicative hash;
+    - final scores replicate F.round(x, 4) = HALF_UP on shortest repr.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    N_CENT, N_ITERS, NPROBE, K = 16, 3, 2, 5
+    QIDS = [0, 1, 2, 3, 4]
+    tab = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    ids = tab.column("vec_id").to_numpy()
+    E = np.asarray(tab.column("embedding").to_pylist(), dtype=np.float32).astype(
+        np.float64
+    )
+    n, dim = E.shape
+
+    def fold_sum(P):
+        """Sequential left-fold sum along axis 1 (F.aggregate order)."""
+        acc = np.zeros(P.shape[0])
+        for j in range(P.shape[1]):
+            acc = acc + P[:, j]
+        return acc
+
+    norms = np.sqrt(fold_sum(E * E))
+
+    def assign(cent):
+        """(cid sorted asc) argmax-cosine assignment, ties -> min cid.
+        NaN sorts greatest under Spark desc — guarded by assertion."""
+        best_cos = np.full(n, -np.inf)
+        best_cid = np.full(n, -1, dtype=np.int64)
+        for cid in sorted(cent):
+            cv = cent[cid]
+            ncv = np.sqrt(fold_sum((cv * cv)[None, :]))[0]
+            cos = fold_sum(E * cv[None, :]) / (norms * ncv)
+            assert not np.isnan(cos).any(), "NaN cosine in oracle replay"
+            take = cos > best_cos  # later cid wins only on strictly greater
+            best_cos = np.where(take, cos, best_cos)
+            best_cid = np.where(take, cid, best_cid)
+        return best_cid
+
+    def dec12(x: float) -> int:
+        return int(
+            Decimal(repr(float(x)))
+            .quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+            .scaleb(12)
+        )
+
+    # init: min-id vector per Knuth-hash group
+    g = ((((ids.astype(object) % 2**29) * 2654435761) % 2**32) * N_CENT) // 2**32
+    cent: dict[int, np.ndarray] = {}
+    for i in np.argsort(ids):
+        gi = int(g[i])
+        if gi not in cent:
+            cent[gi] = E[i].copy()
+    for _ in range(N_ITERS):
+        cid = assign(cent)
+        new_cent = dict(cent)  # empty cells keep previous centroid
+        for c in set(cid.tolist()):
+            members = E[cid == c]
+            cnt = float(len(members))
+            mean = np.array(
+                [
+                    float(Fraction(sum(dec12(x) for x in members[:, j]), 10**12))
+                    / cnt
+                    for j in range(dim)
+                ]
+            )
+            new_cent[int(c)] = mean
+        cent = new_cent
+
+    final_cid = assign(cent)
+    out_rows = []
+    for q in QIDS:
+        qi = int(np.where(ids == q)[0][0])
+        qv, qn = E[qi], norms[qi]
+        # probe the NPROBE nearest cells (ccos desc, cid asc)
+        probes = []
+        for c in sorted(cent):
+            cv = cent[c]
+            ncv = np.sqrt(fold_sum((cv * cv)[None, :]))[0]
+            ccos = fold_sum((qv * cv)[None, :])[0] / (qn * ncv)
+            probes.append((-ccos, c))
+        probe_cells = {c for _, c in sorted(probes)[:NPROBE]}
+        cand = [
+            i
+            for i in range(n)
+            if int(final_cid[i]) in probe_cells and int(ids[i]) != q
+        ]
+        scored = []
+        for i in cand:
+            cos = fold_sum((qv * E[i])[None, :])[0] / (qn * norms[i])
+            scored.append((-cos, int(ids[i]), cos))
+        for rank, (_, nid, cos) in enumerate(sorted(scored)[:K], start=1):
+            # + 0.0 normalizes python Decimal's signed zero to +0.0
+            # (java BigDecimal has no signed zero)
+            score = (
+                float(
+                    Decimal(repr(float(cos))).quantize(
+                        Decimal("0.0001"), rounding=ROUND_HALF_UP
+                    )
+                )
+                + 0.0
+            )
+            out_rows.append((q, rank, nid, score))
+
+    rows = ",\n".join(
+        f"({q}, {rank}, {nid}, {score!r})" for q, rank, nid, score in out_rows
+    )
+    return (
+        "SELECT CAST(query_id AS BIGINT) AS query_id,"
+        " CAST(rank AS INT) AS rank,"
+        " CAST(neighbor_id AS BIGINT) AS neighbor_id,"
+        " CAST(score AS DOUBLE) AS score\n"
+        f"FROM (VALUES\n{rows}\n) AS t(query_id, rank, neighbor_id, score)\n"
+        "ORDER BY query_id, rank"
+    )
 
 
 _Q_MULTIMODAL_SQL = """
@@ -4415,15 +4577,97 @@ _Q_PERCEPTRON_SQL = rf"""
 
 def q_bpe_merges(spark, sf_dir):
     """BPE tokenizer training ON the corpus (operators/bpe.py): the
-    ordered merge list after 16 rounds. Rows-only by contract —
-    genuinely iterative (each round's argmax depends on all previous
-    merges), the same carve-out as ivf_kmeans_topk; a pure-python
-    reference implementation certifies merge-list equality in
-    tests/test_bpe.py, and training is pinned invariant to
-    partitioning (deterministic count-desc/lexicographic tie-break)."""
+    ordered merge list after 16 rounds. Training is genuinely
+    iterative (each round's argmax depends on all previous merges), so
+    the oracle uses the crawl_multiround VALUES pattern: an
+    independent pure-python trainer (the same reference
+    tests/test_bpe.py pins) replayed over the sf0.01 documents at
+    oracle-build time, inlined as literal VALUES. Training is pinned
+    invariant to partitioning (deterministic count-desc/UTF8-byte
+    lexicographic tie-break), so the replay is exact."""
     from crawler_spark.operators.bpe import merges_df, train_bpe
 
     return merges_df(spark, train_bpe(_docs_wide(spark, sf_dir), n_merges=16))
+
+
+@functools.lru_cache(maxsize=1)
+def _bpe_merges_sql() -> str:
+    """Generated, not hand-written: replay BPE training in pure python
+    (list(word)+['</w>'] symbols, greedy leftmost merge, ties by
+    count desc then UTF-8 byte order of (left, right) — binary string
+    order, matching Spark's orderBy on strings) over the same sf0.01
+    documents the Spark entry trains on, and inline the merge list as
+    VALUES. Word extraction mirrors operators/bpe.py::word_freqs
+    bit-for-bit: trim = 0x20 only (Spark's trim), split on Java
+    \\s+ = [ \\t\\n\\x0b\\f\\r]+ (NOT python's unicode \\s)."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT text FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        ).fetchall()
+    ]
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    wf: Counter = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        t = t.strip(" ")
+        if not t:
+            continue
+        for w in ws.split(t):
+            if w:
+                wf[w] += 1
+    state = {w: (list(w) + ["</w>"], f) for w, f in wf.items()}
+    merges = []
+    for rank in range(16):
+        pairs: Counter = Counter()
+        for syms, f in state.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (left, right), n = min(
+            pairs.items(),
+            key=lambda kv: (-kv[1], kv[0][0].encode(), kv[0][1].encode()),
+        )
+        if n < 2:
+            break
+        merges.append((rank, left, right, left + right, n))
+        new_state = {}
+        for w, (syms, f) in state.items():
+            out: list = []
+            for cur in syms:
+                if out and out[-1] == left and cur == right:
+                    out[-1] = left + right
+                else:
+                    out.append(cur)
+            new_state[w] = (out, f)
+        state = new_state
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    if not merges:
+        return (
+            "SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS VARCHAR) AS left,"
+            " CAST(NULL AS VARCHAR) AS right, CAST(NULL AS VARCHAR) AS merged,"
+            " CAST(NULL AS BIGINT) AS pair_count WHERE 1 = 0"
+        )
+    rows = ",\n".join(
+        f"({rk}, '{esc(l)}', '{esc(r)}', '{esc(m)}', {n})"
+        for rk, l, r, m, n in merges
+    )
+    return (
+        'SELECT CAST(rank AS INT) AS rank, "left", "right", merged,\n'
+        "       CAST(pair_count AS BIGINT) AS pair_count\n"
+        f'FROM (VALUES\n{rows}\n) AS t(rank, "left", "right", merged, pair_count)\n'
+        "ORDER BY rank"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -4460,6 +4704,7 @@ def q_crawl_multiround(spark, sf_dir):
     )
 
 
+@functools.lru_cache(maxsize=1)
 def _crawl_multiround_sql() -> str:
     """Generated, not hand-written: replay the pure-Python oracle over
     the same deterministic world the Spark entry crawls (everything
@@ -4986,6 +5231,7 @@ def oracle_sql() -> dict[str, str]:
         "perceptron_weights": _Q_PERCEPTRON_SQL,
         "hits": _Q_HITS_SQL,
         "bm25_indexed": _Q_BM25_SQL,
+        "bpe_merges": _bpe_merges_sql(),
         "lsh_hot_buckets": _Q_LSH_HOT_BUCKETS_SQL,
         "robots_parse": _Q_ROBOTS_PARSE_SQL,
         "robots_groups": _Q_ROBOTS_GROUPS_SQL,
@@ -5051,6 +5297,8 @@ def oracle_sql() -> dict[str, str]:
         "backoff_rounds": _Q_BACKOFF_SQL,
         "seed_dispatch": _Q_SEED_DISPATCH_SQL,
         "multimodal_features": _Q_MULTIMODAL_SQL,
-        # crawl_round / ivf_kmeans_topk: rows-only by design (multi-job
-        # engine state / iterative k-means)
+        "crawl_round": _crawl_round_sql(),
+        # ivf_kmeans_topk: VALUES oracle built by the numpy Lloyd's
+        # replay below
+        "ivf_kmeans_topk": _ivf_kmeans_topk_sql(),
     }

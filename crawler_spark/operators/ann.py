@@ -133,16 +133,28 @@ def kmeans_train(
     Init: hash-spread — centroid g is the min-id vector whose id hashes
     to group g (deterministic AND spread across the corpus even when
     rows are cluster-ordered, where a first-N init would collapse into
-    one cluster). Each iteration: broadcast the k centroids, argmax-
+    one cluster). The hash is Knuth's multiplicative high-bits scheme
+    in pure int64 arithmetic — g = ((((id mod 2^29) * 2654435761)
+    mod 2^32) * k) div 2^32 — chosen over xxhash64 so an EXTERNAL
+    oracle can replay it in any language without a Spark-specific hash
+    implementation. Each iteration: broadcast the k centroids, argmax-
     cosine assignment (one pass over the corpus, no shuffle of vectors
-    beyond the groupBy), per-cell elementwise mean via one avg per
-    dimension (JVM-side). Empty cells keep their previous centroid.
-    The k×dim codebook is collected per iteration (tiny) to cut lineage.
+    beyond the groupBy), per-cell elementwise mean as an EXACT
+    decimal(27,12) sum cast to double, divided by the member count —
+    decimal sums are associative, so the trained codebook is
+    bit-identical under ANY partitioning / shuffle order (a plain
+    float avg is not; its value depends on partition combine order).
+    Empty cells keep their previous centroid. The k×dim codebook is
+    collected per iteration (tiny) to cut lineage.
     """
     spark = embeddings.sparkSession
     dim = len(embeddings.select(vec_col).first()[0])
+    h32 = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(2**29)) * F.lit(2654435761),
+        F.lit(2**32),
+    )
     cand = embeddings.withColumn(
-        "g", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_centroids))
+        "g", F.floor((h32 * F.lit(n_centroids)) / F.lit(2**32))
     )
     cent = (
         cand.groupBy("g")
@@ -156,7 +168,14 @@ def kmeans_train(
     for _ in range(n_iters):
         assigned = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=cent)
         means = assigned.groupBy("cid").agg(
-            *[F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(dim)]
+            *[
+                (
+                    F.sum(F.element_at("v", i + 1).cast("decimal(27,12)"))
+                    .cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias(f"c{i}")
+                for i in range(dim)
+            ]
         )
         new_cent = means.select(
             "cid", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cv")
