@@ -5059,63 +5059,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Round-5 rotation (r04 verdict Next #2): slots 1-11 are the six
+    # never-driver-sampled entries, the two fixed r04 reds, and the
+    # three formerly-no-oracle entries; slots 12-50 refresh the cohort
+    # whose newest driver rows date from r01-r03. With this sample,
+    # every registered entry has at least one driver correctness row.
     return {
-        "crawl_multiround": q_crawl_multiround,
-        "model_embed": q_model_embed,
-        "retry_backoff": q_retry_backoff,
-        "anchor_texts": q_anchor_texts,
-        "anchor_topk": q_anchor_topk,
-        "bfs_levels": q_bfs_levels,
-        "budget_apportion": q_budget_apportion,
-        "host_graph": q_host_graph,
-        "stop_shingles": q_stop_shingles,
-        "search_eval": q_search_eval,
-        "link_graph_stats": q_link_graph_stats,
-        "pagerank": q_pagerank,
-        "multimodal_resize": q_multimodal_resize,
-        "media_phash": q_media_phash,
-        "media_near_dup": q_media_near_dup,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_overlap": q_winnow_overlap,
-        "dup_clusters": q_dup_clusters,
-        "canonical_corpus": q_canonical_corpus,
-        "bm25_topk": q_bm25_topk,
-        "recrawl_schedule": q_recrawl_schedule,
-        "lm_score": q_lm_score,
-        "trap_hosts": q_trap_hosts,
-        "lm_buckets": q_lm_buckets,
-        "mixture_weights": q_mixture_weights,
-        "token_budget_mix": q_token_budget_mix,
-        "fetch_plan": q_fetch_plan,
-        "cdc_chunks": q_cdc_chunks,
-        "cdc_dedup": q_cdc_dedup,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "quantize_embeddings": q_quantize_embeddings,
-        "quantized_topk": q_quantized_topk,
-        "semdedup": q_semdedup,
-        "hybrid_topk": q_hybrid_topk,
-        "exact_substr_spans": q_exact_substr_spans,
-        "exact_substr_strip": q_exact_substr_strip,
-        "trustrank": q_trustrank,
-        "mirror_sites": q_mirror_sites,
-        "interleaved_stats": q_interleaved_stats,
-        "caption_pairs": q_caption_pairs,
-        "caption_quality": q_caption_quality,
-        "strip_boilerplate": q_strip_boilerplate,
-        "span_langs": q_span_langs,
-        "pack_segments": q_pack_segments,
-        "pack_fill": q_pack_fill,
-        "perceptron_weights": q_perceptron_weights,
-        "hits": q_hits,
-        "bm25_indexed": q_bm25_indexed,
-        "bpe_merges": q_bpe_merges,
         "lsh_hot_buckets": q_lsh_hot_buckets,
         "robots_parse": q_robots_parse,
         "robots_groups": q_robots_groups,
         "sitemap_parse": q_sitemap_parse,
         "url_strip_tracking": q_url_strip_tracking,
         "text_normalize": q_text_normalize,
+        "quantize_embeddings": q_quantize_embeddings,
+        "bpe_merges": q_bpe_merges,
+        "multimodal_features": q_multimodal_features,
+        "crawl_round": q_crawl_round,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "frontier_schedule_round": q_frontier_schedule_round,
         "score_schedule": q_score_schedule,
         "seen_antijoin": q_seen_antijoin,
@@ -5155,6 +5115,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "full_curation": q_full_curation,
         "corpus_curation": q_corpus_curation,
+        "crawl_multiround": q_crawl_multiround,
+        "model_embed": q_model_embed,
+        "retry_backoff": q_retry_backoff,
+        "anchor_texts": q_anchor_texts,
+        "anchor_topk": q_anchor_topk,
+        "bfs_levels": q_bfs_levels,
+        "budget_apportion": q_budget_apportion,
+        "host_graph": q_host_graph,
+        "stop_shingles": q_stop_shingles,
+        "search_eval": q_search_eval,
+        "link_graph_stats": q_link_graph_stats,
+        "pagerank": q_pagerank,
+        "multimodal_resize": q_multimodal_resize,
+        "media_phash": q_media_phash,
+        "media_near_dup": q_media_near_dup,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_overlap": q_winnow_overlap,
+        "dup_clusters": q_dup_clusters,
+        "canonical_corpus": q_canonical_corpus,
+        "bm25_topk": q_bm25_topk,
+        "recrawl_schedule": q_recrawl_schedule,
+        "lm_score": q_lm_score,
+        "trap_hosts": q_trap_hosts,
+        "lm_buckets": q_lm_buckets,
+        "mixture_weights": q_mixture_weights,
+        "token_budget_mix": q_token_budget_mix,
+        "fetch_plan": q_fetch_plan,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_dedup": q_cdc_dedup,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "quantized_topk": q_quantized_topk,
+        "semdedup": q_semdedup,
+        "hybrid_topk": q_hybrid_topk,
+        "exact_substr_spans": q_exact_substr_spans,
+        "exact_substr_strip": q_exact_substr_strip,
+        "trustrank": q_trustrank,
+        "mirror_sites": q_mirror_sites,
+        "interleaved_stats": q_interleaved_stats,
+        "caption_pairs": q_caption_pairs,
+        "caption_quality": q_caption_quality,
+        "strip_boilerplate": q_strip_boilerplate,
+        "span_langs": q_span_langs,
+        "pack_segments": q_pack_segments,
+        "pack_fill": q_pack_fill,
+        "perceptron_weights": q_perceptron_weights,
+        "hits": q_hits,
+        "bm25_indexed": q_bm25_indexed,
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
         "top_terms": q_top_terms,
@@ -5174,9 +5182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucketed_topk": q_lsh_bucketed_topk,
         "backoff_rounds": q_backoff_rounds,
         "seed_dispatch": q_seed_dispatch,
-        "crawl_round": q_crawl_round,
-        "ivf_kmeans_topk": q_ivf_kmeans_topk,
-        "multimodal_features": q_multimodal_features,
     }
 
 
