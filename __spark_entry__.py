@@ -628,15 +628,27 @@ def q_simhash_near_dup(spark, sf_dir):
 
 def q_simhash_near_dup_cached(spark, sf_dir):
     """Production two-step shape (mirrors minhash_lsh_pairs_cached):
-    the simhash signature table persists once, the near-dup query pays
-    only block-join + Hamming cost. Same oracle as simhash_near_dup:
-    caching must not change a single pair."""
-    from crawler_spark.operators.textdedup import simhash, simhash_near_dup_pairs
+    the simhash signature table AND its hot-block guard keys persist
+    once at index-build time (hot keys are a pure function of the
+    signature table — the stop-shingle pattern), so the near-dup query
+    pays only block-join + Hamming cost, no per-call bucket-size
+    aggregate. Same oracle as simhash_near_dup: caching must not
+    change a single pair."""
+    from crawler_spark.operators.textdedup import (
+        simhash,
+        simhash_hot_blocks,
+        simhash_near_dup_pairs,
+    )
 
     sig_dir = _sig_cache_dir("sh-sigs", sf_dir)
+    hot_dir = _sig_cache_dir("sh-hot", sf_dir)
     simhash(_docs_wide(spark, sf_dir)).write.mode("overwrite").parquet(sig_dir)
+    sigs = spark.read.parquet(sig_dir)
+    simhash_hot_blocks(sigs).write.mode("overwrite").parquet(hot_dir)
     return simhash_near_dup_pairs(
-        max_hamming=3, signatures=spark.read.parquet(sig_dir)
+        max_hamming=3,
+        signatures=sigs,
+        hot_blocks=spark.read.parquet(hot_dir),
     )
 
 

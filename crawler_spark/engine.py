@@ -1334,9 +1334,14 @@ class CrawlEngine:
             # inside connected_components, which materializes via the
             # RDD path and never delivers observed metrics (obs.get
             # would return a schema-less row and toPyRow asserts).
+            # Restricted to the delta's band keys (touched_by): a fold
+            # can only drop delta-touched keys, so the audit aggregate
+            # is delta-bounded instead of a full-corpus band shuffle.
             from crawler_spark.operators.textdedup import lsh_hot_buckets
 
-            n_hot = lsh_hot_buckets(signatures=sigs, max_bucket=1000).count()
+            n_hot = lsh_hot_buckets(
+                signatures=sigs, max_bucket=1000, touched_by=delta_sigs
+            ).count()
             return {
                 "new_docs": n_delta,
                 "assignment_rows": n_live + n_delta,

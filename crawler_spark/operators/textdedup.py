@@ -139,8 +139,16 @@ def minhash_lsh_delta_pairs(
     d = _band_rows(delta_signatures, k, band).withColumnRenamed("doc_id", "d_id")
     a = _band_rows(signatures, k, band)
     if max_bucket is not None:
+        # The anti-join below only ever drops DELTA band keys, so the
+        # bucket-size count is restricted to the delta's keys first: a
+        # broadcast semi-join turns the guard's aggregate from a
+        # full-corpus band shuffle into one bounded by the delta's
+        # bucket fan-in (map-side filter on the full scan, O(|delta| x
+        # bucket-width) rows into the groupBy). Equivalent drop set.
+        dkeys = d.select("band_idx", "band_key").distinct()
         hot = (
-            a.groupBy("band_idx", "band_key")
+            a.join(F.broadcast(dkeys), ["band_idx", "band_key"], "left_semi")
+            .groupBy("band_idx", "band_key")
             .agg(F.count("*").alias("n_ids"))
             .filter(F.col("n_ids") > max_bucket)
         )
@@ -249,6 +257,7 @@ def lsh_hot_buckets(
     band: int = BAND_SIZE,
     signatures: DataFrame | None = None,
     max_bucket: int = 1000,
+    touched_by: DataFrame | None = None,
 ) -> DataFrame:
     """The buckets minhash_lsh_pairs(max_bucket=...) drops, as data:
     (band_idx, band_key, n_ids, sample_id) — the audit complement of
@@ -257,11 +266,24 @@ def lsh_hot_buckets(
     degenerate band actually is (usually empty/boilerplate text).
     Constant state per bucket — no collect_list: materializing a hot
     bucket's id array in one row is the exact pathology the guard
-    exists to prevent."""
+    exists to prevent.
+
+    touched_by: optional signature table (e.g. a fold's delta) — audit
+    only buckets whose band key appears in it. A delta fold can only
+    drop delta-touched keys, so this is the exact audit for
+    minhash_lsh_delta_pairs at O(|delta| x bucket-width) aggregate
+    cost instead of a full-corpus band shuffle per maintenance call."""
     sig = signatures if signatures is not None else minhash_signatures(docs, text_col, k)
+    rows = _band_rows(sig, k, band)
+    if touched_by is not None:
+        tkeys = (
+            _band_rows(touched_by, k, band)
+            .select("band_idx", "band_key")
+            .distinct()
+        )
+        rows = rows.join(F.broadcast(tkeys), ["band_idx", "band_key"], "left_semi")
     return (
-        _band_rows(sig, k, band)
-        .groupBy("band_idx", "band_key")
+        rows.groupBy("band_idx", "band_key")
         .agg(
             F.count("*").alias("n_ids"),
             F.min("doc_id").alias("sample_id"),
@@ -383,6 +405,40 @@ def simhash(
     return sums.select("doc_id", F.concat(*bits_cols).alias("simhash"))
 
 
+def simhash_hot_blocks(
+    signatures: DataFrame,
+    max_bucket: int = 100_000,
+    bits: int = 64,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Over-cap (block_idx, block_val, n_ids) keys of a simhash
+    signature table — the precomputable half of the
+    simhash_near_dup_pairs hot-bucket guard. Pure function of the
+    signature table: persist it next to the signatures at index-build
+    time and pass it to every query via hot_blocks= so the guard stops
+    re-aggregating the corpus per call."""
+    w = bits // n_blocks
+    return (
+        signatures.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("block_idx"),
+                            F.substring("simhash", i * w + 1, w).alias("block_val"),
+                        )
+                        for i in range(n_blocks)
+                    ]
+                )
+            ).alias("b")
+        )
+        .select("b.block_idx", "b.block_val")
+        .groupBy("block_idx", "block_val")
+        .agg(F.count("*").alias("n_ids"))
+        .filter(F.col("n_ids") > max_bucket)
+    )
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame | None = None,
     max_hamming: int = 3,
@@ -392,6 +448,7 @@ def simhash_near_dup_pairs(
     signatures: DataFrame | None = None,
     max_bucket: int | None = 100_000,
     observation=None,
+    hot_blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming,
     blocked the Manku/Charikar way: split the signature into n_blocks
@@ -434,7 +491,14 @@ def simhash_near_dup_pairs(
     dedup, not the Hamming search. Set observation= (a
     pyspark.sql.Observation) for (hot_buckets, hot_bucket_docs)
     metrics with the action; None disables. Default 100k sits well
-    above any healthy bucket at 10^10 docs."""
+    above any healthy bucket at 10^10 docs.
+
+    hot_blocks: precomputed over-cap key table (simhash_hot_blocks) —
+    hot-key detection is a pure function of the signature table, so a
+    cached-signature deployment computes it ONCE at index-build time
+    and every query skips the per-call bucket-size aggregate (the
+    measured +44% guard overhead on the cached path at sf0.1).
+    Ignored when max_bucket is None."""
     if docs is None and signatures is None:
         raise ValueError("pass docs or signatures")
     assert max_hamming < n_blocks, "pigeonhole guarantee needs max_hamming < n_blocks"
@@ -475,11 +539,18 @@ def simhash_near_dup_pairs(
         ).alias("b"),
     ).select("doc_id", "sw", "b.block_idx", "b.block_val")
     if max_bucket is not None:
-        hot = (
-            blocks.groupBy("block_idx", "block_val")
-            .agg(F.count("*").alias("n_ids"))
-            .filter(F.col("n_ids") > max_bucket)
-        )
+        if hot_blocks is not None:
+            hot = hot_blocks.select(
+                "block_idx",
+                "block_val",
+                F.coalesce(F.col("n_ids"), F.lit(0)).alias("n_ids"),
+            )
+        else:
+            hot = (
+                blocks.groupBy("block_idx", "block_val")
+                .agg(F.count("*").alias("n_ids"))
+                .filter(F.col("n_ids") > max_bucket)
+            )
         if observation is not None:
             hot = hot.observe(
                 observation,

@@ -87,6 +87,34 @@ def test_delta_pairs_guard(spark):
     assert n >= 299
 
 
+def test_hot_bucket_audit_delta_bounded(spark):
+    """The fold-time audit (engine.update_dup_clusters) restricts
+    lsh_hot_buckets to the delta's band keys: a fold can only drop
+    delta-touched keys, so auditing untouched hot buckets is wasted
+    full-corpus work. Semantics: hot-but-untouched buckets disappear
+    from the restricted audit; hot-and-touched buckets stay. Plan: the
+    restriction is a BROADCAST semi-join feeding the aggregate (the
+    full band table is filtered map-side, never shuffled whole)."""
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs).localCheckpoint()
+    untouched_delta = sigs.filter(F.col("doc_id") == "real_b")
+    touched_delta = sigs.filter(F.col("doc_id").isin("dup0000", "real_b"))
+    full = lsh_hot_buckets(signatures=sigs, max_bucket=100)
+    assert full.count() >= 1
+    assert (
+        lsh_hot_buckets(
+            signatures=sigs, max_bucket=100, touched_by=untouched_delta
+        ).count()
+        == 0
+    )
+    restricted = lsh_hot_buckets(
+        signatures=sigs, max_bucket=100, touched_by=touched_delta
+    )
+    assert restricted.count() == full.count()  # boiler bucket is touched
+    plan = restricted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
 def test_simhash_guard_drops_degenerate_block(spark):
     docs = _docs(spark)
     obs = Observation("simhash_guard")
@@ -97,6 +125,38 @@ def test_simhash_guard_drops_degenerate_block(spark):
     m = obs.get
     assert m["hot_buckets"] >= 4  # identical docs collide on all 4 blocks
     assert m["hot_bucket_docs"] >= 4 * 300
+
+
+def test_simhash_precomputed_hot_blocks(spark):
+    """The index-build guard split: simhash_hot_blocks persisted once
+    must yield pair-for-pair the same guarded result as the in-query
+    aggregate, drop the planted degenerate block, and remove the
+    per-call corpus aggregate from the query plan (exactly one
+    block-explode aggregate remains: none — both self-join sides are
+    scans + the tiny broadcast anti-join)."""
+    from crawler_spark.operators.textdedup import simhash_hot_blocks
+
+    docs = _docs(spark)
+    sigs = simhash(docs).localCheckpoint()
+    hot = simhash_hot_blocks(sigs, max_bucket=100).localCheckpoint()
+    assert hot.count() >= 4  # identical docs collide on all 4 blocks
+    inline = sorted(
+        map(tuple, simhash_near_dup_pairs(signatures=sigs, max_bucket=100).collect())
+    )
+    pre = simhash_near_dup_pairs(signatures=sigs, max_bucket=100, hot_blocks=hot)
+    assert sorted(map(tuple, pre.collect())) == inline
+    assert all("dup" not in a and "dup" not in b for a, b, _ in inline)
+    # the precomputed path must not re-aggregate the corpus blocks:
+    # its only aggregates are the final distinct's — the same count as
+    # a guardless query — while the inline guard adds the bucket-size
+    # aggregate on top
+    def n_aggs(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("HashAggregate")
+
+    guardless = simhash_near_dup_pairs(signatures=sigs, max_bucket=None)
+    inline_df = simhash_near_dup_pairs(signatures=sigs, max_bucket=100)
+    assert n_aggs(pre) == n_aggs(guardless)
+    assert n_aggs(inline_df) > n_aggs(pre)
 
 
 def test_media_near_dup_guard_threads_through(spark):
