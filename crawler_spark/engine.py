@@ -446,10 +446,20 @@ class CrawlEngine:
         persists: list[DataFrame] = []
 
         eng_ctl = io.read(spark, "engine_control")
+        # the robots gate dim (compiled wildcard rules) is a pure
+        # function of the world's robots table — compile it once per
+        # world instead of rebuilding ~100 expression objects per round
+        # (part of the r04 per-round fixed-overhead ask)
+        cr = getattr(self, "_compiled_robots", None)
+        if cr is None or cr[0] is not world["robots"]:
+            from crawler_spark.operators.scheduler import compiled_robots_dim
+
+            cr = (world["robots"], compiled_robots_dim(world["robots"]))
+            self._compiled_robots = cr
         cand = self._apply_host_budgets(
             gate_candidates(
                 frontier, world["control"], host_state, world["robots"], rnd,
-                extra_flags=eng_ctl,
+                extra_flags=eng_ctl, compiled_robots=cr[1],
             )
         )
         if self.use_bloom:
@@ -559,29 +569,33 @@ class CrawlEngine:
             fetched = simulate_fetch(
                 scheduled, world["web"], world["bursts"], rnd
             ).cache()
-        status_counts = {
-            r.status: r["count"] for r in fetched.groupBy("status").count().collect()
-        }
-        n_sched = sum(status_counts.values())
+        # The status-count job (which also materializes the fetched
+        # cache) rides a background thread so it overlaps the ~1 s of
+        # driver-side plan construction below instead of preceding it
+        # serially (the r04 per-round fixed-overhead ask). The round's
+        # downstream plans are built optimistically and simply dropped
+        # unexecuted on an idle round — lazy frames, no side effects.
+        import threading as _threading
 
-        if n_sched == 0:
-            overwrites, appends = {}, {}
-            if newly_deleted:
-                overwrites = {
-                    k: self._w(v) for k, v in self._site_table_overwrites(newly_deleted).items()
-                }
-                overwrites.update(self._site_filter_overwrites(newly_deleted))
-                appends["frontier_state"] = self._w(
-                    self._delete_deltas(frontier, newly_deleted, rnd)
+        _status_box: list = []
+
+        def _collect_status():
+            try:
+                _status_box.append(
+                    {r.status: r["count"] for r in fetched.groupBy("status").count().collect()}
                 )
-            io.commit(rnd, appends=appends, overwrites=overwrites, meta={"seq_total": seq_base})
-            fetched.unpersist()
-            for df in persists:
-                df.unpersist()
-            pending = frontier.filter(F.col("state") == S.PENDING)
-            if all_deleted:
-                pending = pending.filter(~F.col("site").isin(list(all_deleted)))
-            return {"round": rnd, "scheduled": 0, "pending": pending.count()}
+            except Exception as e:  # surfaced at the join below
+                _status_box.append(e)
+
+        _status_t = _threading.Thread(target=_collect_status, daemon=True)
+        if self.fetch_transport is not None:
+            # wire mode: real HTTP requests fire when this job runs —
+            # keep it strictly serial so no concurrent job can race the
+            # fetched-cache materialization (politeness: exactly one
+            # fetch per scheduled URL, never a cache-lock retry)
+            _collect_status()
+        else:
+            _status_t.start()
 
         ok = fetched.filter(F.col("status") == 200)
         errs = fetched.filter(~F.col("status").isin(200, 429))
@@ -599,9 +613,67 @@ class CrawlEngine:
             "url", "url_hash", "h64", "site", "host", F.col("round").alias("fetched_round")
         )
 
+
         entities = extract_entities(ok)
         kept, new_keys = dedup_entities(entities, entity_seen)
         kept = kept.cache()  # consumed by records write AND the synth anti-join
+        persists.append(kept)
+        # materialize the extract pipeline (Arrow mapInPandas — the
+        # commit's long pole) in the background while the driver keeps
+        # building the rest of the round's plans; joined before commit.
+        # Gated on the status result so an idle round never runs an
+        # extract job over empty input.
+        _kept_err: list = []
+
+        def _force_kept():
+            try:
+                if _status_t.ident is not None:
+                    _status_t.join()
+                counts = _status_box[0]
+                if isinstance(counts, Exception):
+                    return  # the main thread raises it
+                if sum(counts.values()) > 0:
+                    kept.count()
+            except Exception as e:  # surfaced at the join below
+                _kept_err.append(e)
+
+        _kept_t = _threading.Thread(target=_force_kept, daemon=True)
+        _kept_t.start()
+
+        # join the status job HERE — after the extract-side plan
+        # construction (which overlapped the collect) but before the
+        # heavy downstream build, so an idle round never pays for
+        # plans it will drop
+        if _status_t.ident is not None:  # started (simulated-fetch path)
+            _status_t.join()
+        if isinstance(_status_box[0], Exception):
+            raise _status_box[0]
+        status_counts: dict = _status_box[0]
+        n_sched = sum(status_counts.values())
+
+        if n_sched == 0:
+            # idle round: drop the (never-executed) plans and write
+            # only the cascade commit, exactly as before (the gated
+            # kept thread exits without running a job)
+            _kept_t.join()
+            idle_over, idle_app = {}, {}
+            if newly_deleted:
+                idle_over = {
+                    k: self._w(v)
+                    for k, v in self._site_table_overwrites(newly_deleted).items()
+                }
+                idle_over.update(self._site_filter_overwrites(newly_deleted))
+                idle_app["frontier_state"] = self._w(
+                    self._delete_deltas(frontier, newly_deleted, rnd)
+                )
+            io.commit(rnd, appends=idle_app, overwrites=idle_over, meta={"seq_total": seq_base})
+            fetched.unpersist()
+            for df in persists:
+                df.unpersist()
+            pending = frontier.filter(F.col("state") == S.PENDING)
+            if all_deleted:
+                pending = pending.filter(~F.col("site").isin(list(all_deleted)))
+            return {"round": rnd, "scheduled": 0, "pending": pending.count()}
         records = kept.select(
             "url", "site", "round", "seq", "shape", "entity_key", "types", "name", "payload_json"
         )
@@ -617,7 +689,8 @@ class CrawlEngine:
             new_emb = embed_new_records(
                 records, io.read(spark, "embeddings"), rnd, self.embed_dim,
                 embed_fn=self.embedder,
-            )
+            ).cache()  # consumed by the embeddings AND uploaded writes
+            persists.append(new_emb)
             new_upl = select_for_upload(new_emb, io.read(spark, "uploaded"), rnd)
             if self.upload_transport is not None:
                 # K8 wire sink: push this round's upload set through the
@@ -722,8 +795,18 @@ class CrawlEngine:
             )
         else:
             links = self._empty("frontier")
-        links = links.cache()
-        n_links = links.count()
+        links_cached = links.cache()
+        # n_links rides the commit's own frontier-append job as an
+        # Observation instead of paying a dedicated count() action per
+        # round (the r04 per-round-overhead ask). Safe here — unlike
+        # the fold path, the observed frame is always materialized by
+        # a normal plan action: `frontier` is not a SITE_TABLES member,
+        # so appends["frontier"] survives every cascade branch. The
+        # metric is read AFTER io.commit below, when the write has run.
+        from pyspark.sql import Observation
+
+        obs_links = Observation(f"links_r{rnd}")
+        links = links_cached.observe(obs_links, F.count(F.lit(1)).alias("n"))
 
         # --- frontier state transitions (append-only deltas; the frontier
         # base is NEVER rewritten in the round loop — O(|delta|) commit IO)
@@ -920,6 +1003,9 @@ class CrawlEngine:
         appends = {k: self._w(v) for k, v in appends.items()}
         overwrites = {k: self._w(v) for k, v in overwrites.items()}
 
+        _kept_t.join()
+        if _kept_err:
+            raise _kept_err[0]
         io.commit(
             rnd,
             appends=appends,
@@ -932,10 +1018,10 @@ class CrawlEngine:
             "fetched": status_counts.get(200, 0),
             "errors": sum(v for k, v in status_counts.items() if k not in (200, 429)),
             "rate_limited": status_counts.get(429, 0),
-            "new_links": n_links,
+            "new_links": int(obs_links.get["n"]),
         }
         fetched.unpersist()
-        links.unpersist()
+        links_cached.unpersist()
         for df in persists:
             df.unpersist()
         return stats

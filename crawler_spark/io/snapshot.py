@@ -176,7 +176,11 @@ class ParquetSnapshotIO(TableIO):
             jobs = [("a", n, df) for n, df in (appends or {}).items()] + [
                 ("o", n, df) for n, df in (overwrites or {}).items()
             ]
-            with ThreadPoolExecutor(max_workers=min(8, max(1, len(jobs)))) as ex:
+            # one worker per staged table up to 16: a round commits
+            # ~13 tiny tables and a second wave of writes doubles the
+            # fixed per-round commit latency (measured ~0.7 s/round on
+            # the tiny-world profile)
+            with ThreadPoolExecutor(max_workers=min(16, max(1, len(jobs)))) as ex:
                 rels = list(
                     ex.map(lambda j: (j[0], j[1], self._write_version_dir(j[1], version, j[2])), jobs)
                 )

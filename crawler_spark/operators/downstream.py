@@ -25,14 +25,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def prepare_embed_text(records: DataFrame) -> DataFrame:
-    """F12 (crawler.py:1027-1070): labeled parts joined by newlines.
 
-    Type: t1, t2 / Name: (name, else payload headline) / Description:
-    payload description / Ingredients: first 10 / Content: first 500
-    chars of articleBody. Missing parts are skipped (concat_ws drops
-    nulls).
-    """
+_COL_CACHE: dict = {}
+
+
+def _cached_col(name: str, builder):
+    """Per-SparkContext memo for round-invariant Column expressions.
+    Keyed by applicationId so a restarted session (new JVM state) never
+    sees another context's dead py4j references."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    key = (name, app)
+    if key not in _COL_CACHE:
+        # drop entries from dead contexts (one live context in-process)
+        for stale in [k for k in _COL_CACHE if k[1] != app]:
+            del _COL_CACHE[stale]
+        _COL_CACHE[key] = builder()
+    return _COL_CACHE[key]
+
+def _embed_text_col():
+    """The F12 text expression, built ONCE per context: a pure
+    function of fixed column names; Column objects are immutable and
+    reusable across plans. Rebuilding it per round cost ~0.3 s of py4j
+    round trips in the engine's per-round fixed overhead profile."""
+    return _cached_col("embed_text_expr", _build_embed_text_col)
+
+
+def _build_embed_text_col():
     p = F.col("payload_json")
     name = F.coalesce(F.col("name"), F.get_json_object(p, "$.headline"))
     desc = F.get_json_object(p, "$.description")
@@ -41,7 +62,7 @@ def prepare_embed_text(records: DataFrame) -> DataFrame:
         " '$.recipeIngredient'), 'array<string>'), 1, 10), ', ')"
     )
     body = F.substring(F.get_json_object(p, "$.articleBody"), 1, 500)
-    text = F.concat_ws(
+    return F.concat_ws(
         "\n",
         F.when(F.col("types").isNotNull(), F.concat(F.lit("Type: "), F.array_join("types", ", "))),
         F.when(name.isNotNull(), F.concat(F.lit("Name: "), name)),
@@ -49,7 +70,17 @@ def prepare_embed_text(records: DataFrame) -> DataFrame:
         F.when(ingredients.isNotNull() & (ingredients != ""), F.concat(F.lit("Ingredients: "), ingredients)),
         F.when(body.isNotNull(), F.concat(F.lit("Content: "), body)),
     )
-    return records.withColumn("embed_text", text)
+
+
+def prepare_embed_text(records: DataFrame) -> DataFrame:
+    """F12 (crawler.py:1027-1070): labeled parts joined by newlines.
+
+    Type: t1, t2 / Name: (name, else payload headline) / Description:
+    payload description / Ingredients: first 10 / Content: first 500
+    chars of articleBody. Missing parts are skipped (concat_ws drops
+    nulls).
+    """
+    return records.withColumn("embed_text", _embed_text_col())
 
 
 def hash_embedding(text_col, dim: int = 16):
@@ -66,6 +97,46 @@ def hash_embedding(text_col, dim: int = 16):
             F.round((F.pmod(h, F.lit(100000)) / F.lit(100000.0)) - 0.5, 6).cast("float")
         )
     return F.array(*comps)
+
+
+def _hash_embedding_cached(col_name: str, dim: int):
+    """hash_embedding builds dim x ~10 JVM expression objects; the
+    engine re-derives the identical Column every round (fixed input
+    column name), so memoize per (name, dim, context)."""
+    return _cached_col(
+        f"hash_embedding:{col_name}:{dim}",
+        lambda: hash_embedding(F.col(col_name), dim),
+    )
+
+
+def _metadata_col():
+    """The F13 metadata map expression, built ONCE per context (pure
+    function of fixed column names; the variant lambdas are the most
+    expensive Column constructions in the round loop)."""
+    return _cached_col("metadata_expr", _build_metadata_col)
+
+
+def _build_metadata_col():
+    prims = F.transform_values(
+        F.map_filter(
+            F.coalesce(
+                F.expr("try_cast(parse_json(payload_json) AS map<string, variant>)"),
+                F.expr("try_cast(parse_json('{}') AS map<string, variant>)"),
+            ),
+            lambda k, v: ~F.schema_of_variant(v).startswith("OBJECT")
+            & ~F.schema_of_variant(v).startswith("ARRAY")
+            & (F.schema_of_variant(v) != "VOID"),
+        ),
+        lambda k, v: v.cast("string"),
+    )
+    base = F.create_map(
+        F.lit("type"), F.coalesce(F.element_at("types", 1), F.lit("")),
+        F.lit("url"), F.col("url"),
+    )
+    return F.map_concat(
+        F.map_filter(base, lambda k, _v: ~F.array_contains(F.map_keys(prims), k)),
+        prims,
+    )
 
 
 def embed_new_records(
@@ -97,33 +168,16 @@ def embed_new_records(
     # type/url entries exactly like the reference's dict-assignment
     # order. Documented divergence: scalars render Spark/JSON-style
     # ('true', '1.5') where the reference renders Python-style ('True').
-    prims = F.transform_values(
-        F.map_filter(
-            F.coalesce(
-                F.expr("try_cast(parse_json(payload_json) AS map<string, variant>)"),
-                F.expr("try_cast(parse_json('{}') AS map<string, variant>)"),
-            ),
-            lambda k, v: ~F.schema_of_variant(v).startswith("OBJECT")
-            & ~F.schema_of_variant(v).startswith("ARRAY")
-            & (F.schema_of_variant(v) != "VOID"),
-        ),
-        lambda k, v: v.cast("string"),
-    )
-    base = F.create_map(
-        F.lit("type"), F.coalesce(F.element_at("types", 1), F.lit("")),
-        F.lit("url"), F.col("url"),
-    )
-    metadata = F.map_concat(
-        F.map_filter(base, lambda k, _v: ~F.array_contains(F.map_keys(prims), k)),
-        prims,
-    )
-    embed = embed_fn if embed_fn is not None else (
-        lambda c: hash_embedding(c, dim)
+    metadata = _metadata_col()
+    embedding = (
+        embed_fn(F.col("embed_text"))
+        if embed_fn is not None
+        else _hash_embedding_cached("embed_text", dim)
     )
     return prepared.select(
         "key",
         "site",
-        embed(F.col("embed_text")).alias("embedding"),
+        embedding.alias("embedding"),
         F.lit(round_no).alias("round"),
         metadata.alias("metadata"),
         F.col("payload_json").alias("schema_json"),

@@ -140,6 +140,19 @@ def _longest_rule_len(rules, url) -> F.Column:
     )
 
 
+def compiled_robots_dim(robots: DataFrame) -> DataFrame:
+    """The robots gate's broadcast dim: per-host compiled
+    disallow/allow rule arrays + crawl budget. Pure function of the
+    robots table — engines cache it per world so the ~100 expression
+    objects behind compile_robots_rules are built once, not per round."""
+    return robots.select(
+        "host",
+        compile_robots_rules(F.col("disallow_prefixes")).alias("_drules"),
+        compile_robots_rules(F.col("allow_prefixes")).alias("_arules"),
+        "crawl_budget",
+    )
+
+
 def gate_candidates(
     frontier: DataFrame,
     control: DataFrame,
@@ -147,6 +160,7 @@ def gate_candidates(
     robots: DataFrame,
     round_no: int,
     extra_flags: DataFrame | None = None,
+    compiled_robots: DataFrame | None = None,
 ) -> DataFrame:
     """P5 paused / P6 deleted / backoff / robots-disallow gates.
 
@@ -156,6 +170,7 @@ def gate_candidates(
 
     extra_flags: additional (site, paused, deleted) rows from the
     engine's lifecycle API (C3/C4), OR-merged with the fixture windows.
+    compiled_robots: a precomputed compiled_robots_dim(robots) frame.
     """
     flags = control_flags(control, round_no)
     if extra_flags is not None:
@@ -177,15 +192,12 @@ def gate_candidates(
         )
         .drop("backoff_until_round")
         .join(
+            # rules compile (regex pre-build for '*'/'$' wildcards)
+            # on the DIM side, once per host, before the broadcast
             F.broadcast(
-                # rules compile (regex pre-build for '*'/'$' wildcards)
-                # on the DIM side, once per host, before the broadcast
-                robots.select(
-                    "host",
-                    compile_robots_rules(F.col("disallow_prefixes")).alias("_drules"),
-                    compile_robots_rules(F.col("allow_prefixes")).alias("_arules"),
-                    "crawl_budget",
-                )
+                compiled_robots
+                if compiled_robots is not None
+                else compiled_robots_dim(robots)
             ),
             "host",
             "left",
