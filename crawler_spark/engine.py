@@ -1401,7 +1401,18 @@ class CrawlEngine:
                 if n_tomb > 0:
                     self._append_cluster_fold(tombstones)
                 return {"new_docs": 0, "assignment_rows": n_live}
-            pairs = minhash_lsh_delta_pairs(sigs, delta_sigs)
+            # ONE hot-key computation per fold, restricted to the
+            # delta's band keys and shared by the pair-join guard AND
+            # the no-silent-caps metric below (it was previously
+            # computed twice: once inside the guard, once for the
+            # audit) — eagerly checkpointed because both consumers and
+            # the CC loop's own checkpoints would otherwise re-run it
+            from crawler_spark.operators.textdedup import lsh_hot_buckets
+
+            hot = lsh_hot_buckets(
+                signatures=sigs, max_bucket=1000, touched_by=delta_sigs
+            ).localCheckpoint(eager=True)
+            pairs = minhash_lsh_delta_pairs(sigs, delta_sigs, hot_keys=hot)
             rel = incremental_component_deltas(live, pairs)
             singles = (
                 delta_sigs.select("doc_id")
@@ -1414,20 +1425,14 @@ class CrawlEngine:
             self._append_cluster_fold(
                 rel.unionByName(singles).unionByName(tombstones)
             )
-            # no-silent-caps: report what the delta join's hot-bucket
-            # guard dropped. Counted from the audit frame, NOT an
-            # Observation — the fold's first action is a localCheckpoint
-            # inside connected_components, which materializes via the
-            # RDD path and never delivers observed metrics (obs.get
-            # would return a schema-less row and toPyRow asserts).
-            # Restricted to the delta's band keys (touched_by): a fold
-            # can only drop delta-touched keys, so the audit aggregate
-            # is delta-bounded instead of a full-corpus band shuffle.
-            from crawler_spark.operators.textdedup import lsh_hot_buckets
-
-            n_hot = lsh_hot_buckets(
-                signatures=sigs, max_bucket=1000, touched_by=delta_sigs
-            ).count()
+            # no-silent-caps: the guard's own (delta-restricted,
+            # checkpointed) hot frame doubles as the audit metric — a
+            # count over the tiny materialized checkpoint, no second
+            # corpus pass. (Not an Observation: the fold's first
+            # action is a localCheckpoint inside connected_components,
+            # which materializes via the RDD path and never delivers
+            # observed metrics.)
+            n_hot = hot.count()
             return {
                 "new_docs": n_delta,
                 "assignment_rows": n_live + n_delta,

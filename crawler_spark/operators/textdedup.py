@@ -116,6 +116,7 @@ def minhash_lsh_delta_pairs(
     band: int = BAND_SIZE,
     max_bucket: int | None = 1000,
     observation=None,
+    hot_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs TOUCHING a delta only: the incremental
     companion of minhash_lsh_pairs. The delta's band rows equi-join the
@@ -135,23 +136,38 @@ def minhash_lsh_delta_pairs(
     exceeds max_bucket are anti-joined out (the over-cap key set is
     tiny, so it broadcasts); observation= reports
     (hot_buckets, hot_bucket_docs) with the action. None disables.
+
+    hot_keys: precomputed over-cap key table (lsh_hot_buckets output
+    or a persisted index artifact) — hot-key detection is a pure
+    function of the signature table, so a standing index computes it
+    once (at build time, or once per maintenance fold shared with the
+    audit metric) and the query pays only the broadcast anti-join.
+    Ignored when max_bucket is None.
     """
     d = _band_rows(delta_signatures, k, band).withColumnRenamed("doc_id", "d_id")
     a = _band_rows(signatures, k, band)
     if max_bucket is not None:
-        # The anti-join below only ever drops DELTA band keys, so the
-        # bucket-size count is restricted to the delta's keys first: a
-        # broadcast semi-join turns the guard's aggregate from a
-        # full-corpus band shuffle into one bounded by the delta's
-        # bucket fan-in (map-side filter on the full scan, O(|delta| x
-        # bucket-width) rows into the groupBy). Equivalent drop set.
-        dkeys = d.select("band_idx", "band_key").distinct()
-        hot = (
-            a.join(F.broadcast(dkeys), ["band_idx", "band_key"], "left_semi")
-            .groupBy("band_idx", "band_key")
-            .agg(F.count("*").alias("n_ids"))
-            .filter(F.col("n_ids") > max_bucket)
-        )
+        if hot_keys is not None:
+            hot = hot_keys.select(
+                "band_idx",
+                "band_key",
+                F.coalesce(F.col("n_ids"), F.lit(0)).alias("n_ids"),
+            )
+        else:
+            # The anti-join below only ever drops DELTA band keys, so
+            # the bucket-size count is restricted to the delta's keys
+            # first: a broadcast semi-join turns the guard's aggregate
+            # from a full-corpus band shuffle into one bounded by the
+            # delta's bucket fan-in (map-side filter on the full scan,
+            # O(|delta| x bucket-width) rows into the groupBy).
+            # Equivalent drop set.
+            dkeys = d.select("band_idx", "band_key").distinct()
+            hot = (
+                a.join(F.broadcast(dkeys), ["band_idx", "band_key"], "left_semi")
+                .groupBy("band_idx", "band_key")
+                .agg(F.count("*").alias("n_ids"))
+                .filter(F.col("n_ids") > max_bucket)
+            )
         if observation is not None:
             hot = hot.observe(
                 observation,

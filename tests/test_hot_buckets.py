@@ -115,6 +115,27 @@ def test_hot_bucket_audit_delta_bounded(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_delta_pairs_precomputed_hot_keys(spark):
+    """hot_keys= (the persisted-index / shared-fold path) must drop
+    pair-for-pair what the inline guard drops, with no bucket-size
+    aggregate left in the query plan."""
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs).localCheckpoint()
+    delta = sigs.filter(F.col("doc_id").isin("dup0000", "real_b"))
+    hot = lsh_hot_buckets(signatures=sigs, max_bucket=100).localCheckpoint()
+    inline = sorted(
+        map(tuple, minhash_lsh_delta_pairs(sigs, delta, max_bucket=100).collect())
+    )
+    pre = minhash_lsh_delta_pairs(sigs, delta, max_bucket=100, hot_keys=hot)
+    assert sorted(map(tuple, pre.collect())) == inline == [("real_a", "real_b")]
+
+    def n_aggs(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("HashAggregate")
+
+    guardless = minhash_lsh_delta_pairs(sigs, delta, max_bucket=None)
+    assert n_aggs(pre) == n_aggs(guardless)
+
+
 def test_simhash_guard_drops_degenerate_block(spark):
     docs = _docs(spark)
     obs = Observation("simhash_guard")
