@@ -456,9 +456,40 @@ class CrawlEngine:
 
             cr = (world["robots"], compiled_robots_dim(world["robots"]))
             self._compiled_robots = cr
+        # newly-deleted sites this round -> cascade (J5/C4, crawler.py:557-589)
+        control_rows = getattr(self, "_control_rows", None)
+        if control_rows is None:
+            control_rows = world["control"].collect()
+        newly_deleted = [
+            r.site for r in control_rows if r.deleted_at_round == rnd
+        ]
+        all_deleted = {
+            r.site
+            for r in control_rows
+            if r.deleted_at_round is not None and rnd >= r.deleted_at_round
+        }
+
+        # the idle-round pending count rides the round's own pipeline
+        # job as an Observation on the frontier view (the gates scan it
+        # exactly once) instead of paying a dedicated count() action.
+        # Scale note: the latest-wins merge inside the view computes
+        # every row's state regardless, so the CollectMetrics node
+        # blocks no useful pushdown.
+        from pyspark.sql import Observation
+
+        obs_pending = Observation(f"pending_r{rnd}")
+        pend = (F.col("state") == S.PENDING).cast("long")
+        if all_deleted:
+            pend = (
+                (F.col("state") == S.PENDING)
+                & ~F.col("site").isin(list(all_deleted))
+            ).cast("long")
+        gated_frontier = frontier.observe(
+            obs_pending, F.coalesce(F.sum(pend), F.lit(0)).alias("pending")
+        )
         cand = self._apply_host_budgets(
             gate_candidates(
-                frontier, world["control"], host_state, world["robots"], rnd,
+                gated_frontier, world["control"], host_state, world["robots"], rnd,
                 extra_flags=eng_ctl, compiled_robots=cr[1],
             )
         )
@@ -538,19 +569,6 @@ class CrawlEngine:
             # assigner beyond (see scheduler.schedule)
             expected_rows=self._n_hosts * max_budget,
         )
-
-        # newly-deleted sites this round -> cascade (J5/C4, crawler.py:557-589)
-        control_rows = getattr(self, "_control_rows", None)
-        if control_rows is None:
-            control_rows = world["control"].collect()
-        newly_deleted = [
-            r.site for r in control_rows if r.deleted_at_round == rnd
-        ]
-        all_deleted = {
-            r.site
-            for r in control_rows
-            if r.deleted_at_round is not None and rnd >= r.deleted_at_round
-        }
 
         if self.fetch_transport is not None:
             # S4 wire path: same output columns as simulate_fetch, so
@@ -670,10 +688,11 @@ class CrawlEngine:
             fetched.unpersist()
             for df in persists:
                 df.unpersist()
-            pending = frontier.filter(F.col("state") == S.PENDING)
-            if all_deleted:
-                pending = pending.filter(~F.col("site").isin(list(all_deleted)))
-            return {"round": rnd, "scheduled": 0, "pending": pending.count()}
+            return {
+                "round": rnd,
+                "scheduled": 0,
+                "pending": int(obs_pending.get["pending"]),
+            }
         records = kept.select(
             "url", "site", "round", "seq", "shape", "entity_key", "types", "name", "payload_json"
         )
