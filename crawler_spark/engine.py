@@ -631,7 +631,6 @@ class CrawlEngine:
             "url", "url_hash", "h64", "site", "host", F.col("round").alias("fetched_round")
         )
 
-
         entities = extract_entities(ok)
         kept, new_keys = dedup_entities(entities, entity_seen)
         kept = kept.cache()  # consumed by records write AND the synth anti-join
