@@ -21,6 +21,24 @@ Shuffle budget per round: one anti-join (candidates × seen, pruned by
 Bloom buckets at scale), one window exchange on host (candidate set
 only), one salted repartition before fetch. Everything else is
 broadcast.
+
+Round-loop concurrency (driver-side overlap, round 5): three places
+run off-thread, all joined before the commit point so failure and
+commit semantics are unchanged —
+  1. the status-count job (simulated fetch only) overlaps the cheap
+     projection builds; wire transports stay strictly serial so each
+     scheduled URL is fetched exactly once, never via a cache-lock
+     race;
+  2. the extract materialization (Arrow mapInPandas, the commit's
+     long pole) overlaps the downstream plan construction, gated on
+     the status result so idle rounds never run it;
+  3. ParquetSnapshotIO.commit stages every table write concurrently
+     (one pool worker per table; atomicity lives in the manifest
+     pointer swap, not in write order).
+Per-round driver work that is a pure function of fixed column names
+or per-world dims (embed/metadata Columns, compiled robots rules) is
+memoized; per-round counters (n_links, idle pending) ride the round's
+own jobs as Observations instead of dedicated actions.
 """
 
 from __future__ import annotations
