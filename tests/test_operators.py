@@ -270,6 +270,25 @@ def test_kmeans_ivf_beats_standin_recall(spark):
     assert trained >= 0.9  # real clusters found -> near-exact within-cell search
 
 
+def test_kmeans_train_partition_order_invariant(spark):
+    """The r5 oracle contract: the trained codebook must be
+    BIT-IDENTICAL under any partitioning — init is a pure-int64 hash,
+    per-cell means are exact decimal sums (associative), every other
+    float op is a fixed-order fold. This is what lets an external
+    numpy replay certify ivf_kmeans_topk hash-exactly."""
+    from crawler_spark.operators.ann import kmeans_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r.cid: list(r.cv) for r in kmeans_train(emb, n_centroids=8, n_iters=2).collect()}
+    b = {
+        r.cid: list(r.cv)
+        for r in kmeans_train(
+            emb.repartition(7, "vec_id"), n_centroids=8, n_iters=2
+        ).collect()
+    }
+    assert a == b  # exact float equality, not approx
+
+
 def test_lsh_bucketed_topk_subset_of_brute_force(spark):
     from crawler_spark.operators.ann import brute_force_topk, lsh_bucketed_topk, lsh_buckets
 
