@@ -31,6 +31,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SF_DEFAULT = "/root/testdata/sf0.001"
+# The driver contract runs queries-vs-oracles at sf=0.01. The
+# generated replay oracles (bpe_merges, ivf_kmeans_topk) read their
+# input at BUILD time, before any sf_dir is known, so they pin this
+# dir explicitly; tests/test_entry_oracle.py asserts its own SF_DIR
+# equals this constant so a contract change fails loudly instead of
+# silently certifying against the wrong scale factor.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -485,7 +492,9 @@ def q_lsh_hot_buckets(spark, sf_dir):
     widths."""
     from crawler_spark.operators.textdedup import lsh_hot_buckets
 
-    return lsh_hot_buckets(_docs_wide(spark, sf_dir), max_bucket=1)
+    return lsh_hot_buckets(_docs_wide(spark, sf_dir), max_bucket=1).select(
+        "band_idx", "band_key", "n_ids", "sample_id"
+    )
 
 
 _Q_LSH_HOT_BUCKETS_SQL = f"""
@@ -1612,16 +1621,17 @@ def q_crawl_round(spark, sf_dir):
     )
 
 
-@functools.lru_cache(maxsize=1)
-def _crawl_round_sql() -> str:
-    """One-round twin of _crawl_multiround_sql: replay the pure-Python
-    oracle over the identical deterministic world, inline crawl_order
-    as VALUES."""
+def _crawl_values_sql(max_rounds: int) -> str:
+    """Shared builder for the crawl replay oracles: run the pure-Python
+    reference (crawler_spark/oracle.py) over THE deterministic world —
+    one definition, so the 1-round and 3-round entries can never drift
+    onto different world parameters — and inline crawl_order as
+    VALUES."""
     from crawler_spark.oracle import Oracle
     from crawler_spark.world import make_world
 
     world = make_world(seed=42, n_hosts=3, n_urls=18, budget=2, burst=False)
-    res = Oracle(world).run(max_rounds=1)
+    res = Oracle(world).run(max_rounds=max_rounds)
     rows = ",\n".join(
         f"({rnd}, {seq}, '{site}', '{url}', {status})"
         for rnd, seq, site, url, status in res.crawl_order
@@ -1632,6 +1642,12 @@ def _crawl_round_sql() -> str:
         f"FROM (VALUES\n{rows}\n) AS t(round, seq, site, url, status)\n"
         "ORDER BY seq"
     )
+
+
+@functools.lru_cache(maxsize=1)
+def _crawl_round_sql() -> str:
+    """One-round crawl replay oracle (see _crawl_values_sql)."""
+    return _crawl_values_sql(max_rounds=1)
 
 
 def q_ivf_kmeans_topk(spark, sf_dir):
@@ -1673,7 +1689,7 @@ def _ivf_kmeans_topk_sql() -> str:
 
     N_CENT, N_ITERS, NPROBE, K = 16, 3, 2, 5
     QIDS = [0, 1, 2, 3, 4]
-    tab = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    tab = pq.read_table(f"{ORACLE_SF_DIR}/embeddings.parquet")
     ids = tab.column("vec_id").to_numpy()
     E = np.asarray(tab.column("embedding").to_pylist(), dtype=np.float32).astype(
         np.float64
@@ -4620,7 +4636,7 @@ def _bpe_merges_sql() -> str:
     texts = [
         r[0]
         for r in duckdb.sql(
-            "SELECT text FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+            f"SELECT text FROM read_parquet('{ORACLE_SF_DIR}/documents.parquet')"
         ).fetchall()
     ]
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
@@ -4718,25 +4734,9 @@ def q_crawl_multiround(spark, sf_dir):
 
 @functools.lru_cache(maxsize=1)
 def _crawl_multiround_sql() -> str:
-    """Generated, not hand-written: replay the pure-Python oracle over
-    the same deterministic world the Spark entry crawls (everything
-    derives from blake2b(seed), no RNG/clock) and inline its
-    crawl_order as VALUES."""
-    from crawler_spark.oracle import Oracle
-    from crawler_spark.world import make_world
-
-    world = make_world(seed=42, n_hosts=3, n_urls=18, budget=2, burst=False)
-    res = Oracle(world).run(max_rounds=3)
-    rows = ",\n".join(
-        f"({rnd}, {seq}, '{site}', '{url}', {status})"
-        for rnd, seq, site, url, status in res.crawl_order
-    )
-    return (
-        "SELECT CAST(round AS INT) AS round, CAST(seq AS INT) AS seq,"
-        " site, url, CAST(status AS INT) AS status\n"
-        f"FROM (VALUES\n{rows}\n) AS t(round, seq, site, url, status)\n"
-        "ORDER BY seq"
-    )
+    """Three-round crawl replay oracle (everything derives from
+    blake2b(seed), no RNG/clock) — see _crawl_values_sql."""
+    return _crawl_values_sql(max_rounds=3)
 
 
 def q_model_embed(spark, sf_dir):

@@ -454,6 +454,33 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- one round
     def run_round(self, rnd: int, world: dict[str, DataFrame]) -> dict:
+        """Cleanup shell around _run_round_inner: a mid-round failure
+        (analysis error in a downstream build, transport fault) must
+        not leave this attempt's background threads running jobs or
+        its cached frames pinned — a caller that catches and retries
+        would race the stray job and leak executor memory. On
+        exception: wait out any started threads (their jobs are
+        bounded), unpersist every frame the attempt cached, re-raise."""
+        cleanup: dict = {"threads": [], "cached": [], "persist_lists": []}
+        try:
+            return self._run_round_inner(rnd, world, cleanup)
+        except BaseException:
+            for t in cleanup["threads"]:
+                if t is not None and t.ident is not None:
+                    t.join(timeout=600)
+            frames = list(cleanup["cached"])
+            for lst in cleanup["persist_lists"]:
+                frames.extend(lst)
+            for df in frames:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            raise
+
+    def _run_round_inner(
+        self, rnd: int, world: dict[str, DataFrame], _cleanup: dict
+    ) -> dict:
         io, spark = self.io, self.spark
         self.drain_ingest()
         frontier_base = io.read(spark, "frontier")  # existence checks only
@@ -462,6 +489,7 @@ class CrawlEngine:
         entity_seen = io.read(spark, "entity_seen")
         host_state = read_host_state_view(spark, io)
         persists: list[DataFrame] = []
+        _cleanup["persist_lists"].append(persists)
 
         eng_ctl = io.read(spark, "engine_control")
         # the robots gate dim (compiled wildcard rules) is a pure
@@ -605,6 +633,7 @@ class CrawlEngine:
             fetched = simulate_fetch(
                 scheduled, world["web"], world["bursts"], rnd
             ).cache()
+        _cleanup["cached"].append(fetched)
         # The status-count job (which also materializes the fetched
         # cache) rides a background thread so it overlaps the ~1 s of
         # driver-side plan construction below instead of preceding it
@@ -624,6 +653,7 @@ class CrawlEngine:
                 _status_box.append(e)
 
         _status_t = _threading.Thread(target=_collect_status, daemon=True)
+        _cleanup["threads"].append(_status_t)
         if self.fetch_transport is not None:
             # wire mode: real HTTP requests fire when this job runs —
             # keep it strictly serial so no concurrent job can race the
@@ -673,6 +703,7 @@ class CrawlEngine:
                 _kept_err.append(e)
 
         _kept_t = _threading.Thread(target=_force_kept, daemon=True)
+        _cleanup["threads"].append(_kept_t)
         _kept_t.start()
 
         # join the status job HERE — after the extract-side plan
@@ -832,6 +863,7 @@ class CrawlEngine:
         else:
             links = self._empty("frontier")
         links_cached = links.cache()
+        _cleanup["cached"].append(links_cached)
         # n_links rides the commit's own frontier-append job as an
         # Observation instead of paying a dedicated count() action per
         # round (the r04 per-round-overhead ask). Safe here — unlike

@@ -153,8 +153,11 @@ def kmeans_train(
         F.pmod(F.col(id_col).cast("long"), F.lit(2**29)) * F.lit(2654435761),
         F.lit(2**32),
     )
+    # shiftright = exact int64 floor-div by 2^32 (h32*k < 2^63 for any
+    # k < 2^31); a double division here would round for k >= ~2^21 and
+    # break the bit-identical external-replay contract
     cand = embeddings.withColumn(
-        "g", F.floor((h32 * F.lit(n_centroids)) / F.lit(2**32))
+        "g", F.shiftright(h32 * F.lit(n_centroids), 32)
     )
     cent = (
         cand.groupBy("g")

@@ -305,6 +305,10 @@ def lsh_hot_buckets(
             F.min("doc_id").alias("sample_id"),
         )
         .filter(F.col("n_ids") > max_bucket)
+        # constant build-param columns: see simhash_hot_blocks
+        .withColumn("built_max_bucket", F.lit(max_bucket))
+        .withColumn("built_k", F.lit(k))
+        .withColumn("built_band", F.lit(band))
     )
 
 
@@ -421,6 +425,22 @@ def simhash(
     return sums.select("doc_id", F.concat(*bits_cols).alias("simhash"))
 
 
+def _sim_block_array(w: int, n_blocks: int):
+    """array<struct<block_idx, block_val>> over the `simhash`
+    bit-string column — the ONE definition of the Manku blocking key,
+    shared by the pair query and the persisted hot-block index (drift
+    between the two would make the guard anti-join silently no-op)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                F.substring("simhash", i * w + 1, w).alias("block_val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+
+
 def simhash_hot_blocks(
     signatures: DataFrame,
     max_bucket: int = 100_000,
@@ -435,23 +455,19 @@ def simhash_hot_blocks(
     re-aggregating the corpus per call."""
     w = bits // n_blocks
     return (
-        signatures.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("block_idx"),
-                            F.substring("simhash", i * w + 1, w).alias("block_val"),
-                        )
-                        for i in range(n_blocks)
-                    ]
-                )
-            ).alias("b")
-        )
+        signatures.select(F.explode(_sim_block_array(w, n_blocks)).alias("b"))
         .select("b.block_idx", "b.block_val")
         .groupBy("block_idx", "block_val")
         .agg(F.count("*").alias("n_ids"))
         .filter(F.col("n_ids") > max_bucket)
+        # build parameters ride as constant columns so a persisted
+        # artifact is auditable against the query it guards: callers
+        # own passing one built with the same (bits, n_blocks) and a
+        # cap <= the query's max_bucket (consumers select only the key
+        # columns, so the extras cost nothing)
+        .withColumn("built_max_bucket", F.lit(max_bucket))
+        .withColumn("built_bits", F.lit(bits))
+        .withColumn("built_n_blocks", F.lit(n_blocks))
     )
 
 
@@ -542,17 +558,7 @@ def simhash_near_dup_pairs(
     blocks = sig.select(
         "doc_id",
         sig_words.alias("sw"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block_idx"),
-                        F.substring("simhash", i * w + 1, w).alias("block_val"),
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("b"),
+        F.explode(_sim_block_array(w, n_blocks)).alias("b"),
     ).select("doc_id", "sw", "b.block_idx", "b.block_val")
     if max_bucket is not None:
         if hot_blocks is not None:

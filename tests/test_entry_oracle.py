@@ -37,8 +37,26 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
-ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
-ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLE_KEYS))
+# Keys come from queries() — a cheap dict of function refs — NOT from
+# oracle_sql(), whose generated replay oracles (pure-python crawls,
+# BPE training, numpy Lloyd's) cost seconds and would otherwise run at
+# pytest COLLECTION time for every test selection touching this
+# module. test_oracle_covers_every_query pins the two key sets equal
+# at run time.
+ORACLE_KEYS = sorted(entrymod.queries().keys())
+ROWS_ONLY: list[str] = []  # every entry is oracle-backed since r5
+
+
+def test_oracle_covers_every_query():
+    assert sorted(entrymod.oracle_sql().keys()) == ORACLE_KEYS
+
+
+def test_oracle_sf_pin_matches_mirror():
+    """The generated replay oracles read their input at build time from
+    entrymod.ORACLE_SF_DIR; this mirror (and the driver contract) run
+    at the same sf. If either moves, fail loudly here instead of
+    silently certifying entries against a different scale factor."""
+    assert SF_DIR == entrymod.ORACLE_SF_DIR
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
@@ -73,7 +91,9 @@ def test_entry_output_is_scalar_only(spark, name):
     """No entry may emit array/map/struct-typed result columns: the
     driver canonicalizer sorts raw pandas values, and any non-hashable
     cell (list/dict) crashes it — the r04 `quantize_embeddings`
-    failure class. Schema-only check, no job runs."""
+    failure class. Only the schema is inspected, but note some entries
+    run real jobs at CONSTRUCTION time (cached-signature writes, the
+    kmeans trainer), so a construction failure surfaces here too."""
     from pyspark.sql import types as T
 
     df = entrymod.queries()[name](spark, SF_DIR)

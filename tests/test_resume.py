@@ -60,3 +60,33 @@ def test_resume_noop_when_complete(spark, tmp_path):
     eng2 = CrawlEngine(spark, str(tmp_path / "x"))
     eng2.run(tables, max_rounds=10)  # already past; should do ~nothing
     assert snapshot_state(spark, eng2) == before
+
+
+def test_failed_round_attempt_is_retryable(spark, tmp_path):
+    """The r5 cleanup shell: a mid-round failure (here an analysis
+    error from a malformed world) must leave no committed state, no
+    stray background jobs, and no pinned caches — the SAME round then
+    retries cleanly against the good world and the final state equals
+    a never-failed run's."""
+    world = make_world(seed=31, n_hosts=2, n_urls=10, budget=3, burst=False)
+    tables = world.to_spark(spark)
+
+    eng = CrawlEngine(spark, str(tmp_path / "f"))
+    eng.seed(discover_frontier(tables["seeds"], tables["robots"], tables["sitemaps"]))
+    eng._control_rows = tables["control"].collect()
+    bad = dict(tables)
+    bad["web"] = tables["web"].select("url")  # missing fetch columns
+    try:
+        eng.run_round(1, bad)
+        raise AssertionError("malformed world must raise")
+    except AssertionError:
+        raise
+    except Exception:
+        pass
+    assert eng.io.last_round() == 0  # nothing committed by the failure
+    eng.run(tables, max_rounds=10)
+
+    ref = CrawlEngine(spark, str(tmp_path / "g"))
+    ref.seed(discover_frontier(tables["seeds"], tables["robots"], tables["sitemaps"]))
+    ref.run(tables, max_rounds=10)
+    assert snapshot_state(spark, eng) == snapshot_state(spark, ref)
