@@ -515,27 +515,9 @@ class CrawlEngine:
             if r.deleted_at_round is not None and rnd >= r.deleted_at_round
         }
 
-        # the idle-round pending count rides the round's own pipeline
-        # job as an Observation on the frontier view (the gates scan it
-        # exactly once) instead of paying a dedicated count() action.
-        # Scale note: the latest-wins merge inside the view computes
-        # every row's state regardless, so the CollectMetrics node
-        # blocks no useful pushdown.
-        from pyspark.sql import Observation
-
-        obs_pending = Observation(f"pending_r{rnd}")
-        pend = (F.col("state") == S.PENDING).cast("long")
-        if all_deleted:
-            pend = (
-                (F.col("state") == S.PENDING)
-                & ~F.col("site").isin(list(all_deleted))
-            ).cast("long")
-        gated_frontier = frontier.observe(
-            obs_pending, F.coalesce(F.sum(pend), F.lit(0)).alias("pending")
-        )
         cand = self._apply_host_budgets(
             gate_candidates(
-                gated_frontier, world["control"], host_state, world["robots"], rnd,
+                frontier, world["control"], host_state, world["robots"], rnd,
                 extra_flags=eng_ctl, compiled_robots=cr[1],
             )
         )
@@ -736,11 +718,21 @@ class CrawlEngine:
             fetched.unpersist()
             for df in persists:
                 df.unpersist()
-            return {
-                "round": rnd,
-                "scheduled": 0,
-                "pending": int(obs_pending.get["pending"]),
-            }
+            # NOTE: an Observation-based pending count was tried here
+            # (ride the status job, save a count action) and REVERTED:
+            # under AQE — the spark-submit/CLI default — the
+            # CollectMetrics node sits in runtime-replaceable territory
+            # deep below the gate joins, and on the first idle round
+            # obs.get returned a schema-less row (toPyRow assert,
+            # caught by test_spark_submit). The n_links Observation
+            # below is different: it sits directly above a cached frame
+            # feeding the commit's write action, with no AQE stage
+            # boundary in between, and is delivered on every tested
+            # config. Idle rounds pay the explicit count.
+            pending = frontier.filter(F.col("state") == S.PENDING)
+            if all_deleted:
+                pending = pending.filter(~F.col("site").isin(list(all_deleted)))
+            return {"round": rnd, "scheduled": 0, "pending": pending.count()}
         records = kept.select(
             "url", "site", "round", "seq", "shape", "entity_key", "types", "name", "payload_json"
         )
@@ -1080,13 +1072,23 @@ class CrawlEngine:
             overwrites=overwrites,
             meta={"seq_total": seq_base + n_sched},
         )
+        def _n_links():
+            # the commit's frontier write delivered the metric on every
+            # tested config (no AQE boundary between the observe node
+            # and the write action); the cached-frame count is a cheap
+            # exact fallback if a future plan shape breaks delivery
+            try:
+                return int(obs_links.get["n"])
+            except Exception:
+                return links_cached.count()
+
         stats = {
             "round": rnd,
             "scheduled": n_sched,
             "fetched": status_counts.get(200, 0),
             "errors": sum(v for k, v in status_counts.items() if k not in (200, 429)),
             "rate_limited": status_counts.get(429, 0),
-            "new_links": int(obs_links.get["n"]),
+            "new_links": _n_links(),
         }
         fetched.unpersist()
         links_cached.unpersist()
