@@ -37,8 +37,11 @@ commit semantics are unchanged —
      pointer swap, not in write order).
 Per-round driver work that is a pure function of fixed column names
 or per-world dims (embed/metadata Columns, compiled robots rules) is
-memoized; per-round counters (n_links, idle pending) ride the round's
-own jobs as Observations instead of dedicated actions.
+memoized; n_links rides the commit's own frontier write as an
+Observation instead of a dedicated action (safe there — no adaptive
+stage boundary between the observed node and the write; the same
+trick on the idle pending count broke under AQE and was reverted,
+see run_round).
 """
 
 from __future__ import annotations
